@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` registers one callable per implemented operator from
+SURVEY.md §2 (+ the extension operators); ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL for every SQL-expressible one. Column names are
+aliased identically on both sides (the driver hashes values after sorting
+columns by name).
+
+Determinism strategy (see SURVEY.md §7 "what's hard"):
+* money/metric sums go through DECIMAL(18,4) → exact & order-independent,
+  then cast to double (all test-data values have ≤2 decimals, so the cast
+  is lossless);
+* per-row double arithmetic uses identical operation order in Spark and
+  SQL → bit-identical IEEE results;
+* every ORDER BY/top-k has a unique-key tiebreaker;
+* Spark ``dayofweek`` is 1=Sunday..7; DuckDB's is 0=Sunday..6 → oracle uses
+  ``dayofweek(x)+1``;
+* session timezone pinned to UTC on both engines.
 """
 
 from __future__ import annotations
@@ -12,27 +23,803 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yellowrush_spark_ml_pipeline_spark.functions.scalar import (
+    binary_flag,
+    count_if,
+    decimal_sum,
+    null_count,
+    time_period,
+)
+from yellowrush_spark_ml_pipeline_spark.operators import (
+    aggregates,
+    cleaning,
+    dedup,
+    features,
+    joins,
+    similarity,
+    textstats,
+)
+from yellowrush_spark_ml_pipeline_spark.sources import load_table
+from yellowrush_spark_ml_pipeline_spark.streaming import sessionize, tumbling_window_agg
+
+DEC = "decimal(18,4)"
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    """Pin session semantics the oracle comparison depends on, regardless
+    of how the driver built its SparkSession."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(_prep(spark), sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.2-§2.8)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the reference's grouped-aggregate
+    spine (A4) over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum(F.col("l_quantity")).alias("sum_qty"),
+            decimal_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price.cast(DEC)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_date_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global min/max/count validation aggregate (nyc_taxi_final.py:206-210)."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.date_range_stats(
+        orders.withColumn("o_orderdate", F.to_date("o_orderdate")), "o_orderdate"
+    )
+
+
+def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-column null counts in one pass (nyc_taxi_final.py:214-216)."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregates.null_counts(ev, ["event_id", "user_id", "event_type", "value", "props"])
+
+
+def q_invalid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: named conditional counts (nyc_taxi_final.py:220-222)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.invalid_counts(
+        li,
+        {
+            "neg_quantity": F.col("l_quantity") <= 0,
+            "neg_price": F.col("l_extendedprice") < 0,
+            "bad_discount": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        },
+    )
+
+
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: conjunctive range/outlier filter (nyc_taxi_final.py:376-384),
+    pushed down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = cleaning.filter_ranges(
+        li,
+        {
+            "l_quantity": (5.0, 45.0, False, False),
+            "l_extendedprice": (1000.0, None, True, False),
+            "l_discount": (0.0, 0.08, True, True),
+            "l_tax": (0.0, None, True, False),
+        },
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/F1: time-feature derivation (nyc_taxi_final.py:410-425)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = features.add_time_features(orders, "o_orderdate")
+    return out.select(
+        "o_orderkey",
+        "year",
+        "month",
+        "day_of_month",
+        "day_of_week",
+        "is_holiday",
+        F.col("date").alias("order_date"),
+    )
+
+
+def q_time_period_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/F3: 4-way hour binning (nyc_taxi_final.py:428-434) + count per bin."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("time_period", time_period(F.hour("ts")))
+        .groupBy("time_period")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            decimal_sum(F.col("value")).alias("value_sum"),
+        )
+    )
+
+
+def q_user_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/F2: epoch-arithmetic duration in minutes (nyc_taxi_final.py:460-464)
+    — per-user activity span."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        ((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / F.lit(60.0)).alias(
+            "span_min"
+        ),
+        F.count(F.lit(1)).alias("event_count"),
+    )
+
+
+def q_hist_ratio_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/D5 aggregate: 4-key grouped ratio-of-sums — the reference's
+    weighted (not per-row) mean (nyc_taxi_final.py:471-481)."""
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.withColumn("ship_year", F.year("l_shipdate")).withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    return aggregates.ratio_of_sums(
+        keyed,
+        ["l_returnflag", "l_linestatus", "ship_year", "ship_month"],
+        numerator="l_extendedprice",
+        denominator="l_quantity",
+        alias="price_per_unit",
+        scale_factor=1.0,
+        round_to=2,
+    )
+
+
+def q_group_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/D5: aggregate-then-self-join group enrichment
+    (nyc_taxi_final.py:482-486)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("ship_year", F.year("l_shipdate"))
+    enriched = joins.group_enrich_join(
+        li,
+        ["l_returnflag", "l_linestatus", "ship_year"],
+        {
+            "grp_avg_price": F.round(
+                decimal_sum(F.col("l_extendedprice"))
+                / F.count(F.lit(1)),
+                2,
+            )
+        },
+    )
+    return enriched.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "ship_year",
+        "grp_avg_price",
+    )
+
+
+def q_hist_avg_global_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 complete: grouped ratio-of-sums joined back with global-mean
+    null-fill as ONE plan (replaces the reference's driver round-trip at
+    nyc_taxi_final.py:491-496)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = features.historical_average(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        numerator="l_extendedprice",
+        denominator="l_quantity",
+        out_col="hist_price_rate",
+        scale_factor=60.0,
+        round_to=2,
+    )
+    return out.select("l_orderkey", "l_linenumber", "hist_price_rate")
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/D9 at scale: fact streams through broadcast dimension joins
+    (customer → nation → region), then grouped rollup per region."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = joins.star_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        [
+            (customer.select("c_custkey", "c_nationkey"), "c_custkey"),
+            (nation.withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey"),
+            (region.withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey"),
+        ],
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        decimal_sum(F.col("o_totalprice")).alias("total_revenue"),
+    )
+
+
+def q_dim_join_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+P7: broadcast left join with a partial dimension → unmatched rows
+    null-filled (the weather join + na.fill pattern,
+    nyc_taxi_final.py:558-564)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_dim = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select(
+        F.col("p_partkey").alias("l_partkey"), "p_retailprice"
+    )
+    out = joins.broadcast_dim_join(
+        li.select("l_orderkey", "l_linenumber", "l_partkey"),
+        part_dim,
+        on="l_partkey",
+        how="left",
+        fill={"p_retailprice": 0.0},
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_partkey", "p_retailprice")
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: sort + limit with a total order (unique-key tiebreak)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+def q_label_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/D8/F3/F4: binary label derivation — threshold flag + membership
+    flag (nyc_taxi_final.py:530-533, :1053-1056, :421)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        binary_flag(F.col("o_totalprice") > 300000.0).alias("is_high_value"),
+        binary_flag(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).alias("is_urgent"),
+        binary_flag(
+            (F.col("o_totalprice") > 300000.0)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ).alias("is_hot"),
+    )
+
+
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: one-row validation aggregate (row count, null counts, negative
+    counts, date range) replacing the reference's show()-and-eyeball
+    (nyc_taxi_final.py:203-223)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    return aggregates.validate_table(
+        li.withColumn("l_shipdate", F.to_date("l_shipdate")),
+        date_col="l_shipdate",
+        nonnegative_cols=["l_quantity", "l_extendedprice"],
+    )
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: summary statistics (count/mean/min/max) per column
+    (nyc_taxi_final.py:338)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.summary_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def q_window_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: window-function variant of group enrichment — per-customer
+    exact sums without a join."""
+    orders = _t(spark, sf_dir, "orders")
+    out = joins.group_enrich_window(
+        orders,
+        ["o_custkey"],
+        {
+            "cust_total": F.sum(F.col("o_totalprice").cast(DEC)),
+            "cust_orders": F.count(F.lit(1)),
+        },
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("cust_total").cast("double").alias("cust_total"),
+        "cust_orders",
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time operators (streaming surface, batch-checked)
+# --------------------------------------------------------------------------
+
+
+def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows per event_type (same code path as the
+    streaming aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_window_agg(ev, "ts", "1 hour", ["event_type"], "value")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via lag + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "ts", "user_id", 30).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (extension, SURVEY.md §2.8 note)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extension operators (SURVEY.md §2.13)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (hash-groupBy, min-id representative)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokens per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_counts(docs).select("doc_id", "ws_tokens", "bpe_ish_tokens")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword/word-length heuristics."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_score(docs).select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID marker scores (the SQL-checkable core of language_id;
+    the argmax variant is q_language_id, checked rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    from yellowrush_spark_ml_pipeline_spark.functions.text import tokens
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        _LANG_MARKERS,
+        _marker_hits,
+    )
+
+    tok = tokens(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        *[
+            _marker_hits(tok, _LANG_MARKERS[lang]).cast("long").alias(f"score_{lang}")
+            for lang in ("en", "es", "de", "fr")
+        ],
+    )
+    return out
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full language ID (argmax over marker scores) vs the labeled lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math sanity surface: dims + L2 norm per embedding (exact,
+    sequential fold in both engines)."""
+    from yellowrush_spark_ml_pipeline_spark.functions.vector import (
+        as_double_array,
+        l2_norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(v), 6).alias("l2_norm"),
+    )
+
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10: broadcast query set × corpus + per-query window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries_df, k=10)
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-random-projection buckets (rows-only:
+    the SRP hyperplanes aren't SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries_df, k=10, bucket_bits=6)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact Jaccard verify
+    (rows-only: xxhash64 is engine-internal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, jaccard_threshold=0.4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: xxhash64 is engine-internal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-bucketed self-join
+    (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_cosine_dedup(emb, threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# ML surface (rows-only: vectors/models aren't SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+def q_ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M0-M8 end-to-end: labels → sample → split → RF fit → cached-eval →
+    one metrics row. Seed-pinned (seed=42 like the reference)."""
+    from yellowrush_spark_ml_pipeline_spark.ml import evaluate_binary, train_classifier
+
+    orders = _t(spark, sf_dir, "orders")
+    df = (
+        features.add_time_features(orders, "o_orderdate")
+        .withColumn("is_high_value", binary_flag(F.col("o_totalprice") > 300000.0))
+        .select("o_totalprice", "month", "day_of_week", "is_holiday", "is_high_value")
+        .withColumn("log_price", F.log1p("o_totalprice"))
+        .drop("o_totalprice")
+    )
+    model, _, test_df = train_classifier(
+        df,
+        ["month", "day_of_week", "is_holiday", "log_price"],
+        "is_high_value",
+        sample_fraction=0.5,
+    )
+    metrics = evaluate_binary(model, test_df, "is_high_value")
+    return spark.createDataFrame(
+        [tuple(round(v, 4) for v in metrics.values())], list(metrics.keys())
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 — the SURVEY.md §7 minimum
+    slice: scan → clean → date parts → grouped ratio-of-sums → join-back
+    enrichment → star dimension join → ordered projection."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    clean = cleaning.filter_ranges(
+        cleaning.drop_nulls(li),
+        {"l_quantity": (0.0, None, False, False), "l_extendedprice": (0.0, None, False, False)},
+    )
+    keyed = clean.withColumn("ship_year", F.year("l_shipdate"))
+    enriched = joins.group_enrich_join(
+        keyed,
+        ["l_returnflag", "l_linestatus", "ship_year"],
+        {
+            "grp_price_rate": F.round(
+                decimal_sum(F.col("l_extendedprice"))
+                / (decimal_sum(F.col("l_quantity")) + F.lit(1e-6)),
+                2,
+            )
+        },
+    )
+    joined = enriched.join(
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        enriched.l_orderkey == F.col("o_orderkey"),
+        "inner",
+    )
+    return (
+        joined.groupBy("ship_year", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            decimal_sum(F.col("l_extendedprice")).alias("revenue"),
+            F.round(F.avg("grp_price_rate"), 2).alias("avg_price_rate"),
+        )
+        .orderBy("ship_year", "l_returnflag")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "date_range_stats": q_date_range_stats,
+        "null_counts": q_null_counts,
+        "invalid_counts": q_invalid_counts,
+        "range_filter": q_range_filter,
+        "date_parts": q_date_parts,
+        "time_period_counts": q_time_period_counts,
+        "user_durations": q_user_durations,
+        "hist_ratio_agg": q_hist_ratio_agg,
+        "group_enrichment": q_group_enrichment,
+        "hist_avg_global_fill": q_hist_avg_global_fill,
+        "star_join": q_star_join,
+        "dim_join_null_fill": q_dim_join_null_fill,
+        "top_orders": q_top_orders,
+        "label_flags": q_label_flags,
+        "validate_lineitem": q_validate_lineitem,
+        "summary_stats": q_summary_stats,
+        "window_enrich": q_window_enrich,
+        "tumbling_windows": q_tumbling_windows,
+        "sessionize": q_sessionize,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_scores": q_lang_scores,
+        "language_id": q_language_id,
+        "embedding_norms": q_embedding_norms,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "similarity_lsh": q_similarity_lsh,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "embedding_dedup": q_embedding_dedup,
+        "ml_classifier_metrics": q_ml_classifier_metrics,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec_sum = lambda c: f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"  # noqa: E731
+    return {
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {dec_sum('l_quantity')} AS sum_qty,
+                   {dec_sum('l_extendedprice')} AS sum_base_price,
+                   {dec_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+                   {dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "date_range_stats": """
+            SELECT MIN(CAST(o_orderdate AS DATE)) AS min_value,
+                   MAX(CAST(o_orderdate AS DATE)) AS max_value,
+                   COUNT(o_orderdate) AS row_count
+            FROM orders
+        """,
+        "null_counts": """
+            SELECT SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id,
+                   SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id,
+                   SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type,
+                   SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value,
+                   SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props
+            FROM events
+        """,
+        "invalid_counts": """
+            SELECT SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS neg_quantity,
+                   SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS neg_price,
+                   SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount
+            FROM lineitem
+        """,
+        "range_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+            FROM lineitem
+            WHERE l_quantity > 5.0 AND l_quantity < 45.0
+              AND l_extendedprice >= 1000.0
+              AND l_discount >= 0.0 AND l_discount <= 0.08
+              AND l_tax >= 0.0
+        """,
+        "date_parts": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS year,
+                   CAST(month(o_orderdate) AS INT) AS month,
+                   CAST(dayofmonth(o_orderdate) AS INT) AS day_of_month,
+                   CAST(dayofweek(o_orderdate) + 1 AS INT) AS day_of_week,
+                   CASE WHEN dayofweek(o_orderdate) + 1 IN (1, 7) THEN 1 ELSE 0 END AS is_holiday,
+                   CAST(o_orderdate AS DATE) AS order_date
+            FROM orders
+        """,
+        "time_period_counts": f"""
+            SELECT CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 'morning'
+                        WHEN hour(ts) BETWEEN 12 AND 16 THEN 'afternoon'
+                        WHEN hour(ts) BETWEEN 17 AND 23 THEN 'evening'
+                        ELSE 'night' END AS time_period,
+                   COUNT(*) AS event_count,
+                   {dec_sum('value')} AS value_sum
+            FROM events
+            GROUP BY 1
+        """,
+        "user_durations": """
+            SELECT user_id,
+                   (floor(epoch(MAX(ts))) - floor(epoch(MIN(ts)))) / 60.0 AS span_min,
+                   COUNT(*) AS event_count
+            FROM events
+            GROUP BY user_id
+        """,
+        "hist_ratio_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(year(l_shipdate) AS INT) AS ship_year,
+                   CAST(month(l_shipdate) AS INT) AS ship_month,
+                   ROUND({dec_sum('l_extendedprice')} / ({dec_sum('l_quantity')} + 1e-6), 2)
+                       AS price_per_unit
+            FROM lineitem
+            GROUP BY 1, 2, 3, 4
+        """,
+        "group_enrichment": f"""
+            SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag, li.l_linestatus,
+                   CAST(year(li.l_shipdate) AS INT) AS ship_year, g.grp_avg_price
+            FROM lineitem li
+            LEFT JOIN (
+                SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS ship_year,
+                       ROUND({dec_sum('l_extendedprice')} / COUNT(*), 2) AS grp_avg_price
+                FROM lineitem
+                GROUP BY 1, 2, 3
+            ) g ON g.l_returnflag = li.l_returnflag
+               AND g.l_linestatus = li.l_linestatus
+               AND g.ship_year = CAST(year(li.l_shipdate) AS INT)
+        """,
+        "hist_avg_global_fill": f"""
+            WITH grp AS (
+                SELECT l_returnflag, l_linestatus,
+                       ROUND({dec_sum('l_extendedprice')} / ({dec_sum('l_quantity')} + 1e-6) * 60.0, 2)
+                           AS hist_price_rate
+                FROM lineitem GROUP BY 1, 2
+            ), overall AS (SELECT ROUND(AVG(hist_price_rate), 2) AS g FROM grp)
+            SELECT li.l_orderkey, li.l_linenumber,
+                   COALESCE(grp.hist_price_rate, overall.g) AS hist_price_rate
+            FROM lineitem li
+            LEFT JOIN grp USING (l_returnflag, l_linestatus)
+            CROSS JOIN overall
+        """,
+        "star_join": f"""
+            SELECT r.r_name,
+                   COUNT(*) AS order_count,
+                   {dec_sum('o.o_totalprice')} AS total_revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "dim_join_null_fill": """
+            SELECT li.l_orderkey, li.l_linenumber, li.l_partkey,
+                   COALESCE(p.p_retailprice, 0.0) AS p_retailprice
+            FROM lineitem li
+            LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25) p
+              ON li.l_partkey = p.p_partkey
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 25
+        """,
+        "label_flags": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END AS is_high_value,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_urgent,
+                   CASE WHEN o_totalprice > 300000.0
+                             AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS is_hot
+            FROM orders
+        """,
+        "validate_lineitem": """
+            SELECT COUNT(*) AS row_count,
+                   SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_l_orderkey,
+                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_l_quantity,
+                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nulls_l_extendedprice,
+                   SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nulls_l_shipdate,
+                   SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS negative_l_quantity,
+                   SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS negative_l_extendedprice,
+                   MIN(CAST(l_shipdate AS DATE)) AS min_date,
+                   MAX(CAST(l_shipdate AS DATE)) AS max_date
+            FROM lineitem
+        """,
+        "summary_stats": f"""
+            SELECT COUNT(l_quantity) AS count_l_quantity,
+                   ROUND({dec_sum('l_quantity')} / COUNT(l_quantity), 4) AS mean_l_quantity,
+                   MIN(l_quantity) AS min_l_quantity,
+                   MAX(l_quantity) AS max_l_quantity,
+                   COUNT(l_extendedprice) AS count_l_extendedprice,
+                   ROUND({dec_sum('l_extendedprice')} / COUNT(l_extendedprice), 4) AS mean_l_extendedprice,
+                   MIN(l_extendedprice) AS min_l_extendedprice,
+                   MAX(l_extendedprice) AS max_l_extendedprice,
+                   COUNT(l_discount) AS count_l_discount,
+                   ROUND({dec_sum('l_discount')} / COUNT(l_discount), 4) AS mean_l_discount,
+                   MIN(l_discount) AS min_l_discount,
+                   MAX(l_discount) AS max_l_discount
+            FROM lineitem
+        """,
+        "window_enrich": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+                   COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+            FROM orders
+        """,
+        "tumbling_windows": f"""
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS event_count,
+                   ROUND({dec_sum('value')}, 4) AS value_sum
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                 OR floor(epoch(ts)) - floor(epoch(LAG(ts) OVER (
+                                     PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            )
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+            FROM events
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents
+            GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(lower(text), '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS bpe_ish_tokens
+            FROM documents
+        """,
+        "lang_scores": r"""
+            SELECT doc_id,
+                   len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS score_en,
+                   len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) AS score_es,
+                   len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t))) AS score_de,
+                   len(list_filter(toks, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) AS score_fr
+            FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks
+                FROM documents
+            )
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   len(embedding) AS dim,
+                   ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+            FROM embeddings
+        """,
+        "similarity_bruteforce": """
+            SELECT query_id, vec_id, rank, cosine FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                                    / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                                       * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                                    c.vec_id ASC
+                       ) AS rank,
+                       ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cosine
+                FROM embeddings c
+                CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rank <= 10
+        """,
+    }

@@ -1,0 +1,15 @@
+from .pipelines import (
+    build_rf_pipeline,
+    encode_categorical,
+    evaluate_binary,
+    feature_importances,
+    train_classifier,
+)
+
+__all__ = [
+    "build_rf_pipeline",
+    "encode_categorical",
+    "evaluate_binary",
+    "feature_importances",
+    "train_classifier",
+]

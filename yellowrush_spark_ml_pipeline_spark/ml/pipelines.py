@@ -1,0 +1,155 @@
+"""ML pipeline layer (SURVEY.md §2.10 M1-M8) — the reference's model
+surface as reusable builders.
+
+Reference parity, with its two structural flaws fixed:
+* predictions are CACHED before the evaluator loop — the reference
+  re-executes the whole prediction plan once per metric
+  (nyc_taxi_final.py:909-912);
+* every pipeline is a pure function of its inputs (the reference leaks
+  notebook state across sections, nyc_taxi_final.py:1053).
+
+RF hyperparameters default to the reference's exact config
+(nyc_taxi_final.py:792-802): numTrees=30, maxDepth=8,
+minInstancesPerNode=10, subsamplingRate=0.7, featureSubsetStrategy=sqrt,
+seed=42, cacheNodeIds=True.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+)
+from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class RFConfig:
+    """nyc_taxi_final.py:792-802."""
+
+    num_trees: int = 30
+    max_depth: int = 8
+    min_instances_per_node: int = 10
+    subsampling_rate: float = 0.7
+    feature_subset_strategy: str = "sqrt"
+    seed: int = 42
+    cache_node_ids: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+def encode_categorical(
+    df: DataFrame, col: str, handle_invalid: str = "keep", drop_last: bool = False
+) -> tuple[DataFrame, list[str]]:
+    """StringIndexer + OneHotEncoder (M1+M2, nyc_taxi_final.py:581-596):
+    categorical column → sparse one-hot vector column ``{col}_ohe``; the
+    intermediate index is dropped like the reference does. Returns the
+    transformed frame and the produced column names."""
+    idx = StringIndexer(
+        inputCol=col, outputCol=f"{col}_idx", handleInvalid=handle_invalid
+    )
+    ohe = OneHotEncoder(
+        inputCols=[f"{col}_idx"], outputCols=[f"{col}_ohe"], dropLast=drop_last
+    )
+    model = Pipeline(stages=[idx, ohe]).fit(df)
+    out = model.transform(df).drop(col, f"{col}_idx")
+    return out, [f"{col}_ohe"]
+
+
+def build_rf_pipeline(
+    feature_cols: Sequence[str],
+    label_col: str,
+    config: RFConfig | None = None,
+    handle_invalid: str = "skip",
+) -> Pipeline:
+    """VectorAssembler → RandomForestClassifier (M3+M4+M5,
+    nyc_taxi_final.py:785-805). ``handleInvalid='skip'`` silently drops
+    rows with nulls/NaN — reference behavior, made an explicit argument."""
+    cfg = config or RFConfig()
+    assembler = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features", handleInvalid=handle_invalid
+    )
+    rf = RandomForestClassifier(
+        featuresCol="features",
+        labelCol=label_col,
+        numTrees=cfg.num_trees,
+        maxDepth=cfg.max_depth,
+        minInstancesPerNode=cfg.min_instances_per_node,
+        subsamplingRate=cfg.subsampling_rate,
+        featureSubsetStrategy=cfg.feature_subset_strategy,
+        seed=cfg.seed,
+        cacheNodeIds=cfg.cache_node_ids,
+        **cfg.extra,
+    )
+    return Pipeline(stages=[assembler, rf])
+
+
+def train_classifier(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    config: RFConfig | None = None,
+    sample_fraction: float | None = None,
+    split: tuple[float, float] = (0.8, 0.2),
+    seed: int = 42,
+) -> tuple[PipelineModel, DataFrame, DataFrame]:
+    """End-to-end M0→M5: optional Bernoulli sample (nyc_taxi_final.py:744)
+    → randomSplit (:808) → fit. Returns (model, train_df, test_df)."""
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    train_df, test_df = df.randomSplit(list(split), seed=seed)
+    model = build_rf_pipeline(feature_cols, label_col, config).fit(train_df)
+    return model, train_df, test_df
+
+
+def evaluate_binary(
+    model: PipelineModel, test_df: DataFrame, label_col: str
+) -> dict[str, float]:
+    """M6+M7 (nyc_taxi_final.py:897-912) with predictions cached ONCE —
+    the evaluators each trigger an action and the reference recomputed the
+    plan four times."""
+    predictions = model.transform(test_df).select(
+        label_col, "rawPrediction", "prediction"
+    )
+    predictions = predictions.cache()
+    try:
+        auc = BinaryClassificationEvaluator(
+            labelCol=label_col, rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+        ).evaluate(predictions)
+        multi = MulticlassClassificationEvaluator(
+            labelCol=label_col, predictionCol="prediction"
+        )
+        metrics = {
+            "roc_auc": auc,
+            "accuracy": multi.setMetricName("accuracy").evaluate(predictions),
+            "precision": multi.setMetricName("weightedPrecision").evaluate(predictions),
+            "recall": multi.setMetricName("weightedRecall").evaluate(predictions),
+            "f1": multi.setMetricName("f1").evaluate(predictions),
+        }
+    finally:
+        predictions.unpersist()
+    return metrics
+
+
+def feature_importances(
+    model: PipelineModel, feature_cols: Sequence[str]
+) -> list[tuple[str, float]]:
+    """M8 (nyc_taxi_final.py:833-842): (name, importance) sorted desc.
+    Driver-side by design — model state is a tiny driver object."""
+    rf_model = model.stages[-1]
+    imps = rf_model.featureImportances.toArray().tolist()
+    return sorted(zip(list(feature_cols), imps), key=lambda t: t[1], reverse=True)
+
+
+def save_model(model: PipelineModel, path: str) -> None:
+    """S7 (nyc_taxi_final.py:956-960): overwrite-save a fitted pipeline."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str) -> PipelineModel:
+    return PipelineModel.load(path)

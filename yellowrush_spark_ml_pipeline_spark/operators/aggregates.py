@@ -1,0 +1,104 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A7, §2.11 D10 validate).
+
+All declarative groupBy/agg — Catalyst plans partial (map-side) + final
+hash aggregation automatically, so a 4-key agg over 100 TB shuffles only
+the per-group partials, not rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import count_if, decimal_sum, null_count, safe_div
+
+
+def date_range_stats(df: DataFrame, col: str) -> DataFrame:
+    """Global min/max/count validation aggregate (A1,
+    nyc_taxi_final.py:206-210)."""
+    return df.agg(
+        F.min(col).alias("min_value"),
+        F.max(col).alias("max_value"),
+        F.count(col).alias("row_count"),
+    )
+
+
+def null_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column null counts in ONE pass (A2, nyc_taxi_final.py:214-216)."""
+    cols = list(cols or df.columns)
+    return df.select([null_count(F.col(c)).alias(c) for c in cols])
+
+
+def invalid_counts(df: DataFrame, predicates: dict[str, Column]) -> DataFrame:
+    """Named conditional counts, e.g. negative-precipitation rows (A3,
+    nyc_taxi_final.py:220-222)."""
+    return df.select([count_if(p).alias(name) for name, p in predicates.items()])
+
+
+def ratio_of_sums(
+    df: DataFrame,
+    keys: Sequence[str],
+    numerator: str,
+    denominator: str,
+    alias: str,
+    scale_factor: float = 1.0,
+    round_to: int | None = 2,
+) -> DataFrame:
+    """The reference's signature aggregate (A4/D5,
+    nyc_taxi_final.py:471-481): grouped **weighted** mean
+    ``sum(num)/(sum(den)+eps)*scale`` — NOT avg(num/den).
+
+    Sums are decimal-typed for order-independent exactness (partial-agg
+    merge order varies across runs/executors; see functions.scalar).
+    """
+    expr = safe_div(decimal_sum(F.col(numerator)), decimal_sum(F.col(denominator)))
+    expr = expr * F.lit(scale_factor)
+    if round_to is not None:
+        expr = F.round(expr, round_to)
+    return df.groupBy(*keys).agg(expr.alias(alias))
+
+
+def global_scalar(df: DataFrame, expr: Column, alias: str = "value") -> DataFrame:
+    """Global single-row aggregate (A5, nyc_taxi_final.py:491) — kept as a
+    DataFrame so callers can cross-join it instead of `.first()[0]`-ing a
+    scalar through the driver (a serialization point the reference has that
+    we deliberately remove)."""
+    return df.agg(expr.alias(alias))
+
+
+def validate_table(
+    df: DataFrame,
+    date_col: str | None = None,
+    nonnegative_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-pass validation aggregate (D10): row count, per-column null
+    counts, negative-value counts, optional date range — the reference's
+    show()-and-eyeball checks (nyc_taxi_final.py:203-223) folded into a
+    single assertable row."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+    for c in df.columns:
+        aggs.append(null_count(F.col(c)).alias(f"nulls_{c}"))
+    for c in nonnegative_cols:
+        aggs.append(count_if(F.col(c) < 0).alias(f"negative_{c}"))
+    if date_col:
+        aggs.append(F.min(date_col).alias("min_date"))
+        aggs.append(F.max(date_col).alias("max_date"))
+    return df.agg(*aggs)
+
+
+def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """df.summary() analogue (A7, nyc_taxi_final.py:338) restricted to
+    named columns; uses exact count + decimal mean + min/max (the
+    percentile part of summary() is approximate by design and stays in
+    `DataFrame.summary` for interactive use)."""
+    aggs: list[Column] = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"count_{c}"),
+            F.round(decimal_sum(F.col(c)) / F.count(F.col(c)), 4).alias(f"mean_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    return df.agg(*aggs)

@@ -1,0 +1,48 @@
+"""Null handling + range/outlier filtering (SURVEY.md §2.2 P4-P9).
+
+Spec-driven conjunctive range filters, generalizing the reference's
+hard-coded outlier cuts (``nyc_taxi_final.py:376-384``) and duration window
+(``:502-505``). Filters are plain Column predicates → Catalyst pushes them
+into the parquet scan (check ``PushedFilters`` in ``.explain``), which at
+100 TB means row groups are skipped by min/max stats before any CPU burns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (low, high, low_inclusive, high_inclusive)
+RangeSpec = tuple[float | None, float | None, bool, bool]
+
+
+def range_predicate(col: Column, low=None, high=None,
+                    low_inclusive: bool = True, high_inclusive: bool = False) -> Column:
+    pred = F.lit(True)
+    if low is not None:
+        pred = pred & (col >= low if low_inclusive else col > low)
+    if high is not None:
+        pred = pred & (col <= high if high_inclusive else col < high)
+    return pred
+
+
+def filter_ranges(df: DataFrame, specs: Mapping[str, RangeSpec]) -> DataFrame:
+    """Conjunctive range filter over several columns (P4,
+    nyc_taxi_final.py:376-384: `0.5<trip_distance<60 AND surcharge>=0 AND
+    0<=extra<10 AND 0<=tolls<50`)."""
+    pred = F.lit(True)
+    for name, (low, high, li, hi) in specs.items():
+        pred = pred & range_predicate(F.col(name), low, high, li, hi)
+    return df.filter(pred)
+
+
+def drop_nulls(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Null-row drop (P6, nyc_taxi_final.py:373)."""
+    return df.na.drop(subset=list(subset) if subset else None)
+
+
+def fill_nulls(df: DataFrame, values: Mapping[str, object]) -> DataFrame:
+    """Null fill, e.g. post-left-join (P7, nyc_taxi_final.py:563)."""
+    return df.na.fill(dict(values))

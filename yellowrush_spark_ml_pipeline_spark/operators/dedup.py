@@ -1,0 +1,244 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.13).
+
+Five tiers, cheapest-first — the order you'd run them at 100 TB:
+
+1. exact        — hash groupBy on normalized text (one shuffle).
+2. fingerprint  — xxhash64 of normalized text; same cost, joinable artifact.
+3. minhash LSH  — shingle → K minhashes → B bands → bucket self-join.
+4. simhash      — 64-bit weighted token hash; near-dups differ in few bits.
+5. ngram-jaccard / embedding-cosine — exact verify inside candidate buckets.
+
+Scale design notes (apply to all):
+* Candidate generation NEVER compares all pairs — banding/bucketing bounds
+  the self-join to rows sharing a bucket key; AQE skew-join splits hot
+  buckets (e.g. boilerplate-heavy shingles).
+* All hashing is JVM-side (`xxhash64`) inside codegen; no Python.
+* Outputs are (doc_id, group/pair) relations, not materialized texts —
+  at 100 TB you join the verdicts back, you don't carry the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import rolling_fingerprint, shingles, tokens
+
+
+def _norm_text(text: Column) -> Column:
+    return F.lower(F.regexp_replace(text, r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id representative per normalized text.
+
+    groupBy on the text hash (not the text) keeps shuffle keys at 16 bytes
+    instead of document-sized."""
+    key = F.md5(_norm_text(F.col(text_col))).alias("_k")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_k")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Document-fingerprint dedup: 64-bit rolling fingerprint per doc,
+    min-id representative per fingerprint."""
+    return (
+        df.select(
+            rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """K minhash values per doc: min over shingles of xxhash64(shingle, seed_i).
+
+    Pure higher-order-function pipeline — shingling, hashing and the min
+    fold all run inside codegen; the only wide op downstream is the band
+    self-join."""
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), sh.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select(F.col(id_col), sig.alias("signature"))
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_id, band_hash) to emit
+    candidate pairs (a < b). Only rows sharing a band bucket are compared —
+    the candidate set is linear-ish in data size, never O(n²)."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    exact n-gram Jaccard verify on the candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    return ngram_jaccard_verify(
+        cands, df, text_col, id_col, shingle_n, jaccard_threshold
+    )
+
+
+def ngram_jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard on candidate pairs (id_a, id_b).
+
+    Set ops run on arrays JVM-side; the docs table is joined twice by id —
+    at scale these are shuffle-hash joins on the id, and `pairs` is tiny
+    relative to the corpus because LSH already pruned."""
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    d = docs.select(F.col(id_col), sh.alias("_sh"))
+    out = (
+        pairs.join(d.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
+        .join(d.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document.
+
+    Each token hashes to 64 bits; each bit votes +1/-1 weighted by token
+    frequency; the sign vector is the fingerprint. Near-identical docs
+    differ in a handful of bits (compare with `bit_count(a ^ b)`).
+
+    Implemented as explode → per-(doc,bit) conditional sums → re-assemble,
+    i.e. one shuffle on doc_id — no Python, no O(64) joins."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    hashed = tok.select(id_col, F.xxhash64("_t").alias("_h"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    votes = hashed.groupBy(id_col).agg(*bit_votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_candidates(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup candidates from simhash via block-permuted exact match: split
+    the 64-bit hash into `blocks` chunks; any pair within `max_hamming < blocks`
+    bits shares at least one identical chunk (pigeonhole), so a self-join per
+    chunk finds all of them without O(n²)."""
+    width = 64 // blocks
+    chunked = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

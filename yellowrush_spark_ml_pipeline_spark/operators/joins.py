@@ -1,0 +1,79 @@
+"""Join operators (SURVEY.md §2.3 J1-J2, §2.11 D5/D9).
+
+Scale notes baked into each operator:
+
+* ``group_enrich`` (agg-then-self-join) reuses ONE shuffle: the aggregate
+  and the probe side hash-partition on the same keys, so Catalyst reuses the
+  exchange; with AQE the small aggregated side is usually broadcast.
+  The window-function variant avoids materializing the aggregate at all.
+* ``broadcast_dim_join`` pins BroadcastHashJoin for genuinely small dims
+  (weather ≈ 180 rows in the reference) — no shuffle of the 100 TB fact side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_enrich_join(
+    df: DataFrame,
+    keys: Sequence[str],
+    agg_exprs: Mapping[str, Column],
+    how: str = "left",
+) -> DataFrame:
+    """Aggregate-then-self-join "group enrichment" (J1,
+    nyc_taxi_final.py:471-486): attach group-level aggregates to every row.
+
+    Join form matches reference semantics exactly (left join keeps rows with
+    null keys unmatched)."""
+    agg_df = df.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in agg_exprs.items()]
+    )
+    return df.join(agg_df, list(keys), how)
+
+
+def group_enrich_window(
+    df: DataFrame, keys: Sequence[str], exprs: Mapping[str, Column]
+) -> DataFrame:
+    """Window-function variant of J1: ``expr OVER (PARTITION BY keys)``.
+
+    One shuffle, no join, no second scan — the plan we'd prefer at 100 TB
+    when the input isn't already partitioned by the keys."""
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    out = df
+    for name, expr in exprs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out
+
+
+def broadcast_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    fill: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """Broadcast left equi-join with a small dimension (J2/D9,
+    nyc_taxi_final.py:558-564), with post-join null fill for unmatched rows
+    (`na.fill({"tmin":0,"prcp":0})` in the reference)."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    out = fact.join(F.broadcast(dim), on_cols, how)
+    if fill:
+        out = out.na.fill(dict(fill))
+    return out
+
+
+def star_join(
+    fact: DataFrame, dims: Sequence[tuple[DataFrame, str | Sequence[str]]], how: str = "inner"
+) -> DataFrame:
+    """Chain of broadcast dimension joins — the classic star-schema plan:
+    the fact table streams through N BroadcastHashJoins with zero fact-side
+    shuffles."""
+    out = fact
+    for dim, on in dims:
+        on_cols = [on] if isinstance(on, str) else list(on)
+        out = out.join(F.broadcast(dim), on_cols, how)
+    return out

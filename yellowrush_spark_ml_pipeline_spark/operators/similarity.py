@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (SURVEY.md §2.13).
+
+Two tiers:
+
+* ``brute_force_topk`` — exact cosine top-k. The query side is broadcast
+  (queries are few); candidates stream through a BroadcastNestedLoopJoin,
+  then a per-query window takes top-k. Exact, and the right baseline —
+  but O(|queries| × |corpus|) compute, so at 100 TB it's for small query
+  sets or oracle checking.
+* ``lsh_topk`` — sign-random-projection (SRP) bucketed approximate top-k:
+  each vector gets a b-bit sign hash from deterministic pseudo-random
+  hyperplanes; only same-bucket (or neighboring-probe) pairs are scored.
+  Compute drops by ~2^b; recall is tunable with bucket bits / probes.
+
+Both use JVM-side higher-order-function math from ``functions.vector`` —
+no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double_array, cosine_similarity, dot, normalize
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, window per query.
+
+    Output: (query_id, vec_id, rank, cosine) with a total order —
+    ties broken by vec_id so results are deterministic."""
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
+def _srp_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    splitmix-style counter) — reproducible across runs/executors with no
+    RNG state shipped around."""
+
+    def splitmix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & (1 << 64) - 1
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & (1 << 64) - 1
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & (1 << 64) - 1
+        return x ^ (x >> 31)
+
+    planes = []
+    ctr = seed
+    for _ in range(bits):
+        v = []
+        for _ in range(dim):
+            ctr = splitmix(ctr)
+            u1 = ((ctr >> 11) + 1) / (1 << 53)
+            ctr = splitmix(ctr)
+            u2 = (ctr >> 11) / (1 << 53)
+            v.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        planes.append(v)
+    return planes
+
+
+def srp_bucket(vec_col, planes: list[list[float]]):
+    """b-bit sign-random-projection bucket id as a long column."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot(vec_col, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    bucket_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: SRP-bucketed candidate generation, exact
+    scoring inside buckets. Equi-join on bucket id → shuffle-partitionable,
+    AQE handles skewed buckets. Recall < 1 by construction; raise
+    ``bucket_bits`` ↓candidates / add multiprobe ↑recall."""
+    planes = _srp_hyperplanes(dim, bucket_bits, seed)
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv")
+    ).withColumn("_bucket", srp_bucket(F.col("_cv"), planes))
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    ).withColumn("_bucket", srp_bucket(F.col("_qv"), planes))
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bucket_bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, SRP-bucketed
+    self-join (same-bucket pairs only). Normalized vectors → cosine is a
+    plain dot product."""
+    planes = _srp_hyperplanes(dim, bucket_bits, seed)
+    v = df.select(
+        F.col(id_col), normalize(as_double_array(F.col(vec_col))).alias("_v")
+    ).withColumn("_bucket", srp_bucket(F.col("_v"), planes))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

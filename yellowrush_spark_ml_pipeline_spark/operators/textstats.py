@@ -1,0 +1,112 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.13):
+language ID, quality scoring, token counting, fingerprinting.
+
+Everything is a column expression over `functions.text` primitives —
+regexp/split/hash built-ins, zero Python. At 100 TB these run as a single
+narrow map stage fused into the scan (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    bpe_ish_token_count,
+    rolling_fingerprint,
+    tokens,
+    whitespace_token_count,
+)
+
+# Tiny per-language stopword marker sets (public common words). A real
+# deployment swaps in fastText/CLD3 via a pandas UDF; the heuristic keeps
+# the plumbing (schema, scoring shape) identical and dependency-free.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def _marker_hits(tok: Column, markers: tuple[str, ...]) -> Column:
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tok, lambda t: F.array_contains(marker_arr, t)))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """N-gram/stopword-heuristic language ID: score = marker hits per
+    language, argmax wins (ties → lexicographic, deterministic).
+
+    For zh (no whitespace tokens) we count marker *substring* occurrences.
+    """
+    tok = tokens(F.col(text_col))
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        if lang == "zh":
+            hits = sum(
+                (
+                    F.length(F.col(text_col))
+                    - F.length(F.regexp_replace(F.col(text_col), m, ""))
+                )
+                for m in markers
+            )
+        else:
+            hits = _marker_hits(tok, markers)
+        scores.append(F.struct(hits.cast("long").alias("score"), F.lit(lang).alias("lang")))
+    # argmax: array_max over (score, lang) structs — struct comparison is
+    # lexicographic so equal scores resolve to the LAST lang; invert lang
+    # ordering trickery is avoided by sorting markers and accepting the
+    # deterministic tie-break.
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(out_col, best.getField("lang"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features + composite score:
+    length, token stats, punctuation/digit/uppercase ratios, stopword ratio,
+    mean word length. Mirrors the C4/Gopher-style rule families."""
+    text = F.col(text_col)
+    tok = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(tok)
+    en_markers = F.array(*[F.lit(m) for m in _LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(tok, lambda t: F.array_contains(en_markers, t)))
+    punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    mean_word_len = F.when(
+        n_tokens > 0,
+        F.aggregate(tok, F.lit(0), lambda a, t: a + F.length(t)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    out = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("digit_ratio", F.round(digits / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn(
+            "stopword_ratio",
+            F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6),
+        )
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+    )
+    composite = (
+        F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.01, 0.25).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), 0.25).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(composite, 2))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return df.withColumn(
+        "ws_tokens", whitespace_token_count(F.col(text_col))
+    ).withColumn("bpe_ish_tokens", bpe_ish_token_count(F.col(text_col)))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit rolling-hash document fingerprint column."""
+    return df.withColumn("fingerprint", rolling_fingerprint(F.col(text_col)))

@@ -1,0 +1,3 @@
+from .explain import explain_str, plan_report
+
+__all__ = ["explain_str", "plan_report"]

@@ -1,0 +1,30 @@
+"""Physical-plan inspection helpers — the engine's "did Catalyst do what I
+meant" feedback loop.
+
+Used by tests to assert scale-critical plan properties: filters pushed to
+the parquet scan, broadcast joins where expected, whole-stage codegen over
+the hot expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def plan_report(df: DataFrame) -> dict[str, bool | int]:
+    """Quick structural summary of the physical plan."""
+    plan = explain_str(df)
+    return {
+        "pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
+        "broadcast_join": "BroadcastHashJoin" in plan,
+        "sort_merge_join": "SortMergeJoin" in plan,
+        "whole_stage_codegen": "WholeStageCodegen" in plan,
+        "exchanges": plan.count("Exchange"),
+        "python_udf": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
+    }

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-first defaults.
+
+The reference (``/root/reference/nyc_taxi_final.py:703-711``) tunes a tiny
+cluster by hand (``shuffle.partitions=4``, Kryo, 6g driver). This engine
+instead relies on AQE to right-size shuffles at runtime, which is the only
+strategy that survives a 1000-executor / 100 TB deployment:
+
+* ``spark.sql.adaptive.enabled`` — runtime re-planning (partition coalescing,
+  skew-join splitting, broadcast demotion/promotion) from observed stats.
+* ``spark.sql.adaptive.coalescePartitions.enabled`` — post-shuffle partitions
+  sized by bytes, not a static count, so the same code runs at sf0.001 and
+  100 TB.
+* ``spark.sql.adaptive.skewJoin.enabled`` — hot keys (e.g. a celebrity user
+  in ``events``) get split instead of stalling one task.
+* UTC session timezone — deterministic date/time semantics regardless of host.
+* Arrow execution — any unavoidable Python boundary moves columnar batches,
+  not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "yellowrush-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-safe defaults.
+
+    On a real cluster ``master`` comes from the environment; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # 128 MiB scan splits: good default for large parquet scans; AQE
+        # coalesces small ones.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,60 @@
+"""Schema'd readers (SURVEY.md §2.1 S2-S4).
+
+Explicit schemas everywhere: skips the inference scan and acts as projection
+pushdown at the parquet reader (the reference's deliberate choice,
+``nyc_taxi_final.py:77``, ``:187``, ``:318``). Glob paths are supported
+unchanged — a multi-file read is an implicit union handled by the source
+(``nyc_taxi_final.py:318``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..schemas import TESTDATA_SCHEMAS
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = False,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with explicit schema (S2, nyc_taxi_final.py:187)."""
+    return spark.read.schema(schema).options(header=str(header).lower(), **options).csv(path)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Parquet scan, optional explicit schema for column pruning (S3/S4).
+
+    Passing a subset schema prunes columns at the scan, exactly like the
+    reference's 8-of-19-column taxi read (nyc_taxi_final.py:306-318).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic test table with its registered schema.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS): Spark has no nanosecond
+    timestamp type, so it is read as raw nanos and truncated to a µs
+    timestamp (same truncation DuckDB applies)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet", TESTDATA_SCHEMAS.get(name))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,37 @@
+"""Sinks (SURVEY.md §2.1 S5-S6).
+
+The partitioned writer repartitions by the partition column first, exactly
+like the reference (``nyc_taxi_final.py:640-641``): without it every task
+writes a file into every hive partition — at 100 TB that is a
+small-files explosion (tasks × partitions files). With it, each output
+partition is written by one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Plain parquet sink, overwrite by default (S5, nyc_taxi_final.py:231)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | str,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned sink (S6, nyc_taxi_final.py:640-641).
+
+    Repartition-by-column before partitionBy keeps file counts sane and the
+    resulting layout gives readers partition pruning for free.
+    """
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    (
+        df.repartition(*cols)
+        .write.mode(mode)
+        .partitionBy(*cols)
+        .parquet(path)
+    )

@@ -1,0 +1,155 @@
+"""Time-window operators over event streams (SURVEY.md §2.12 extension).
+
+The reference has no streaming; these give the engine the standard
+event-time surface, written so the SAME transformation works in batch
+(DataFrame in) and in Structured Streaming (readStream in) — windowed
+aggregation is identical code, and the driver oracle checks the batch path
+against SQL.
+
+Scale notes: event-time windows shuffle on (window, keys); watermarks bound
+state so a 100 TB/day stream doesn't accumulate unbounded window state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import decimal_sum
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: Sequence[str] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window: count + exact sum per (window, keys).
+
+    Works unchanged on a streaming DataFrame (add `with_watermark` first).
+    """
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(decimal_sum(F.col(value_col)), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: Sequence[str] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding event-time window (each event lands in duration/slide
+    windows)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(decimal_sum(F.col(value_col)), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: a session breaks when the gap to the previous
+    event of the same user exceeds `gap_minutes`. Session id = cumulative
+    count of breaks per user (lag + running sum — two window passes over
+    ONE shuffle on user_id).
+
+    Streaming equivalent: `F.session_window(ts, gap)` groupBy — same
+    semantics, state-store backed; see `streaming_session_agg`."""
+    w_order = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    gap_sec = gap_minutes * 60
+    prev_ts = F.lag(F.col(ts_col)).over(w_order)
+    is_break = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_sec),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_brk", is_break).withColumn(
+        "session_id",
+        F.sum("_brk").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_brk")
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session-window aggregate via Spark's native session_window — valid
+    for batch AND streaming (state-store sessions with watermark)."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(decimal_sum(F.col(value_col)), 4).alias("value_sum"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+def streaming_window_agg(
+    spark,
+    source_path: str,
+    schema,
+    ts_col: str = "ts",
+    duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+):
+    """True Structured Streaming variant: file-source readStream →
+    watermark → tumbling window agg. Returns the streaming DataFrame;
+    caller attaches a sink (`writeStream`). Late rows beyond the watermark
+    are dropped and state is GC'd — bounded memory at any scale."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_path)
+        .withWatermark(ts_col, watermark)
+    )
+    return (
+        stream.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "event_count", "value_sum")
+    )
