@@ -67,16 +67,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the reference's grouped-aggregate
     spine (A4) over lineitem."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Decimal-exact per-row arithmetic: every money column in the fixtures
+    # carries <=2 decimals, so these casts are lossless and both engines sum
+    # identical rationals (casting the *double product* instead rounds the
+    # last ulp differently per engine and drifts over 60k rows).
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_f = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_f = (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             decimal_sum(F.col("l_quantity")).alias("sum_qty"),
             decimal_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price.cast(DEC)).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
+            F.sum((ep * disc_f).cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.sum((ep * disc_f * tax_f).cast("decimal(24,6)")).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -589,8 +594,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    {dec_sum('l_quantity')} AS sum_qty,
                    {dec_sum('l_extendedprice')} AS sum_base_price,
-                   {dec_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-                   {dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                            AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                                 * CAST(1 + l_tax AS DECIMAL(4,2))
+                            AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -603,17 +613,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "null_counts": """
-            SELECT SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id,
-                   SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id,
-                   SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type,
-                   SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value,
-                   SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props
+            SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id,
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id,
+                   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type,
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value,
+                   CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props
             FROM events
         """,
         "invalid_counts": """
-            SELECT SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS neg_quantity,
-                   SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS neg_price,
-                   SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount
+            SELECT CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_quantity,
+                   CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+                   CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount
             FROM lineitem
         """,
         "range_filter": """
@@ -720,12 +730,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "validate_lineitem": """
             SELECT COUNT(*) AS row_count,
-                   SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_l_orderkey,
-                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_l_quantity,
-                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nulls_l_extendedprice,
-                   SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nulls_l_shipdate,
-                   SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS negative_l_quantity,
-                   SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS negative_l_extendedprice,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_orderkey,
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_quantity,
+                   CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_extendedprice,
+                   CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_shipdate,
+                   CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_l_quantity,
+                   CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_l_extendedprice,
                    MIN(CAST(l_shipdate AS DATE)) AS min_date,
                    MAX(CAST(l_shipdate AS DATE)) AS max_date
             FROM lineitem
@@ -761,8 +771,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             SELECT event_id, user_id,
-                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM (
                 SELECT event_id, user_id, ts,
                        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

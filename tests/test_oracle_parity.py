@@ -2,9 +2,10 @@
 DuckDB equivalent — a strict local mirror of the driver's correctness gate
 (row count + column names + order-insensitive value comparison).
 
-Comparison is STRICTER than the driver's hash (exact values, tiny float
-tolerance only for genuinely float-typed cells), so passing here should
-imply passing the driver.
+The driver converts DuckDB results through pandas and hashes EXACT values,
+so this test (a) reads the oracle via ``fetchdf()`` to surface pandas dtype
+coercions (e.g. HUGEINT→float64, the round-1 failure mode), and (b) compares
+floats bit-exactly — any last-ulp drift between engines fails here first.
 """
 
 from __future__ import annotations
@@ -34,17 +35,26 @@ def duck():
 
 
 def _norm_cell(v):
+    if v is None:
+        return None
     if isinstance(v, bool):
         return int(v)
+    if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+        v = v.to_pydatetime()
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ")
+        v = v.replace(tzinfo=None)
+        if v.time() == dt.time(0, 0):  # pandas renders DATE as midnight ts
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
     if isinstance(v, dt.date):
         return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalar — keep int-ness vs float-ness
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
-    if hasattr(v, "__float__") and not isinstance(v, int):  # Decimal
+    if hasattr(v, "__float__") and not isinstance(v, (int, float)):  # Decimal
         return float(v)
     return v
 
@@ -58,9 +68,9 @@ def _normalize(rows, cols):
 
 
 def _approx_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9):
-            return True
+    # Exact, type-class-sensitive equality: the driver hashes values, so an
+    # int 0 vs float 0.0 (pandas HUGEINT coercion) must FAIL here too.
+    if isinstance(a, float) != isinstance(b, float):
         return False
     return a == b
 
@@ -76,9 +86,9 @@ def test_oracle_parity(name, spark, duck):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_df = duck.execute(ORACLES[name]).fetchdf()
+    duck_cols = list(duck_df.columns)
+    duck_rows = [tuple(r) for r in duck_df.itertuples(index=False, name=None)]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"

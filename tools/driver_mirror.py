@@ -1,0 +1,115 @@
+"""Local mirror of the grading driver's correctness gate.
+
+Loads ``__spark_entry__`` exactly like the driver does, runs every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at sf0.01,
+converts BOTH results through pandas, sorts columns by name, and hashes the
+values — reporting per-query rows/schema/hash matches as the driver records
+them in CORRECTNESS_r{N}.json.
+
+Usage:
+    python tools/driver_mirror.py [query ...]      # default: all oracle'd
+    python tools/driver_mirror.py --shuffle 3 q1   # perturb partitioning
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v):
+    import datetime as dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    if isinstance(v, dt.datetime):
+        v = v.replace(tzinfo=None)
+        if v.time() == dt.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if hasattr(v, "item"):
+        v = v.item()
+    if hasattr(v, "__float__") and not isinstance(v, (int, float)):
+        return float(v)
+    return v
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    h = hashlib.sha256()
+    # Order-insensitive: hash the sorted multiset of normalized row reprs.
+    rows = sorted(
+        repr(tuple(_norm_cell(v) for v in r))
+        for r in df.itertuples(index=False, name=None)
+    )
+    for r in rows:
+        h.update(r.encode())
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--shuffle", type=int, default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from yellowrush_spark_ml_pipeline_spark.session import get_spark
+
+    extra = {}
+    if args.shuffle:
+        extra["spark.sql.shuffle.partitions"] = str(args.shuffle)
+    spark = get_spark("driver-mirror", extra_conf=extra)
+    if args.shuffle:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or [n for n in queries if n in oracles]
+    failed = []
+    for name in names:
+        sdf = queries[name](spark, SF_DIR)
+        spark_pd = sdf.toPandas()
+        if name not in oracles:
+            print(f"{name}: no_oracle spark_rows={len(spark_pd)}")
+            continue
+        duck_pd = con.execute(oracles[name]).fetchdf()
+        rows = len(spark_pd) == len(duck_pd)
+        schema = sorted(spark_pd.columns) == sorted(duck_pd.columns)
+        # Normalize tz/date rendering the way pandas does for both engines.
+        sh, dh = value_hash(spark_pd), value_hash(duck_pd)
+        ok = rows and schema and sh == dh
+        if not ok:
+            failed.append(name)
+        print(
+            f"{name}: rows={rows} schema={schema} hash={'MATCH' if sh == dh else f'FAIL {sh}!={dh}'}"
+        )
+    print(f"\n{len(names) - len(failed)}/{len(names)} match; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
