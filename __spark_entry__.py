@@ -513,8 +513,13 @@ def q_ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001 — the SURVEY.md §7 minimum
     slice: scan → clean → date parts → grouped ratio-of-sums → join-back
-    enrichment → star dimension join → ordered projection."""
-    sf_dir = "/root/testdata/sf0.001"
+    enrichment → star dimension join → ordered projection.
+
+    Scale dir defaults to the driver's smoke SF but is overridable so the
+    same flagship plan can be pointed at any scale factor."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     clean = cleaning.filter_ranges(

@@ -1,0 +1,69 @@
+"""Benchmark harness (driver contract): times every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization through the `noop` sink (all
+columns computed, nothing collected to the driver), which is the honest
+cost of the plan — `count()` would let Catalyst prune the payload columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from yellowrush_spark_ml_pipeline_spark.session import get_spark
+
+    spark = get_spark("yellowrush-bench")
+    # Warm the JVM/codegen paths so the first measured query isn't charged
+    # session startup.
+    materialize(spark.range(1000).selectExpr("sum(id) as s"))
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            materialize(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "n_queries": len(timings),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out), flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
