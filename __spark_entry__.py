@@ -239,12 +239,15 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # Broadcast is pinned ONLY for the fixed-cardinality dims (nation=25,
+    # region=5). customer grows with scale factor → AQE decides (broadcasts
+    # while it fits, shuffle-joins at 100 TB instead of OOMing the driver).
     joined = joins.star_join(
         orders.withColumnRenamed("o_custkey", "c_custkey"),
         [
-            (customer.select("c_custkey", "c_nationkey"), "c_custkey"),
-            (nation.withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey"),
-            (region.withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey"),
+            (customer.select("c_custkey", "c_nationkey"), "c_custkey", None),
+            (nation.withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey", True),
+            (region.withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey", True),
         ],
     )
     return joined.groupBy("r_name").agg(
@@ -261,12 +264,16 @@ def q_dim_join_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_dim = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select(
         F.col("p_partkey").alias("l_partkey"), "p_retailprice"
     )
+    # part is scale-proportional → no pinned broadcast; AQE promotes the
+    # filtered dim to broadcast while it fits and degrades gracefully at
+    # scale (VERDICT r1: forced broadcast here was the scale-killer).
     out = joins.broadcast_dim_join(
         li.select("l_orderkey", "l_linenumber", "l_partkey"),
         part_dim,
         on="l_partkey",
         how="left",
         fill={"p_retailprice": 0.0},
+        broadcast=None,
     )
     return out.select("l_orderkey", "l_linenumber", "l_partkey", "p_retailprice")
 

@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the scale contract, checked mechanically.
+
+These tests pin the plan properties that decide whether a query survives a
+100 TB deployment: filters reaching the parquet scan, broadcast joins where
+(and ONLY where) a dim is bounded, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from yellowrush_spark_ml_pipeline_spark.operators import joins
+from yellowrush_spark_ml_pipeline_spark.plans.explain import explain_str, plan_report
+from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+
+def test_range_filter_pushdown(spark, sf_small):
+    rep = plan_report(entrymod.q_range_filter(spark, sf_small))
+    assert rep["pushed_filters"], "range predicates must reach the parquet scan"
+    assert rep["whole_stage_codegen"]
+    assert not rep["python_udf"]
+
+
+def test_dim_join_broadcasts_small_dim_via_aqe(spark, sf_small):
+    df = entrymod.q_dim_join_null_fill(spark, sf_small)
+    # No pinned hint: the plan must still pick BHJ at this SF (AQE or the
+    # static size estimate — part.parquet is tiny here), proving we didn't
+    # trade the fast small-scale plan for scale safety.
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    # ...and the plan must NOT contain a pinned broadcast of the dim: the
+    # logical plan carries no ResolvedHint when broadcast=None.
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+
+
+def test_star_join_pins_only_fixed_dims(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders")
+    customer = load_table(spark, sf_small, "customer")
+    nation = load_table(spark, sf_small, "nation")
+    joined = joins.star_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        [
+            (customer.select("c_custkey", "c_nationkey"), "c_custkey", None),
+            (nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name"), "c_nationkey", True),
+        ],
+    )
+    logical = joined._jdf.queryExecution().analyzed().toString()
+    # exactly one pinned broadcast hint (nation), none for customer
+    assert logical.count("UnresolvedHint broadcast") + logical.count(
+        "ResolvedHint (strategy=broadcast)"
+    ) == 1, logical
+
+
+def test_no_broadcast_flag_forces_shuffle_join(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_small, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_retailprice"
+    )
+    df = joins.broadcast_dim_join(li, part, on="l_partkey", broadcast=False)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_group_enrich_window_single_shuffle(spark, sf_small):
+    df = entrymod.q_window_enrich(spark, sf_small)
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 1, "window enrichment must shuffle at most once"
+    assert not rep["python_udf"]
+
+
+def test_pricing_summary_partial_agg(spark, sf_small):
+    plan = explain_str(entrymod.q_pricing_summary(spark, sf_small))
+    # partial (map-side) + final hash aggregation — the shuffle carries
+    # per-group partials, not rows
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "PushedFilters: [" in plan

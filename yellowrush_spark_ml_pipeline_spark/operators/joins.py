@@ -55,25 +55,52 @@ def broadcast_dim_join(
     on: Sequence[str] | str,
     how: str = "left",
     fill: Mapping[str, object] | None = None,
+    broadcast: bool | None = True,
 ) -> DataFrame:
-    """Broadcast left equi-join with a small dimension (J2/D9,
-    nyc_taxi_final.py:558-564), with post-join null fill for unmatched rows
-    (`na.fill({"tmin":0,"prcp":0})` in the reference)."""
+    """Dimension equi-join (J2/D9, nyc_taxi_final.py:558-564) with post-join
+    null fill for unmatched rows (`na.fill({"tmin":0,"prcp":0})`).
+
+    ``broadcast`` is a scale contract, not an optimization knob:
+    * ``True``  — pin BroadcastHashJoin. ONLY for dims of fixed, small
+      cardinality (the reference's weather table ≈ 180 rows; nation=25,
+      region=5). A forced broadcast of a scale-proportional dim is a
+      driver collect-and-ship OOM at 100 TB.
+    * ``None``  — no hint; AQE chooses from observed stats (right default
+      for dims that grow with the data, e.g. customer/part).
+    * ``False`` — explicitly forbid broadcast (hint the dim as NO_BROADCAST
+      via a merge-join preference) — for testing shuffle paths.
+    """
     on_cols = [on] if isinstance(on, str) else list(on)
-    out = fact.join(F.broadcast(dim), on_cols, how)
+    if broadcast is True:
+        dim = F.broadcast(dim)
+    elif broadcast is False:
+        dim = dim.hint("merge")
+    out = fact.join(dim, on_cols, how)
     if fill:
         out = out.na.fill(dict(fill))
     return out
 
 
 def star_join(
-    fact: DataFrame, dims: Sequence[tuple[DataFrame, str | Sequence[str]]], how: str = "inner"
+    fact: DataFrame,
+    dims: Sequence[tuple],
+    how: str = "inner",
 ) -> DataFrame:
-    """Chain of broadcast dimension joins — the classic star-schema plan:
-    the fact table streams through N BroadcastHashJoins with zero fact-side
-    shuffles."""
+    """Chain of dimension joins — the star-schema plan. Each dim is
+    ``(df, on)`` or ``(df, on, broadcast)`` where ``broadcast`` follows
+    `broadcast_dim_join`'s contract (default ``None`` = AQE decides).
+
+    With fixed-size dims pinned broadcast and AQE promoting the rest when
+    they fit, the fact side streams through BroadcastHashJoins with zero
+    fact shuffles; a genuinely large dim degrades to a shuffle join instead
+    of an executor OOM."""
     out = fact
-    for dim, on in dims:
+    for entry in dims:
+        dim, on, bcast = entry if len(entry) == 3 else (*entry, None)
         on_cols = [on] if isinstance(on, str) else list(on)
-        out = out.join(F.broadcast(dim), on_cols, how)
+        if bcast is True:
+            dim = F.broadcast(dim)
+        elif bcast is False:
+            dim = dim.hint("merge")
+        out = out.join(dim, on_cols, how)
     return out

@@ -8,6 +8,8 @@ the hot expressions.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -18,13 +20,16 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def plan_report(df: DataFrame) -> dict[str, bool | int]:
-    """Quick structural summary of the physical plan."""
+    """Quick structural summary of the physical plan (formatted mode:
+    codegen shows as ``[codegen id : N]`` / ``*`` nodes, and each operator
+    appears twice — tree line + ``(N) Op`` detail header — so shuffle
+    exchanges are counted from the detail headers only)."""
     plan = explain_str(df)
     return {
         "pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
         "broadcast_join": "BroadcastHashJoin" in plan,
         "sort_merge_join": "SortMergeJoin" in plan,
-        "whole_stage_codegen": "WholeStageCodegen" in plan,
-        "exchanges": plan.count("Exchange"),
+        "whole_stage_codegen": "WholeStageCodegen" in plan or "codegen id" in plan,
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
         "python_udf": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
     }
