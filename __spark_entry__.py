@@ -379,9 +379,21 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized text (hash-groupBy, min-id representative)."""
+    """Exact dedup on normalized text (hash-groupBy, min-id representative).
+
+    The fixtures contain zero duplicates, so the corpus is unioned with
+    planted case/whitespace variants of the first 50 docs — the dedup path
+    provably collapses them (dup_count=2 groups) instead of passing the
+    identity case vacuously (VERDICT r1)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs)
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.regexp_replace(F.col("text"), " ", "  ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return dedup.exact_dedup(docs.unionByName(planted))
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,10 +493,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via SRP-bucketed self-join
-    (rows-only)."""
+    """Embedding-cosine near-dup pairs via SRP-bucketed self-join.
+
+    Random fixtures have no cosine>=0.9 pairs (max natural cosine 0.513 at
+    sf0.01), so collinear copies (x2 scaling — exact in float, identical
+    after normalization, guaranteed same SRP bucket) of the first 10
+    vectors are planted in-query. The DuckDB oracle computes exact
+    all-pairs cosine: it matches IFF the bucketed join finds every
+    qualifying pair, making this an LSH-completeness check, not just a
+    smoke test."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_cosine_dedup(emb, threshold=0.9)
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    return similarity.embedding_cosine_dedup(emb.unionByName(planted), threshold=0.9)
 
 
 # --------------------------------------------------------------------------
@@ -800,7 +826,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
-            FROM documents
+            FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, upper(replace(text, ' ', '  '))
+                FROM documents WHERE doc_id < 50
+            )
             GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
         """,
         "token_counts": r"""
@@ -843,5 +874,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 10
+        """,
+        "embedding_dedup": """
+            WITH all_vecs AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+                FROM embeddings WHERE vec_id < 10
+            ), normed AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                          embedding::DOUBLE[]))) AS v
+                FROM all_vecs
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+            FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.9
         """,
     }
