@@ -840,6 +840,66 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS bpe_ish_tokens
             FROM documents
         """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   ROUND(punct / greatest(n_chars_c, 1), 6) AS punct_ratio,
+                   ROUND(digits / greatest(n_chars_c, 1), 6) AS digit_ratio,
+                   ROUND(stop_hits / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   ROUND(CASE WHEN len(toks) > 0
+                              THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                   / len(toks)
+                              ELSE 0.0 END, 6) AS mean_word_len,
+                   ROUND(
+                       (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(punct / greatest(n_chars_c, 1), 6) <= 0.2 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(stop_hits / greatest(len(toks), 1), 6) >= 0.01 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(CASE WHEN len(toks) > 0
+                                  THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                                  ELSE 0.0 END, 6) BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END),
+                   2) AS quality_score
+            FROM (
+                SELECT doc_id,
+                       length(text) AS n_chars_c,
+                       length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+                       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+                       list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks,
+                       len(list_filter(
+                           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> ''),
+                           t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS stop_hits
+                FROM documents
+            )
+        """,
+        "language_id": r"""
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+                     WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                     WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                     WHEN s_en >= s_de THEN 'en'
+                     ELSE 'de'
+                   END AS lang_pred
+            FROM (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t))) AS s_de,
+                       len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS s_en,
+                       len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) AS s_es,
+                       len(list_filter(toks, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) AS s_fr,
+                         (length(text) - length(regexp_replace(text, '的', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '是', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '了', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '在', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '我', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '有', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '和', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '不', '', 'g'))) AS s_zh
+                FROM (
+                    SELECT doc_id, lang, text,
+                           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks
+                    FROM documents
+                )
+            )
+        """,
         "lang_scores": r"""
             SELECT doc_id,
                    len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS score_en,
