@@ -519,21 +519,34 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M0-M8 end-to-end: labels → sample → split → RF fit → cached-eval →
-    one metrics row. Seed-pinned (seed=42 like the reference)."""
-    from yellowrush_spark_ml_pipeline_spark.ml import evaluate_binary, train_classifier
+    """M0-M8 end-to-end: labels → categorical encoding (StringIndexer+OHE,
+    the reference's always-on path at nyc_taxi_final.py:581-596) → sample →
+    split → RF fit → cached-eval → one metrics row. Seed-pinned (seed=42)."""
+    from yellowrush_spark_ml_pipeline_spark.ml import (
+        encode_categorical,
+        evaluate_binary,
+        train_classifier,
+    )
 
     orders = _t(spark, sf_dir, "orders")
     df = (
         features.add_time_features(orders, "o_orderdate")
         .withColumn("is_high_value", binary_flag(F.col("o_totalprice") > 300000.0))
-        .select("o_totalprice", "month", "day_of_week", "is_holiday", "is_high_value")
+        .select(
+            "o_totalprice",
+            "o_orderpriority",
+            "month",
+            "day_of_week",
+            "is_holiday",
+            "is_high_value",
+        )
         .withColumn("log_price", F.log1p("o_totalprice"))
         .drop("o_totalprice")
     )
+    df, ohe_cols = encode_categorical(df, "o_orderpriority")
     model, _, test_df = train_classifier(
         df,
-        ["month", "day_of_week", "is_holiday", "log_price"],
+        ["month", "day_of_week", "is_holiday", "log_price", *ohe_cols],
         "is_high_value",
         sample_fraction=0.5,
     )

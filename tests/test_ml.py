@@ -1,0 +1,87 @@
+"""ML layer tests (SURVEY.md §2.10 M1-M8): categorical encoding actually
+executed, seed-pinned metric bands, feature importances, and model
+persistence round-trip — the checks SURVEY §5 promised and round 1 lacked.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml.linalg import VectorUDT
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from yellowrush_spark_ml_pipeline_spark.functions.scalar import binary_flag
+from yellowrush_spark_ml_pipeline_spark.ml import (
+    encode_categorical,
+    evaluate_binary,
+    feature_importances,
+    train_classifier,
+)
+from yellowrush_spark_ml_pipeline_spark.ml.pipelines import load_model, save_model
+from yellowrush_spark_ml_pipeline_spark.operators import features
+from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def labeled_orders(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders")
+    df = (
+        features.add_time_features(orders, "o_orderdate")
+        .withColumn("is_high_value", binary_flag(F.col("o_totalprice") > 300000.0))
+        .select(
+            "o_orderpriority", "month", "day_of_week", "is_holiday", "is_high_value",
+            F.log1p("o_totalprice").alias("log_price"),
+        )
+    )
+    return df.cache()
+
+
+def test_encode_categorical_produces_ohe_vector(spark, labeled_orders):
+    out, cols = encode_categorical(labeled_orders, "o_orderpriority")
+    assert cols == ["o_orderpriority_ohe"]
+    field = out.schema["o_orderpriority_ohe"]
+    assert isinstance(field.dataType, VectorUDT)
+    # 5 priority levels + handleInvalid="keep" bucket, dropLast=False
+    n_cats = labeled_orders.select("o_orderpriority").distinct().count()
+    first = out.select("o_orderpriority_ohe").first()[0]
+    assert first.size in (n_cats, n_cats + 1)
+    # intermediate index column dropped like the reference (:596)
+    assert "o_orderpriority_idx" not in out.columns
+
+
+def test_classifier_metric_band(spark, sf_small):
+    """Seed-pinned quality gate: is_high_value is a threshold on a feature
+    (log_price), so the RF must be near-separable — AUC>=0.95. A metrics
+    regression (wrong label, broken encoding, leaked split) fails this."""
+    mdf = entrymod.q_ml_classifier_metrics(spark, sf_small)
+    row = mdf.first().asDict()
+    assert set(row) == {"roc_auc", "accuracy", "precision", "recall", "f1"}
+    assert 0.95 <= row["roc_auc"] <= 1.0, row
+    assert 0.9 <= row["accuracy"] <= 1.0, row
+    assert 0.9 <= row["f1"] <= 1.0, row
+
+
+def test_feature_importances_rank(spark, labeled_orders):
+    df, ohe_cols = encode_categorical(labeled_orders, "o_orderpriority")
+    feats = ["month", "day_of_week", "is_holiday", "log_price", *ohe_cols]
+    model, _, _ = train_classifier(df, feats, "is_high_value")
+    # OHE expands to multiple slots → names must come from vector metadata
+    imps = feature_importances(model, feats, df=df)
+    assert imps[0][0] == "log_price", imps
+    assert abs(sum(v for _, v in imps) - 1.0) < 1e-6
+    assert any(name.startswith("o_orderpriority_ohe") for name, _ in imps)
+
+
+def test_model_save_load_identical_predictions(spark, labeled_orders, tmp_path):
+    """S7 round-trip (nyc_taxi_final.py:956-960): persisted model must
+    reproduce the in-memory model's predictions exactly."""
+    feats = ["month", "day_of_week", "log_price"]
+    model, _, test_df = train_classifier(labeled_orders, feats, "is_high_value")
+    path = str(tmp_path / "rf_model")
+    save_model(model, path)
+    reloaded = load_model(path)
+    orig = model.transform(test_df).select("prediction").collect()
+    rt = reloaded.transform(test_df).select("prediction").collect()
+    assert orig == rt
+    metrics = evaluate_binary(reloaded, test_df, "is_high_value")
+    assert 0.9 <= metrics["roc_auc"] <= 1.0

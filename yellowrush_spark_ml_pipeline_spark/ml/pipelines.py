@@ -137,13 +137,31 @@ def evaluate_binary(
 
 
 def feature_importances(
-    model: PipelineModel, feature_cols: Sequence[str]
+    model: PipelineModel,
+    feature_cols: Sequence[str] | None = None,
+    df: DataFrame | None = None,
 ) -> list[tuple[str, float]]:
     """M8 (nyc_taxi_final.py:833-842): (name, importance) sorted desc.
-    Driver-side by design — model state is a tiny driver object."""
+    Driver-side by design — model state is a tiny driver object.
+
+    When a vector input (e.g. one-hot) expands to multiple slots, plain
+    name-zipping misaligns (the reference's own zip at :836 has this flaw);
+    pass ``df`` to resolve true per-slot names from the assembler's ML-attr
+    metadata (one row transformed, nothing collected)."""
     rf_model = model.stages[-1]
     imps = rf_model.featureImportances.toArray().tolist()
-    return sorted(zip(list(feature_cols), imps), key=lambda t: t[1], reverse=True)
+    if feature_cols is not None and len(feature_cols) == len(imps):
+        names = list(feature_cols)
+    elif df is not None:
+        meta = model.transform(df.limit(1)).schema["features"].metadata["ml_attr"]
+        slots = sorted(
+            (a for group in meta.get("attrs", {}).values() for a in group),
+            key=lambda a: a["idx"],
+        )
+        names = [a["name"] for a in slots]
+    else:
+        names = [f"f{i}" for i in range(len(imps))]
+    return sorted(zip(names, imps), key=lambda t: t[1], reverse=True)
 
 
 def save_model(model: PipelineModel, path: str) -> None:
