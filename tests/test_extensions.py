@@ -1,0 +1,181 @@
+"""Quality verification for the approximate (non-SQL-expressible) extension
+operators: LSH similarity recall vs the exact baseline, MinHash recall vs
+exact all-pairs Jaccard, SimHash bit-distance properties.
+
+The fixtures are isotropic random data — no natural near neighbors (max
+natural cosine 0.513; max natural 3-gram Jaccard << 0.4) — so ground truth
+is PLANTED: deterministic jittered copies whose true similarity is known to
+dominate the random background. Recall is then measured against the exact
+operator on the same corpus, which is the operator contract
+(operators/similarity.py, operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yellowrush_spark_ml_pipeline_spark.functions.text import shingles, tokens
+from yellowrush_spark_ml_pipeline_spark.operators import dedup, similarity
+from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+N_QUERIES = 10
+JITTERS = (0.05, 0.10, 0.15)  # per-copy multiplicative noise amplitude
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(spark, sf_small):
+    """Corpus = 500 random vectors + len(JITTERS) deterministic jittered
+    copies of each of the first N_QUERIES (cosine ≈ 0.995-0.9995 >> 0.51
+    random background)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    out = emb
+    for j, amp in enumerate(JITTERS):
+        planted = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            (F.col("vec_id") + 1000 * (j + 1)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x * (F.lit(1.0) + F.lit(amp) * F.cos(F.col("vec_id") + i))
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        out = out.unionByName(planted)
+    return out.cache()
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_lsh_recall_of_true_neighbors(spark, planted_embeddings):
+    """Recall@len(JITTERS): every query's true near neighbors are its
+    planted copies (the only pairs with cosine >= 0.9). Multiprobe SRP-LSH
+    must find >= 80% of what the exact baseline finds."""
+    k = len(JITTERS)
+    q = _queries(planted_embeddings)
+    exact = similarity.brute_force_topk(planted_embeddings, q, k=k)
+    approx = similarity.lsh_topk(
+        planted_embeddings, q, k=k, bucket_bits=8, probe_radius=1
+    )
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # sanity: the exact top-k really is the planted copies, not background
+    assert all(vid >= 1000 or vid == qid for qid, vid in exact_pairs)
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8"
+
+
+def test_lsh_scores_match_exact_for_common_pairs(spark, planted_embeddings):
+    """Approximation affects WHICH pairs are scored, never the score:
+    cosines for pairs both paths return must be identical."""
+    q = _queries(planted_embeddings)
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in similarity.brute_force_topk(planted_embeddings, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in similarity.lsh_topk(planted_embeddings, q, k=5).collect()
+    }
+    common = set(exact) & set(approx)
+    assert common, "no overlap at all — LSH is broken"
+    assert all(exact[p] == approx[p] for p in common)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, sf_small):
+    """150 random docs + suffix-mutated copies of the first 20: appending 4
+    tokens to a ~56-token doc keeps 3-gram Jaccard ≈ 0.9 — far above the
+    random background and the 0.4 threshold."""
+    docs = load_table(spark, sf_small, "documents").filter(F.col("doc_id") < 150)
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted near duplicate suffix")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(planted).cache()
+
+
+def _exact_jaccard_pairs(docs, threshold):
+    sh = F.array_distinct(shingles(tokens(F.col("text")), 3))
+    d = docs.select(F.col("doc_id"), sh.alias("_sh")).filter(F.size("_sh") > 0)
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a._sh", "b._sh"))
+            / F.size(F.array_union("a._sh", "b._sh")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+
+
+def test_minhash_recall_and_precision_vs_exact_jaccard(spark, planted_docs):
+    threshold = 0.4
+    truth = {(r.id_a, r.id_b) for r in _exact_jaccard_pairs(planted_docs, threshold).collect()}
+    assert len(truth) >= 15, f"expected >=15 planted true pairs, got {len(truth)}"
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            planted_docs, jaccard_threshold=threshold
+        ).collect()
+    }
+    # precision is 1.0 by construction (exact verify on candidates)…
+    assert found <= truth, f"false positives: {sorted(found - truth)[:5]}"
+    # …recall is the LSH banding quality under test
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
+
+
+def test_simhash_near_dups_differ_in_few_bits(spark, planted_docs):
+    sims = dedup.simhash(planted_docs)
+    a = sims.alias("a")
+    b = sims.alias("b")
+    planted_pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 100000)
+        .select(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h")
+        )
+        .collect()
+    )
+    assert len(planted_pairs) == 20
+    hammings = [r.h for r in planted_pairs]
+    assert sum(hammings) / len(hammings) <= 10, hammings
+    random_pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") < 100)
+        .select(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h")
+        )
+        .collect()
+    )
+    rand_mean = sum(r.h for r in random_pairs) / len(random_pairs)
+    # unrelated fixture docs share a vocabulary pool, so their simhashes
+    # correlate (≈18 bits, not the 32 of independent text) — the operator
+    # contract is the SEPARATION between near-dup and background distance
+    planted_mean = sum(hammings) / len(hammings)
+    assert rand_mean >= 15, rand_mean
+    assert planted_mean <= rand_mean - 5, (planted_mean, rand_mean)
+
+
+def test_simhash_candidates_find_exact_copies(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").filter(F.col("doc_id") < 100)
+    copies = docs.select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    sims = dedup.simhash(docs.unionByName(copies))
+    cands = dedup.simhash_candidates(sims, max_hamming=3)
+    found = {(r.id_a, r.id_b) for r in cands.collect()}
+    expected = {(i, i + 5000) for i in range(100)}
+    assert expected <= found, sorted(expected - found)[:5]

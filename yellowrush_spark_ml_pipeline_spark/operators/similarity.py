@@ -103,18 +103,37 @@ def lsh_topk(
     dim: int = 64,
     bucket_bits: int = 8,
     seed: int = 42,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: SRP-bucketed candidate generation, exact
     scoring inside buckets. Equi-join on bucket id → shuffle-partitionable,
-    AQE handles skewed buckets. Recall < 1 by construction; raise
-    ``bucket_bits`` ↓candidates / add multiprobe ↑recall."""
+    AQE handles skewed buckets.
+
+    Multiprobe: each query also probes every bucket within Hamming distance
+    ``probe_radius`` of its own (radius 1 → ``bits+1`` probes). The probe
+    fan-out multiplies only the QUERY side — tiny and broadcast — so
+    corpus-side cost is unchanged while recall rises steeply (a neighbor at
+    cosine 0.95 mismatches >=2 of 8 sign bits only ~6% of the time).
+    ``probe_radius=0`` restores single-bucket probing."""
     planes = _srp_hyperplanes(dim, bucket_bits, seed)
     c = corpus.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv")
     ).withColumn("_bucket", srp_bucket(F.col("_cv"), planes))
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
-    ).withColumn("_bucket", srp_bucket(F.col("_qv"), planes))
+    ).withColumn("_bucket0", srp_bucket(F.col("_qv"), planes))
+    probes = [F.col("_bucket0")]
+    if probe_radius >= 1:
+        probes += [
+            F.col("_bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(bucket_bits)
+        ]
+    if probe_radius >= 2:
+        probes += [
+            F.col("_bucket0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(bucket_bits)
+            for j in range(i + 1, bucket_bits)
+        ]
+    q = q.withColumn("_bucket", F.explode(F.array(*probes))).drop("_bucket0")
     scored = c.join(F.broadcast(q), "_bucket").select(
         query_id_col,
         id_col,
