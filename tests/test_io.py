@@ -1,0 +1,91 @@
+"""Source/sink round-trip tests (SURVEY.md §2.1 S2, S5, S6): data written
+must read back identically, hive-partitioned layouts must actually prune,
+and the CSV path must honor explicit schemas — none of which round 1
+exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from yellowrush_spark_ml_pipeline_spark.plans.explain import explain_str
+from yellowrush_spark_ml_pipeline_spark.sources import load_table
+from yellowrush_spark_ml_pipeline_spark.sources.readers import read_csv, read_parquet
+from yellowrush_spark_ml_pipeline_spark.sources.writers import (
+    write_parquet,
+    write_partitioned_parquet,
+)
+
+
+def _as_sorted_rows(df, key):
+    return [tuple(r) for r in df.orderBy(*key).collect()]
+
+
+def test_parquet_roundtrip(spark, sf_small, tmp_path):
+    orders = load_table(spark, sf_small, "orders")
+    path = str(tmp_path / "orders_rt")
+    write_parquet(orders, path)
+    back = read_parquet(spark, path)
+    assert back.schema == orders.schema
+    key = ["o_orderkey"]
+    assert _as_sorted_rows(back, key) == _as_sorted_rows(orders, key)
+
+
+def test_partitioned_roundtrip_and_pruning(spark, sf_small, tmp_path):
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned_parquet(orders, path, "order_year")
+
+    back = read_parquet(spark, path)
+    assert sorted(back.columns) == sorted(orders.columns)
+    key = ["o_orderkey"]
+    got = [
+        tuple(r)
+        for r in back.select(*orders.columns).orderBy(*key).collect()
+    ]
+    want = _as_sorted_rows(orders, key)
+    assert got == want
+
+    # one hive directory per year, single file per partition (the
+    # repartition-before-partitionBy contract: no small-files explosion)
+    import pathlib
+
+    part_dirs = [p for p in pathlib.Path(path).iterdir() if p.name.startswith("order_year=")]
+    years = orders.select("order_year").distinct().count()
+    assert len(part_dirs) == years
+    for p in part_dirs:
+        assert len(list(p.glob("*.parquet"))) == 1, p
+
+    # partition pruning: a filter on the partition column must cut the scan
+    pruned = back.filter(F.col("order_year") == 1995)
+    plan = explain_str(pruned)
+    assert "PartitionFilters: [" in plan and "order_year" in plan.split("PartitionFilters:")[1][:200], plan
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
+    """S2 (nyc_taxi_final.py:187): schema'd CSV read — no inference scan,
+    types from the declared StructType."""
+    schema = StructType(
+        [
+            StructField("station", StringType()),
+            StructField("tmin", DoubleType()),
+            StructField("prcp", DoubleType()),
+            StructField("snow", IntegerType()),
+        ]
+    )
+    src = tmp_path / "weather.csv"
+    src.write_text("GHCND:USW1,12.5,0.3,0\nGHCND:USW2,-3.25,1.75,4\nGHCND:USW3,7.0,0.0,1\n")
+    df = read_csv(spark, str(src), schema)
+    assert df.schema == schema
+    rows = df.orderBy("station").collect()
+    assert rows[0].tmin == 12.5 and rows[1].snow == 4
+    assert df.count() == 3
