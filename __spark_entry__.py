@@ -513,6 +513,19 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_cosine_dedup(emb.unionByName(planted), threshold=0.9)
 
 
+def q_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full taxi preprocessing flow composed as ONE lazy
+    plan (nyc_taxi_final.py:259-650): clean → time features → period →
+    rate → 4-key historical average → expected value → labels → dim join.
+    Differentially checked end-to-end against a single DuckDB CTE chain —
+    the strongest integration check in the suite (encode=False keeps it
+    SQL-expressible; the vector-producing variant is exercised in
+    tests/test_flows.py)."""
+    from yellowrush_spark_ml_pipeline_spark.flows import preprocess_lineitem
+
+    return preprocess_lineitem(spark, sf_dir, encode=False)
+
+
 # --------------------------------------------------------------------------
 # ML surface (rows-only: vectors/models aren't SQL-expressible)
 # --------------------------------------------------------------------------
@@ -634,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
+        "preprocess_pipeline": q_preprocess_pipeline,
         "ml_classifier_metrics": q_ml_classifier_metrics,
     }
 
@@ -947,6 +961,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 10
+        """,
+        "preprocess_pipeline": """
+            WITH cleaned AS (
+                SELECT * FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+                  AND l_suppkey IS NOT NULL AND l_linenumber IS NOT NULL
+                  AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+                  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+                  AND l_quantity > 0.0 AND l_quantity <= 60.0
+                  AND l_extendedprice > 0.0
+                  AND l_discount >= 0.0 AND l_discount <= 1.0
+                  AND l_tax >= 0.0
+            ), feat AS (
+                SELECT *,
+                       CAST(year(l_shipdate) AS INT) AS ship_year,
+                       CAST(month(l_shipdate) AS INT) AS ship_month,
+                       CAST(dayofweek(l_shipdate) + 1 AS INT) AS ship_day_of_week,
+                       CASE WHEN dayofweek(l_shipdate) + 1 IN (1, 7) THEN 1 ELSE 0 END AS ship_is_holiday,
+                       CASE WHEN hour(l_shipdate) BETWEEN 6 AND 11 THEN 'morning'
+                            WHEN hour(l_shipdate) BETWEEN 12 AND 16 THEN 'afternoon'
+                            WHEN hour(l_shipdate) BETWEEN 17 AND 23 THEN 'evening'
+                            ELSE 'night' END AS ship_period,
+                       l_extendedprice / (l_quantity / 60.0 + 1e-6) AS price_rate
+                FROM cleaned
+            ), grp AS (
+                SELECT l_returnflag, l_linestatus, ship_year, ship_month,
+                       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                             / (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) + 1e-6)
+                             * 60.0, 2) AS hist_price_rate
+                FROM feat GROUP BY 1, 2, 3, 4
+            ), enriched AS (
+                SELECT f.*, g.hist_price_rate,
+                       ROUND(f.l_extendedprice / (g.hist_price_rate + 1e-6) * 60.0, 2)
+                           AS expected_quantity
+                FROM feat f
+                JOIN grp g USING (l_returnflag, l_linestatus, ship_year, ship_month)
+            )
+            SELECT e.l_orderkey, e.l_linenumber, e.l_partkey, e.l_quantity,
+                   e.l_extendedprice, e.l_discount, e.ship_year, e.ship_month,
+                   e.ship_day_of_week, e.ship_is_holiday, e.ship_period,
+                   e.price_rate, e.hist_price_rate, e.expected_quantity,
+                   CASE WHEN e.l_quantity > e.expected_quantity * 1.0 THEN 1 ELSE 0 END
+                       AS is_over_expected,
+                   CASE WHEN e.l_discount > 0.05 THEN 1 ELSE 0 END AS is_discounted,
+                   COALESCE(p.p_retailprice, 0.0) AS p_retailprice
+            FROM enriched e
+            LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25) p
+              ON e.l_partkey = p.p_partkey
         """,
         "embedding_dedup": """
             WITH all_vecs AS (

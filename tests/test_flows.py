@@ -1,0 +1,75 @@
+"""End-to-end flow tests (SURVEY.md §3): the composed preprocess pipelines
+run scan→clean→derive→join→encode→sink as one plan and land correct,
+readable, pruned output.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.ml.linalg import VectorUDT
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from yellowrush_spark_ml_pipeline_spark.flows import (
+    preprocess_dim_csv,
+    preprocess_lineitem,
+    validate_preprocessed,
+)
+from yellowrush_spark_ml_pipeline_spark.sources.readers import read_parquet
+
+
+def test_preprocess_lineitem_end_to_end(spark, sf_small, tmp_path):
+    out_path = str(tmp_path / "preprocessed")
+    df = preprocess_lineitem(spark, sf_small, output_path=out_path, encode=True)
+
+    # encoded variant carries the OHE vector (M1/M2 executed in the flow)
+    assert isinstance(df.schema["returnflag_cat_ohe"].dataType, VectorUDT)
+
+    back = read_parquet(spark, out_path)
+    assert back.count() == df.count() > 0
+    # hive layout by ship_year
+    years = [p.name for p in pathlib.Path(out_path).iterdir() if p.name.startswith("ship_year=")]
+    assert len(years) == df.select("ship_year").distinct().count()
+
+    # labels are strict binary
+    bad = back.filter(~F.col("is_over_expected").isin(0, 1) | ~F.col("is_discounted").isin(0, 1))
+    assert bad.count() == 0
+
+
+def test_validate_preprocessed_gate(spark, sf_small):
+    df = preprocess_lineitem(spark, sf_small, encode=False)
+    v = validate_preprocessed(df)
+    assert v["row_count"] > 0
+    assert v["nulls_l_orderkey"] == 0
+    assert v["nulls_expected_quantity"] == 0
+    assert v["negative_l_quantity"] == 0
+    assert v["negative_expected_quantity"] == 0
+
+
+def test_preprocess_dim_csv_flow(spark, tmp_path):
+    schema = StructType(
+        [
+            StructField("station", StringType()),
+            StructField("tmin", DoubleType()),
+            StructField("prcp", DoubleType()),
+        ]
+    )
+    src = tmp_path / "dim.csv"
+    src.write_text(
+        "A,12.3456,0.111\nB,-45.0,2.5\nC,7.89,0.0\nD,99.9,-1.0\n"
+    )
+    out = str(tmp_path / "dim_parquet")
+    df = preprocess_dim_csv(
+        spark,
+        str(src),
+        schema,
+        round_cols={"tmin": 2},
+        ranges={"prcp": (0.0, None, True, False)},  # drops D (negative prcp)
+        output_path=out,
+    )
+    rows = {r.station: r for r in df.collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert rows["A"].tmin == 12.35
+    back = read_parquet(spark, out)
+    assert back.count() == 3

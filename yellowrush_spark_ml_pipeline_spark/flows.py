@@ -1,0 +1,164 @@
+"""End-to-end composed pipelines — the reference's four notebook sections
+as pure functions (SURVEY.md §3).
+
+The reference is not a bag of operators; it is four composed flows
+(weather preprocess nyc_taxi_final.py:149-234, taxi preprocess :259-650,
+two model pipelines :666-966/:985-1282). These functions chain the same
+stages over the synthetic tables so scan→clean→derive→aggregate→join→
+encode→sink executes as ONE lazy plan per flow:
+
+* ``preprocess_dim_csv``    — the weather flow: schema'd CSV → project/
+  round → range filter → validation aggregate → parquet.
+* ``preprocess_lineitem``   — the taxi flow: schema'd parquet → null drop →
+  outlier filter → time features → period binning → rate derivation →
+  4-key historical average (single-plan global fill) → expected value →
+  labels → broadcast dim join + null fill → categorical encoding →
+  final projection → hive-partitioned parquet.
+* ``train_and_evaluate``    — the model flow: sample → split → assemble →
+  RF → cached evaluation → optional persistence (see ml.pipelines).
+
+Everything stays declarative: no action fires until the caller writes,
+counts, or collects, so Catalyst sees the whole pipeline at once
+(projection collapse, filter pushdown to the scan, AQE join planning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .ml.pipelines import encode_categorical
+from .operators.aggregates import validate_table
+from .operators.cleaning import drop_nulls, filter_ranges
+from .operators.features import (
+    add_expected_duration,
+    add_speed,
+    add_time_features,
+    add_time_period,
+    historical_average,
+    label_exceeds,
+    label_threshold_flag,
+)
+from .operators.joins import broadcast_dim_join
+from .sources.readers import load_table, read_csv
+from .sources.writers import write_parquet, write_partitioned_parquet
+
+
+def preprocess_dim_csv(
+    spark: SparkSession,
+    csv_path: str,
+    schema: StructType,
+    round_cols: dict[str, int] | None = None,
+    ranges: dict | None = None,
+    output_path: str | None = None,
+) -> DataFrame:
+    """Weather-flow shape (nyc_taxi_final.py:149-234): schema'd CSV scan →
+    projection with rounding → range filter → overwrite parquet sink.
+
+    Returns the cleaned DataFrame (lazy); writes only when ``output_path``
+    is given."""
+    df = read_csv(spark, csv_path, schema)
+    for col, nd in (round_cols or {}).items():
+        df = df.withColumn(col, F.round(F.col(col), nd))
+    if ranges:
+        df = filter_ranges(df, ranges)
+    if output_path:
+        write_parquet(df, output_path)
+    return df
+
+
+def preprocess_lineitem(
+    spark: SparkSession,
+    sf_dir: str,
+    output_path: str | None = None,
+    encode: bool = True,
+) -> DataFrame:
+    """Taxi-flow shape (nyc_taxi_final.py:259-650) bound to the synthetic
+    star schema: lineitem is the trip fact, ``part`` plays weather's role
+    of a broadcast-joined enrichment dim, price-per-unit plays speed.
+
+    Stage map (reference line): null drop (:373) → outlier filter
+    (:376-384) → time features (:410-425) → period binning (:428-434) →
+    rate (:468) → 4-key historical average with single-plan global fill
+    (:471-496) → expected value (:526) → threshold + exceeds labels
+    (:530-533, :1053-1056) → broadcast dim join + null fill (:558-564) →
+    StringIndexer+OHE (:581-596) → final projection (:607-614) →
+    repartition+partitionBy sink (:640-641)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li = drop_nulls(li)
+    li = filter_ranges(
+        li,
+        {
+            "l_quantity": (0.0, 60.0, False, True),
+            "l_extendedprice": (0.0, None, False, False),
+            "l_discount": (0.0, 1.0, True, True),
+            "l_tax": (0.0, None, True, False),
+        },
+    )
+    li = add_time_features(li, "l_shipdate", prefix="ship_")
+    li = add_time_period(li, "ship_hour", "ship_period")
+    li = add_speed(li, "l_extendedprice", "l_quantity", out_col="price_rate")
+    li = historical_average(
+        li,
+        ["l_returnflag", "l_linestatus", "ship_year", "ship_month"],
+        numerator="l_extendedprice",
+        denominator="l_quantity",
+        out_col="hist_price_rate",
+    )
+    li = add_expected_duration(
+        li, "l_extendedprice", "hist_price_rate", out_col="expected_quantity"
+    )
+    li = label_exceeds(li, "l_quantity", "expected_quantity", "is_over_expected")
+    li = label_threshold_flag(li, "l_discount", 0.05, "is_discounted")
+
+    part_dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_retailprice")
+    )
+    # part grows with scale → no pinned broadcast (AQE decides)
+    li = broadcast_dim_join(
+        li, part_dim, on="l_partkey", how="left",
+        fill={"p_retailprice": 0.0}, broadcast=None,
+    )
+
+    final_cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "ship_year",
+        "ship_month",
+        "ship_day_of_week",
+        "ship_is_holiday",
+        "ship_period",
+        "price_rate",
+        "hist_price_rate",
+        "expected_quantity",
+        "is_over_expected",
+        "is_discounted",
+        "p_retailprice",
+    ]
+    if encode:
+        li, ohe_cols = encode_categorical(
+            li.withColumn("returnflag_cat", F.col("l_returnflag")), "returnflag_cat"
+        )
+        out = li.select(*final_cols, *ohe_cols)
+    else:
+        out = li.select(*final_cols)
+    if output_path:
+        write_partitioned_parquet(out, output_path, "ship_year")
+    return out
+
+
+def validate_preprocessed(df: DataFrame) -> dict:
+    """D10 as a hard gate (the reference eyeballs show() output): one-pass
+    validation row, returned as a dict for assertions/monitoring."""
+    row = validate_table(
+        df.select("l_orderkey", "l_quantity", "expected_quantity"),
+        nonnegative_cols=["l_quantity", "expected_quantity"],
+    ).first()
+    return row.asDict()
