@@ -42,7 +42,12 @@ from yellowrush_spark_ml_pipeline_spark.operators import (
     textstats,
 )
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
-from yellowrush_spark_ml_pipeline_spark.streaming import sessionize, tumbling_window_agg
+from yellowrush_spark_ml_pipeline_spark.streaming import (
+    session_window_agg,
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
 
 DEC = "decimal(18,4)"
 
@@ -364,6 +369,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m event-time windows per event_type — every event lands
+    in exactly two windows (oracle: union of the two 30-min-grid starts)."""
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_agg(ev, "ts", "1 hour", "30 minutes", ["event_type"], "value")
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (30-min gap) per user — the
+    batch/streaming-shared stateful operator, oracle-checked against the
+    lag+cumsum sessionization."""
+    ev = _t(spark, sf_dir, "events")
+    return session_window_agg(ev, "ts", "user_id", "30 minutes", "value")
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from events.props (extension, SURVEY.md §2.8 note)."""
     ev = _t(spark, sf_dir, "events")
@@ -394,6 +414,42 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return dedup.exact_dedup(docs.unionByName(planted))
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit rolling-fingerprint dedup (rows-only: xxhash64 is
+    engine-internal). Planted whitespace/case variants of 50 docs prove the
+    normalize-fingerprint path collapses groups (dup_count=2)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.regexp_replace(F.col("text"), " ", "  ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return dedup.fingerprint_dedup(docs.unionByName(planted))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): synthetic binary payloads →
+    Arrow-batched mapInPandas decode/featurize (decode is a clearly-marked
+    deterministic stub — no codec libs in this container; the Spark-side
+    schema/batching/UDF shape is the real artifact). sf-independent."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=96)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.element_at("feature", 1).alias("f_bytes"),
+        F.element_at("feature", 8).alias("f_const"),
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,9 +690,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_stats": q_summary_stats,
         "window_enrich": q_window_enrich,
         "tumbling_windows": q_tumbling_windows,
+        "sliding_windows": q_sliding_windows,
+        "session_windows": q_session_windows,
         "sessionize": q_sessionize,
         "json_extract": q_json_extract,
         "dedup_exact": q_dedup_exact,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "multimodal_features": q_multimodal_features,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
@@ -833,6 +893,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND({dec_sum('value')}, 4) AS value_sum
             FROM events
             GROUP BY 1, 2
+        """,
+        "sliding_windows": f"""
+            SELECT window_start, event_type,
+                   COUNT(*) AS event_count,
+                   ROUND({dec_sum('value')}, 4) AS value_sum
+            FROM (
+                SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+                       event_type, value
+                FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+                           AS window_start,
+                       event_type, value
+                FROM events
+            )
+            GROUP BY 1, 2
+        """,
+        "session_windows": f"""
+            WITH brk AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                 OR epoch(ts) - epoch(LAG(ts) OVER (
+                                     PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+                            THEN 1 ELSE 0 END AS b
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM brk
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                   COUNT(*) AS event_count,
+                   ROUND({dec_sum('value')}, 4) AS value_sum
+            FROM sess GROUP BY user_id, sid
         """,
         "sessionize": """
             SELECT event_id, user_id,

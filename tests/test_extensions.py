@@ -169,6 +169,59 @@ def test_simhash_near_dups_differ_in_few_bits(spark, planted_docs):
     assert planted_mean <= rand_mean - 5, (planted_mean, rand_mean)
 
 
+def test_multimodal_arrow_path(spark):
+    """First-class execution of the mapInPandas plumbing: schema, batch
+    shape, and the deterministic stub decode (operators/multimodal.py —
+    codec calls are stubbed, the Spark-side shape is the real artifact)."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        FEATURES_SCHEMA,
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=48, payload_bytes=512)
+    feats = extract_features(media)
+    assert feats.schema == FEATURES_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 48
+    for r in rows:
+        assert len(r.feature) == 8, "stub featurizer is 8-dim"
+        assert r.feature[0] == float(r.n_bytes)
+        assert r.feature[7] == 1.0
+        assert r.n_bytes > 0
+    # deterministic across runs (same payload pattern → same features)
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_multimodal_null_payload(spark):
+    """Null payloads must yield null features (not crash the batch) —
+    the degraded-row contract of a real decoder stage."""
+    from pyspark.sql import functions as F2
+
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=6).withColumn(
+        "payload",
+        F2.when(F2.col("media_id") % 2 == 0, F2.col("payload")),
+    )
+    rows = extract_features(media).orderBy("media_id").collect()
+    assert [r.feature is None for r in rows] == [False, True] * 3
+    assert [r.n_bytes for r in rows[1::2]] == [0, 0, 0]
+
+
+def test_fingerprint_dedup_collapses_planted(spark, sf_small):
+    import __spark_entry__ as entrymod
+
+    out = entrymod.q_fingerprint_dedup(spark, sf_small)
+    dup_groups = out.filter(F.col("dup_count") > 1)
+    assert dup_groups.count() == 50
+    assert out.count() == 500  # 550 inputs → 500 fingerprint groups
+
+
 def test_simhash_candidates_find_exact_copies(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").filter(F.col("doc_id") < 100)
     copies = docs.select(

@@ -76,15 +76,23 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_minutes: int = 30,
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Batch sessionization: a session breaks when the gap to the previous
     event of the same user exceeds `gap_minutes`. Session id = cumulative
     count of breaks per user (lag + running sum — two window passes over
     ONE shuffle on user_id).
 
+    ``tiebreak_col`` must be a per-user-unique column for deterministic
+    session ids when timestamps collide; pass ``None`` if `ts_col` is
+    already unique per user (nondeterministic ordering otherwise).
+
     Streaming equivalent: `F.session_window(ts, gap)` groupBy — same
-    semantics, state-store backed; see `streaming_session_agg`."""
-    w_order = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    semantics, state-store backed; see `session_window_agg`."""
+    order_cols = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order_cols.append(F.col(tiebreak_col))
+    w_order = Window.partitionBy(user_col).orderBy(*order_cols)
     gap_sec = gap_minutes * 60
     prev_ts = F.lag(F.col(ts_col)).over(w_order)
     is_break = F.when(
