@@ -283,6 +283,27 @@ def q_dim_join_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "l_partkey", "p_retailprice")
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers having at least one urgent order (EXISTS) —
+    only join keys shuffle, no payload duplication."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return joins.semi_join(customer, urgent, "c_custkey").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: parts never appearing in any lineitem (NOT EXISTS)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return joins.anti_join(part, li, "p_partkey").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: sort + limit with a total order (unique-key tiebreak)."""
     orders = _t(spark, sf_dir, "orders")
@@ -684,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_avg_global_fill": q_hist_avg_global_fill,
         "star_join": q_star_join,
         "dim_join_null_fill": q_dim_join_null_fill,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
         "top_orders": q_top_orders,
         "label_flags": q_label_flags,
         "validate_lineitem": q_validate_lineitem,
@@ -837,6 +860,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem li
             LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25) p
               ON li.l_partkey = p.p_partkey
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        "anti_join": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey)
         """,
         "top_orders": """
             SELECT o_orderkey, o_totalprice, o_orderstatus

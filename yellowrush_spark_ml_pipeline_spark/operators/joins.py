@@ -81,6 +81,24 @@ def broadcast_dim_join(
     return out
 
 
+def semi_join(
+    left: DataFrame, right: DataFrame, on: Sequence[str] | str
+) -> DataFrame:
+    """EXISTS-style filter join (SURVEY.md §2.3 note): keeps left rows with
+    a match, emits no right columns — the plan ships only the join keys of
+    the right side, never its payload."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    return left.join(right, on_cols, "left_semi")
+
+
+def anti_join(
+    left: DataFrame, right: DataFrame, on: Sequence[str] | str
+) -> DataFrame:
+    """NOT EXISTS-style exclusion join."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    return left.join(right, on_cols, "left_anti")
+
+
 def star_join(
     fact: DataFrame,
     dims: Sequence[tuple],
