@@ -168,11 +168,11 @@ def q_time_period_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3/F2: epoch-arithmetic duration in minutes (nyc_taxi_final.py:460-464)
     — per-user activity span."""
+    from yellowrush_spark_ml_pipeline_spark.functions.scalar import duration_minutes
+
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        ((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / F.lit(60.0)).alias(
-            "span_min"
-        ),
+        duration_minutes(F.min("ts"), F.max("ts")).alias("span_min"),
         F.count(F.lit(1)).alias("event_count"),
     )
 
