@@ -69,6 +69,22 @@ def test_lsh_recall_of_true_neighbors(spark, planted_embeddings):
     assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8"
 
 
+def test_ivf_recall_of_true_neighbors(spark, planted_embeddings):
+    """Same planted ground truth as the LSH test, through the IVF path:
+    a data-adaptive quantizer must put a query's near-collinear copies in
+    its probed lists."""
+    k = len(JITTERS)
+    q = _queries(planted_embeddings)
+    exact = similarity.brute_force_topk(planted_embeddings, q, k=k)
+    approx = similarity.ivf_topk(
+        planted_embeddings, q, k=k, n_lists=16, n_probe=4
+    )
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} < 0.8"
+
+
 def test_lsh_scores_match_exact_for_common_pairs(spark, planted_embeddings):
     """Approximation affects WHICH pairs are scored, never the score:
     cosines for pairs both paths return must be identical."""

@@ -23,7 +23,13 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double_array, cosine_similarity, dot, normalize
+from ..functions.vector import (
+    as_double_array,
+    cosine_similarity,
+    dot,
+    euclidean_distance,
+    normalize,
+)
 
 
 def brute_force_topk(
@@ -135,6 +141,79 @@ def lsh_topk(
         ]
     q = q.withColumn("_bucket", F.explode(F.array(*probes))).drop("_bucket0")
     scored = c.join(F.broadcast(q), "_bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next
+    to SRP-LSH (`lsh_topk`).
+
+    Index: a seed-pinned MLlib KMeans coarse quantizer assigns every corpus
+    vector to its nearest of ``n_lists`` centroids (one narrow ML transform;
+    at 100 TB the model is fit on a sample and the assignment is a scan).
+    Search: each query probes its ``n_probe`` nearest centroids — the probe
+    assignment happens on the tiny broadcast query side — and exact cosine
+    runs only inside the probed lists, cutting scored candidates to
+    ~``n_probe / n_lists`` of the corpus. Unlike data-oblivious SRP
+    hyperplanes, the quantizer adapts to the data distribution, which is
+    what makes IVF the standard billion-scale layout (FAISS-style).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv"))
+    cv = c.withColumn("_features", array_to_vector("_cv"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="_list")
+    model = km.fit(cv)
+    assigned = model.transform(cv).select(id_col, "_cv", "_list")
+
+    # Query-side probe assignment: distances to all centroids as a literal
+    # array (centroids are driver-small by construction), top-n_probe lists.
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                euclidean_distance(
+                    F.col("_qv"), F.array(*[F.lit(x) for x in ctr])
+                ).alias("d"),
+                F.lit(i).alias("l"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    probed = q.withColumn(
+        "_list",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, n_probe), lambda s: s.getField("l")
+            )
+        ),
+    )
+    scored = assigned.join(F.broadcast(probed), "_list").select(
         query_id_col,
         id_col,
         F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
