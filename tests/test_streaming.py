@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
-from yellowrush_spark_ml_pipeline_spark.streaming import streaming_window_agg
+from yellowrush_spark_ml_pipeline_spark.streaming import (
+    streaming_user_totals,
+    streaming_window_agg,
+)
 
 
 def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
@@ -68,3 +71,56 @@ def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(got) > 50  # real window spread, not a degenerate single bucket
+
+
+def test_stateful_user_totals_accumulate_across_batches(spark, sf_small, tmp_path):
+    """applyInPandasWithState: per-key state must survive micro-batch
+    boundaries — the file source is split in two so every user's total is
+    built from at least two state updates."""
+    events = load_table(spark, sf_small, "events").select("user_id", "value")
+    src = str(tmp_path / "events_two_files")
+    first, second = events.randomSplit([0.5, 0.5], seed=42)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream_df = streaming_user_totals(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        max_files_per_trigger=1,  # forces >=2 micro-batches
+    )
+    assert stream_df.isStreaming
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("user_totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+
+    updates = spark.sql("SELECT * FROM user_totals_test").collect()
+    # final state per user = the row with the max event_count
+    final: dict[int, tuple[int, float]] = {}
+    for r in updates:
+        if r.user_id not in final or r.event_count > final[r.user_id][0]:
+            final[r.user_id] = (r.event_count, r.value_sum)
+    want = {
+        r.user_id: (r.cnt, r.total)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("total"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (cnt, total) in want.items():
+        got_cnt, got_total = final[uid]
+        assert got_cnt == cnt, (uid, got_cnt, cnt)
+        assert abs(got_total - total) < 1e-6 * max(1.0, abs(total))
+    # state genuinely crossed batches: more update rows than users
+    assert len(updates) > len(want)

@@ -1,0 +1,84 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.12 extension surface).
+
+This is the escape hatch for stateful semantics the built-in windowed
+aggregations can't express (per-key running aggregates with arbitrary
+update logic, custom eviction, cross-batch counters). State lives in the
+executor-side state store keyed by the group key — per-key state is
+O(state schema), not O(events), so a 100 TB/day stream holds only
+(n_keys × a few bytes) of state. Arrow moves each micro-batch's rows to
+Python once per batch per key group, not per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def streaming_user_totals(
+    spark,
+    source_path: str,
+    schema: StructType,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Running per-user (event_count, value_sum) maintained across
+    micro-batches with explicit state — the minimal custom stateful
+    operator shape: read state → fold the batch in → write state → emit
+    the updated row. Output mode must be ``update``.
+
+    The same fold expressed with built-ins would be a streaming
+    ``groupBy(user).agg`` in update mode; the point of this operator is the
+    *custom* state hook (replace the fold with decay, distinct-counting
+    sketches, per-key model state, …) while keeping the state-store
+    contract."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField(user_col, LongType()),
+            StructField("event_count", LongType()),
+            StructField("value_sum", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("count", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update_totals(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {user_col: [key[0]], "event_count": [count], "value_sum": [total]}
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update_totals,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
