@@ -154,6 +154,32 @@ def test_minhash_recall_and_precision_vs_exact_jaccard(spark, planted_docs):
     assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
 
 
+def test_minhash_char_basis_finds_cjk_near_dups(spark, sf_small):
+    """Word tokenization degenerates on Chinese (a sentence is one giant
+    \\p{L} token → almost no word shingles), so the char-n-gram basis is
+    the one that must catch zh near-duplicates."""
+    docs = load_table(spark, sf_small, "documents").filter(F.col("lang") == "zh")
+    n_zh = docs.count()
+    assert n_zh >= 50
+    planted = docs.limit(20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("后缀标记")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(planted)
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            corpus, shingle_n=5, jaccard_threshold=0.5, basis="char"
+        ).collect()
+    }
+    planted_ids = {r.doc_id for r in planted.select("doc_id").collect()}
+    hits = {(a, b) for a, b in found if b in planted_ids and b - 200000 == a}
+    assert len(hits) >= 16, f"char-basis minhash found {len(hits)}/20 planted zh pairs"
+
+
 def test_simhash_near_dups_differ_in_few_bits(spark, planted_docs):
     sims = dedup.simhash(planted_docs)
     a = sims.alias("a")

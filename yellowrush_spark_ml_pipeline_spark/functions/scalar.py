@@ -76,8 +76,7 @@ def decimal_sum(col: Column, scale: int = 4) -> Column:
 
 
 def decimal_avg(col: Column, scale: int = 4) -> Column:
-    """Order-independent mean built from an exact decimal sum."""
-    return (
-        F.sum(col.cast(f"decimal(18,{scale})"))
-        / F.count(F.when(col.isNotNull(), F.lit(1)))
-    ).cast("double")
+    """Order-independent mean: exact decimal sum (cast to double once,
+    deterministically) over the non-null count — the oracle-comparable
+    `CAST(SUM(CAST(c AS DECIMAL)) AS DOUBLE) / COUNT(c)` shape."""
+    return decimal_sum(col, scale) / F.count(col)

@@ -12,7 +12,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import count_if, decimal_sum, null_count, safe_div
+from ..functions.scalar import count_if, decimal_avg, decimal_sum, null_count, safe_div
 
 
 def date_range_stats(df: DataFrame, col: str) -> DataFrame:
@@ -97,7 +97,7 @@ def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"count_{c}"),
-            F.round(decimal_sum(F.col(c)) / F.count(F.col(c)), 4).alias(f"mean_{c}"),
+            F.round(decimal_avg(F.col(c)), 4).alias(f"mean_{c}"),
             F.min(c).alias(f"min_{c}"),
             F.max(c).alias(f"max_{c}"),
         ]

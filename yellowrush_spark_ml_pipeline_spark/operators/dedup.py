@@ -22,7 +22,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import rolling_fingerprint, shingles, tokens
+from ..functions.text import char_ngrams, rolling_fingerprint, shingles, tokens
+
+
+def _shingle_expr(text_col: str, shingle_n: int, basis: str) -> Column:
+    """Shingle basis: ``word`` n-grams for space-delimited languages;
+    ``char`` n-grams for CJK / mixed corpora where word tokenization
+    degenerates (a Chinese sentence is one giant \\p{L} token)."""
+    if basis == "char":
+        return F.array_distinct(char_ngrams(F.col(text_col), shingle_n))
+    return F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
 
 
 def _norm_text(text: Column) -> Column:
@@ -64,6 +73,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    basis: str = "word",
 ) -> DataFrame:
     """K minhash values per doc: min over shingles of xxhash64(shingle, seed_i).
 
@@ -74,7 +84,7 @@ def minhash_signatures(
     document length. Measured ~1.7× faster than the no-shuffle
     K×array_min(transform(...)) formulation, which allocates K intermediate
     arrays per document inside one giant codegen expression."""
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    sh = _shingle_expr(text_col, shingle_n, basis)
     exploded = df.select(F.col(id_col), F.explode(sh).alias("_s"))
     return exploded.groupBy(id_col).agg(
         F.array(
@@ -136,13 +146,15 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     bands: int = 8,
     jaccard_threshold: float = 0.7,
+    basis: str = "word",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
-    exact n-gram Jaccard verify on the candidates only."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    exact n-gram Jaccard verify on the candidates only. ``basis="char"``
+    switches the shingle alphabet for CJK/mixed corpora (use shingle_n≈5)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, basis)
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
     return ngram_jaccard_verify(
-        cands, df, text_col, id_col, shingle_n, jaccard_threshold
+        cands, df, text_col, id_col, shingle_n, jaccard_threshold, basis
     )
 
 
@@ -153,13 +165,14 @@ def ngram_jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.7,
+    basis: str = "word",
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard on candidate pairs (id_a, id_b).
+    """Exact n-gram Jaccard on candidate pairs (id_a, id_b).
 
     Set ops run on arrays JVM-side; the docs table is joined twice by id —
     at scale these are shuffle-hash joins on the id, and `pairs` is tiny
     relative to the corpus because LSH already pruned."""
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    sh = _shingle_expr(text_col, shingle_n, basis)
     d = docs.select(F.col(id_col), sh.alias("_sh"))
     out = (
         pairs.join(d.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sa"), "id_a")

@@ -88,7 +88,11 @@ def historical_average(
         safe_div(decimal_sum(num), decimal_sum(den)) * F.lit(scale_factor), round_to
     )
     agg_df = df.groupBy(*keys).agg(group_val.alias(out_col))
-    global_df = agg_df.agg(F.round(F.avg(out_col), round_to).alias("_global_mean"))
+    from ..operators.aggregates import global_scalar
+
+    global_df = global_scalar(
+        agg_df, F.round(F.avg(out_col), round_to), alias="_global_mean"
+    )
     # agg_df is NOT force-broadcast: group cardinality can be huge at scale;
     # AQE picks broadcast vs shuffle join from its observed size.
     return (
