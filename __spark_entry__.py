@@ -343,6 +343,22 @@ def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (rows-only: HLL++/KLL internals are
+    engine-specific; error bounds vs exact answers are asserted in
+    tests/test_extensions.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = aggregates.approx_stats(li, ["l_partkey", "l_extendedprice"])
+    return out.select(
+        "row_count",
+        "approx_distinct_l_partkey",
+        "approx_distinct_l_extendedprice",
+        F.element_at("approx_percentiles_l_extendedprice", 1).alias("p50_price"),
+        F.element_at("approx_percentiles_l_extendedprice", 2).alias("p95_price"),
+        F.element_at("approx_percentiles_l_extendedprice", 3).alias("p99_price"),
+    )
+
+
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: summary statistics (count/mean/min/max) per column
     (nyc_taxi_final.py:338)."""
@@ -721,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "label_flags": q_label_flags,
         "validate_lineitem": q_validate_lineitem,
+        "sketch_stats": q_sketch_stats,
         "summary_stats": q_summary_stats,
         "window_enrich": q_window_enrich,
         "tumbling_windows": q_tumbling_windows,

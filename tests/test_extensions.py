@@ -211,6 +211,23 @@ def test_simhash_near_dups_differ_in_few_bits(spark, planted_docs):
     assert planted_mean <= rand_mean - 5, (planted_mean, rand_mean)
 
 
+def test_sketch_stats_error_bounds(spark, sf_small):
+    """HLL++ distinct and approximate percentiles must land within their
+    advertised error of the exact answers."""
+    from yellowrush_spark_ml_pipeline_spark.operators.aggregates import approx_stats
+
+    li = load_table(spark, sf_small, "lineitem")
+    row = approx_stats(li, ["l_partkey", "l_extendedprice"]).first()
+    exact_distinct = li.select("l_partkey").distinct().count()
+    assert abs(row["approx_distinct_l_partkey"] - exact_distinct) <= 0.1 * exact_distinct
+    exact_p = li.selectExpr(
+        "percentile(l_extendedprice, array(0.5, 0.95, 0.99)) AS p"
+    ).first()["p"]
+    approx_p = row["approx_percentiles_l_extendedprice"]
+    for a, e in zip(approx_p, exact_p):
+        assert abs(a - e) <= 0.05 * abs(e), (a, e)
+
+
 def test_multimodal_arrow_path(spark):
     """First-class execution of the mapInPandas plumbing: schema, batch
     shape, and the deterministic stub decode (operators/multimodal.py —

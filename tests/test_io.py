@@ -71,6 +71,41 @@ def test_partitioned_roundtrip_and_pruning(spark, sf_small, tmp_path):
     assert "PartitionFilters: [" in plan and "order_year" in plan.split("PartitionFilters:")[1][:200], plan
 
 
+def test_bucketed_tables_join_without_shuffle(spark, sf_small):
+    """Co-located join contract: two tables bucketed on the same key with
+    the same bucket count must join with ZERO shuffle exchanges — the
+    scan's bucket layout satisfies the join's distribution requirement."""
+    import re
+
+    from yellowrush_spark_ml_pipeline_spark.sources import write_bucketed_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_small, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    try:
+        write_bucketed_table(li, "li_bkt", "l_orderkey", 8, sort_cols="l_orderkey")
+        write_bucketed_table(orders, "ord_bkt", "l_orderkey", 8, sort_cols="l_orderkey")
+        joined = (
+            spark.table("li_bkt")
+            .hint("merge")  # force the shuffle-sensitive path, not BHJ
+            .join(spark.table("ord_bkt").hint("merge"), "l_orderkey")
+        )
+        plan = explain_str(joined)
+        shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert shuffles == 0, plan
+        assert "SortMergeJoin" in plan
+        # and the result is the plain join's result
+        n = joined.count()
+        want = li.join(orders, "l_orderkey").count()
+        assert n == want > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
 def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
     """S2 (nyc_taxi_final.py:187): schema'd CSV read — no inference scan,
     types from the declared StructType."""

@@ -64,6 +64,23 @@ def test_no_broadcast_flag_forces_shuffle_join(spark, sf_small):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_salted_join_equals_plain_join(spark, sf_small):
+    """Salting redistributes hot keys but must never change results; the
+    physical join keys must include the salt so the hot key actually
+    splits across salt_buckets tasks."""
+    li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_small, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_retailprice"
+    )
+    salted = joins.salted_join(li, part, on="l_partkey", salt_buckets=4)
+    plain = li.join(part, "l_partkey")
+    assert salted.count() == plain.count() > 0
+    s_sum = salted.agg(F.sum("p_retailprice")).first()[0]
+    p_sum = plain.agg(F.sum("p_retailprice")).first()[0]
+    assert abs(s_sum - p_sum) < 1e-6
+    assert "_salt" in explain_str(salted), "salt must be part of the join keys"
+
+
 def test_group_enrich_window_single_shuffle(spark, sf_small):
     df = entrymod.q_window_enrich(spark, sf_small)
     rep = plan_report(df)

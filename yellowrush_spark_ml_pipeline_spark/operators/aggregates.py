@@ -88,6 +88,33 @@ def validate_table(
     return df.agg(*aggs)
 
 
+def approx_stats(
+    df: DataFrame,
+    cols: Sequence[str],
+    percentiles: Sequence[float] = (0.5, 0.95, 0.99),
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based profiling aggregates: HyperLogLog++ distinct counts
+    (`approx_count_distinct`, ~rsd relative error) and KLL-style
+    approximate percentiles (`percentile_approx`) in ONE pass.
+
+    At 100 TB these are the only affordable forms — exact distinct is a
+    full shuffle of every distinct value and exact percentiles a global
+    sort; the sketches are fixed-size, mergeable map-side state (kilobytes
+    per partition regardless of data volume). Error bounds are asserted
+    against exact answers in tests/test_extensions.py."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+    for c in cols:
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"approx_distinct_{c}"))
+        aggs.append(
+            F.percentile_approx(c, list(percentiles), accuracy).alias(
+                f"approx_percentiles_{c}"
+            )
+        )
+    return df.agg(*aggs)
+
+
 def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """df.summary() analogue (A7, nyc_taxi_final.py:338) restricted to
     named columns; uses exact count + decimal mean + min/max (the

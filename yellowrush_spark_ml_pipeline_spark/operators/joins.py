@@ -81,6 +81,35 @@ def broadcast_dim_join(
     return out
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Explicit key-salting for skewed equi-joins.
+
+    A hot key (one user, one boilerplate shingle) lands all its fact rows
+    in one task; salting appends a per-row salt to the fact side and
+    replicates the dim side across all ``salt_buckets`` salts, splitting
+    the hot key across that many tasks. Results are identical to the plain
+    join (asserted in tests/test_plans.py).
+
+    AQE's skew-join split (enabled in `session.get_spark`) covers the
+    sort-merge case automatically; explicit salting remains the tool when
+    the skewed side feeds an aggregation or the join is shuffled-hash.
+    Replication multiplies only the DIM side (×salt_buckets) — use for
+    fact-dim joins where the dim is modest, never fact-fact."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    fact_s = fact.withColumn("_salt", salt)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return fact_s.join(dim_s, [*on_cols, "_salt"], how).drop("_salt")
+
+
 def semi_join(
     left: DataFrame, right: DataFrame, on: Sequence[str] | str
 ) -> DataFrame:

@@ -1,11 +1,12 @@
 from .readers import load_table, load_tables, read_csv, read_parquet
-from .writers import write_parquet, write_partitioned_parquet
+from .writers import write_bucketed_table, write_parquet, write_partitioned_parquet
 
 __all__ = [
     "load_table",
     "load_tables",
     "read_csv",
     "read_parquet",
+    "write_bucketed_table",
     "write_parquet",
     "write_partitioned_parquet",
 ]

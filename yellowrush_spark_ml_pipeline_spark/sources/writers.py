@@ -17,6 +17,29 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle — at 100 TB this converts the nightly fact-fact join
+    from the dominant exchange into a zero-exchange zipped scan, paying the
+    shuffle once at write time instead of on every read. (Plan assertion in
+    tests/test_io.py.)"""
+    bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bcols)
+    if sort_cols:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*scols)
+    writer.saveAsTable(table_name)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,
