@@ -36,9 +36,11 @@ def main() -> int:
     from yellowrush_spark_ml_pipeline_spark.session import get_spark
 
     spark = get_spark("yellowrush-bench")
-    # Warm the JVM/codegen paths so the first measured query isn't charged
-    # session startup.
+    # Warm the JVM/codegen AND parquet-scan paths so the first measured
+    # query isn't charged session startup or reader-class loading (region
+    # is 5 rows — data-scale effects stay inside the measured queries).
     materialize(spark.range(1000).selectExpr("sum(id) as s"))
+    materialize(spark.read.parquet(f"{SF_DIR}/region.parquet"))
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
