@@ -165,9 +165,14 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next
     to SRP-LSH (`lsh_topk`).
+
+    ``max_iter`` caps the quantizer's Lloyd iterations: recall depends on
+    probing the lists nearest the query, not on a fully-converged
+    clustering, and each iteration is a driver-coordinated job.
 
     Index: a seed-pinned MLlib KMeans coarse quantizer assigns every corpus
     vector to its nearest of ``n_lists`` centroids (one narrow ML transform;
@@ -184,7 +189,13 @@ def ivf_topk(
 
     c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv"))
     cv = c.withColumn("_features", array_to_vector("_cv"))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="_list")
+    km = KMeans(
+        k=n_lists,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_features",
+        predictionCol="_list",
+    )
     model = km.fit(cv)
     assigned = model.transform(cv).select(id_col, "_cv", "_list")
 
