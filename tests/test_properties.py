@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the pure scalar/column layer:
+the engine's derivations must agree with a plain-Python reference on
+arbitrary inputs, not just the fixture distribution.
+
+Strategy: generate small row sets driver-side, run the Column expression
+through a real (session-scoped) SparkSession, compare to the Python model.
+Deterministic seeds; examples kept small so each property is one job.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from yellowrush_spark_ml_pipeline_spark.functions.scalar import (
+    binary_flag,
+    safe_div,
+    time_period,
+)
+from yellowrush_spark_ml_pipeline_spark.operators.cleaning import (
+    filter_ranges,
+    range_predicate,
+)
+
+_SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(hours=st.lists(st.integers(min_value=0, max_value=23), min_size=1, max_size=20))
+@_SETTINGS
+def test_time_period_total_partition(spark, hours):
+    """Every hour maps to exactly one bin, matching the reference's
+    CASE chain (nyc_taxi_final.py:428-434)."""
+
+    def model(h):
+        if 6 <= h <= 11:
+            return "morning"
+        if 12 <= h <= 16:
+            return "afternoon"
+        if 17 <= h <= 23:
+            return "evening"
+        return "night"
+
+    df = spark.createDataFrame([(h,) for h in hours], ["h"])
+    got = [r.p for r in df.select(time_period(F.col("h")).alias("p")).collect()]
+    assert got == [model(h) for h in hours]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    low=st.floats(min_value=-100, max_value=100, allow_nan=False),
+    span=st.floats(min_value=0, max_value=200, allow_nan=False),
+    li=st.booleans(),
+    hi=st.booleans(),
+)
+@_SETTINGS
+def test_filter_ranges_matches_python_predicate(spark, rows, low, span, li, hi):
+    high = low + span
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = sorted(
+        (r.a, r.b)
+        for r in filter_ranges(df, {"a": (low, high, li, hi)}).collect()
+    )
+
+    def keep(a):
+        lo_ok = a >= low if li else a > low
+        hi_ok = a <= high if hi else a < high
+        return lo_ok and hi_ok
+
+    want = sorted((a, b) for a, b in rows if keep(a))
+    assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+            st.floats(min_value=0.0, max_value=1e4, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_safe_div_never_null_or_inf(spark, pairs):
+    """The epsilon guard must make division total: finite output for any
+    finite input including a zero denominator."""
+    df = spark.createDataFrame(pairs, ["n", "d"])
+    vals = [
+        r.v for r in df.select(safe_div(F.col("n"), F.col("d")).alias("v")).collect()
+    ]
+    assert all(v is not None and math.isfinite(v) for v in vals)
+    for (n, d), v in zip(pairs, vals):
+        assert v == n / (d + 1e-6)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30),
+    threshold=st.integers(min_value=-500, max_value=500),
+)
+@_SETTINGS
+def test_binary_flag_is_indicator(spark, vals, threshold):
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = [
+        r.f
+        for r in df.select(binary_flag(F.col("x") > threshold).alias("f")).collect()
+    ]
+    assert got == [1 if v > threshold else 0 for v in vals]
+
+
+@given(x=st.floats(min_value=-50, max_value=50, allow_nan=False))
+@_SETTINGS
+def test_range_predicate_unbounded_sides(spark, x):
+    """None bounds mean unbounded: (None, None) accepts everything."""
+    df = spark.createDataFrame([(x,)], ["a"])
+    assert df.filter(range_predicate(F.col("a"))).count() == 1
