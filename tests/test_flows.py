@@ -14,6 +14,7 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 from yellowrush_spark_ml_pipeline_spark.flows import (
     preprocess_dim_csv,
     preprocess_lineitem,
+    train_and_evaluate,
     validate_preprocessed,
 )
 from yellowrush_spark_ml_pipeline_spark.sources.readers import read_parquet
@@ -45,6 +46,32 @@ def test_validate_preprocessed_gate(spark, sf_small):
     assert v["nulls_expected_quantity"] == 0
     assert v["negative_l_quantity"] == 0
     assert v["negative_expected_quantity"] == 0
+
+
+def test_both_model_flows_on_preprocessed_output(spark, sf_small, tmp_path):
+    """§3.3/§3.4 parity: the reference trains BOTH models on the
+    preprocessed dataset — congestion-style (threshold label) and
+    delay-style (exceeds-expected label, derived from the historical
+    average) — with the same flow, different label."""
+    from yellowrush_spark_ml_pipeline_spark.ml.pipelines import load_model
+
+    df = preprocess_lineitem(spark, sf_small, encode=False).cache()
+    feats = ["ship_month", "ship_day_of_week", "ship_is_holiday", "l_quantity", "p_retailprice"]
+
+    # delay-model analogue: label derived from expected-value exceedance
+    delay_metrics = train_and_evaluate(df, feats, "is_over_expected", sample_fraction=None)
+    assert set(delay_metrics) == {"roc_auc", "accuracy", "precision", "recall", "f1"}
+    assert 0.4 <= delay_metrics["roc_auc"] <= 1.0  # hard label, like the ref's 0.67
+
+    # congestion-model analogue: threshold label, persisted like the ref
+    path = str(tmp_path / "discount_model")
+    cong_metrics = train_and_evaluate(
+        df, ["l_extendedprice", "ship_month", "l_quantity"], "is_discounted",
+        sample_fraction=None, model_path=path,
+    )
+    assert 0.4 <= cong_metrics["roc_auc"] <= 1.0
+    assert load_model(path).stages[-1].getNumTrees == 30  # reference RF config
+    df.unpersist()
 
 
 def test_preprocess_dim_csv_flow(spark, tmp_path):

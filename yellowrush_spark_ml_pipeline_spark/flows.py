@@ -154,6 +154,30 @@ def preprocess_lineitem(
     return out
 
 
+def train_and_evaluate(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    sample_fraction: float | None = 0.3,
+    model_path: str | None = None,
+    seed: int = 42,
+) -> dict[str, float]:
+    """Model-flow shape (nyc_taxi_final.py:666-966 congestion, :985-1282
+    delay — identical structure, different label): sample → split →
+    assemble → RF (reference config) → cached evaluation → optional
+    persistence. Returns the metric dict; both reference model pipelines
+    are this function with a different ``label_col``."""
+    from .ml.pipelines import evaluate_binary, save_model, train_classifier
+
+    model, _, test_df = train_classifier(
+        df, feature_cols, label_col, sample_fraction=sample_fraction, seed=seed
+    )
+    metrics = evaluate_binary(model, test_df, label_col)
+    if model_path:
+        save_model(model, model_path)
+    return metrics
+
+
 def validate_preprocessed(df: DataFrame) -> dict:
     """D10 as a hard gate (the reference eyeballs show() output): one-pass
     validation row, returned as a dict for assertions/monitoring."""
