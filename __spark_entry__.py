@@ -536,6 +536,24 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(docs).select("doc_id", "lang", "lang_pred")
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup of the text layer: per-language doc counts,
+    token totals, and mean quality score — the profiling aggregate a
+    training-data pipeline runs before filtering decisions."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = textstats.quality_score(textstats.token_counts(docs))
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_ish_tokens").alias("total_bpe_tokens"),
+        F.round(decimal_sum(F.col("quality_score")) / F.count(F.lit(1)), 6).alias(
+            "mean_quality"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector math sanity surface: dims + L2 norm per embedding (exact,
     sequential fold in both engines)."""
@@ -752,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
         "language_id": q_language_id,
+        "corpus_stats": q_corpus_stats,
         "embedding_norms": q_embedding_norms,
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
@@ -1100,6 +1119,38 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks
                 FROM documents
             )
+        """,
+        "corpus_stats": rf"""
+            WITH per_doc AS (
+                SELECT lang, n_chars,
+                       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+                       len(regexp_extract_all(lower(text), '\p{{L}}+|\p{{N}}+|[^\p{{L}}\p{{N}}\s]')) AS bpe_ish_tokens,
+                       ROUND(
+                           (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(punct / greatest(n_chars_c, 1), 6) <= 0.2 THEN 0.25 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(stop_hits / greatest(len(toks), 1), 6) >= 0.01 THEN 0.25 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(CASE WHEN len(toks) > 0
+                                      THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                                      ELSE 0.0 END, 6) BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END),
+                       2) AS quality_score
+                FROM (
+                    SELECT lang, n_chars, text,
+                           length(text) AS n_chars_c,
+                           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+                           list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}\p{{N}}]+'), t -> t <> '') AS toks,
+                           len(list_filter(
+                               list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}\p{{N}}]+'), t -> t <> ''),
+                               t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS stop_hits
+                    FROM documents
+                )
+            )
+            SELECT lang, COUNT(*) AS doc_count,
+                   CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+                   CAST(SUM(bpe_ish_tokens) AS BIGINT) AS total_bpe_tokens,
+                   ROUND({dec_sum('quality_score')} / COUNT(*), 6) AS mean_quality,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM per_doc GROUP BY lang
         """,
         "embedding_norms": """
             SELECT vec_id,
