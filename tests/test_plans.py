@@ -81,6 +81,38 @@ def test_salted_join_equals_plain_join(spark, sf_small):
     assert "_salt" in explain_str(salted), "salt must be part of the join keys"
 
 
+def test_salted_join_under_hot_key_skew(spark):
+    """Stress the skew case salting exists for: 90% of fact rows share one
+    key. The salted join must (a) return exactly the plain join's result
+    and (b) split the hot key across salt buckets."""
+    fact = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("payload")
+    )
+    salted = joins.salted_join(fact, dim, on="k", salt_buckets=8)
+    plain = fact.join(dim, "k")
+    assert salted.count() == plain.count() > 15000
+    assert (
+        salted.agg(F.sum("payload")).first()[0]
+        == plain.agg(F.sum("payload")).first()[0]
+    )
+    # the hot key's rows really carry >1 distinct salt (split across tasks)
+    hot_salts = (
+        fact.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)),
+        )
+        .filter(F.col("k") == 7)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert hot_salts > 1
+
+
 def test_group_enrich_window_single_shuffle(spark, sf_small):
     df = entrymod.q_window_enrich(spark, sf_small)
     rep = plan_report(df)

@@ -121,6 +121,39 @@ def test_binary_flag_is_indicator(spark, vals, threshold):
     assert got == [1 if v > threshold else 0 for v in vals]
 
 
+@given(
+    gaps=st.lists(
+        st.integers(min_value=1, max_value=7200), min_size=1, max_size=30
+    ),
+    gap_minutes=st.integers(min_value=1, max_value=60),
+)
+@_SETTINGS
+def test_sessionize_breaks_exactly_on_gap(spark, gaps, gap_minutes):
+    """Sessions break exactly where the inter-event gap exceeds the
+    threshold: session_id = 1 + count of preceding gaps > threshold."""
+    import datetime as dt
+
+    from yellowrush_spark_ml_pipeline_spark.streaming import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts, acc = [t0], 0
+    for g in gaps:
+        acc += g
+        ts.append(t0 + dt.timedelta(seconds=acc))
+    rows = [(i, 1, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        r.event_id: r.session_id
+        for r in sessionize(df, "ts", "user_id", gap_minutes).collect()
+    }
+    want, sid = {0: 1}, 1
+    for i, g in enumerate(gaps):
+        if g > gap_minutes * 60:
+            sid += 1
+        want[i + 1] = sid
+    assert got == want
+
+
 @given(x=st.floats(min_value=-50, max_value=50, allow_nan=False))
 @_SETTINGS
 def test_range_predicate_unbounded_sides(spark, x):
