@@ -120,6 +120,28 @@ def test_group_enrich_window_single_shuffle(spark, sf_small):
     assert not rep["python_udf"]
 
 
+def test_dynamic_partition_pruning(spark, sf_small, tmp_path):
+    """A hive-partitioned fact joined to a filtered dim must prune fact
+    partitions at RUNTIME from the dim's filter (DPP) — at 100 TB this is
+    the difference between scanning one year and scanning the decade."""
+    from yellowrush_spark_ml_pipeline_spark.sources import write_partitioned_parquet
+    from yellowrush_spark_ml_pipeline_spark.sources.readers import read_parquet
+
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    write_partitioned_parquet(orders, path, "order_year")
+    fact = read_parquet(spark, path)
+    years = (
+        orders.select("order_year").distinct()
+        .withColumn("flag", F.col("order_year") % 2)
+    )
+    joined = fact.join(years.filter(F.col("flag") == 1), "order_year")
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_pricing_summary_partial_agg(spark, sf_small):
     plan = explain_str(entrymod.q_pricing_summary(spark, sf_small))
     # partial (map-side) + final hash aggregation — the shuffle carries
