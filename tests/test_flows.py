@@ -74,6 +74,61 @@ def test_both_model_flows_on_preprocessed_output(spark, sf_small, tmp_path):
     df.unpersist()
 
 
+def test_weather_flow_reference_shape(spark, tmp_path):
+    """The reference's weather pipeline end-to-end on WEATHER_SCHEMA
+    (nyc_taxi_final.py:149-234): headerless CSV → schema'd read → select +
+    round → 2024-H1 date filter → validation aggregate → parquet sink →
+    D9 broadcast join with null fill."""
+    from yellowrush_spark_ml_pipeline_spark.operators.aggregates import (
+        date_range_stats,
+        null_counts,
+    )
+    from yellowrush_spark_ml_pipeline_spark.operators.joins import broadcast_dim_join
+    from yellowrush_spark_ml_pipeline_spark.schemas import WEATHER_SCHEMA
+
+    rows = []
+    for m, d, tmin, prcp in [
+        (1, 5, -3.456, 0.0), (3, 10, 4.2, 1.25), (6, 30, 18.999, 0.4),
+        (7, 1, 22.0, 0.0),  # month 7 → filtered out
+    ]:
+        rows.append(f"2024-{m:02d}-{d:02d},5.0,{tmin},9.9,{prcp},0,180,3.3,7.7,1013.2,100")
+    rows.append("2023-12-31,1.0,0.5,2.0,0.1,0,90,1.0,2.0,1010.0,50")  # 2023 → out
+    src = tmp_path / "weather.csv"
+    src.write_text("\n".join(rows) + "\n")
+
+    out = str(tmp_path / "weather_clean")
+    wx = preprocess_dim_csv(
+        spark,
+        str(src),
+        WEATHER_SCHEMA,
+        select_cols=["date", "tmin", "prcp"],
+        round_cols={"tmin": 2, "prcp": 2},
+        predicate=(F.year("date") == 2024) & F.month("date").between(1, 6),
+        output_path=out,
+    )
+    assert wx.count() == 3
+    # A1/A2 validation, reference style
+    stats = date_range_stats(wx, "date").first()
+    assert str(stats.min_value) == "2024-01-05" and str(stats.max_value) == "2024-06-30"
+    assert null_counts(wx).first().asDict() == {"date": 0, "tmin": 0, "prcp": 0}
+
+    # D9: broadcast join + na.fill on a fact keyed by date
+    back = read_parquet(spark, out)
+    fact = spark.createDataFrame(
+        [("2024-01-05",), ("2024-02-02",)], ["d"]
+    ).select(F.to_date("d").alias("date"))
+    # P9: float→double upcast before the join, like the reference (:559-560)
+    back = back.withColumn("tmin", F.round(F.col("tmin").cast("double"), 2)).withColumn(
+        "prcp", F.round(F.col("prcp").cast("double"), 2)
+    )
+    joined = broadcast_dim_join(
+        fact, back, on="date", how="left", fill={"tmin": 0.0, "prcp": 0.0}
+    )
+    got = {str(r.date): (r.tmin, r.prcp) for r in joined.collect()}
+    assert got["2024-01-05"] == (-3.46, 0.0)  # rounded like the reference
+    assert got["2024-02-02"] == (0.0, 0.0)  # unmatched → filled
+
+
 def test_preprocess_dim_csv_flow(spark, tmp_path):
     schema = StructType(
         [

@@ -49,18 +49,27 @@ def preprocess_dim_csv(
     spark: SparkSession,
     csv_path: str,
     schema: StructType,
+    select_cols: list[str] | None = None,
     round_cols: dict[str, int] | None = None,
     ranges: dict | None = None,
+    predicate=None,
     output_path: str | None = None,
 ) -> DataFrame:
     """Weather-flow shape (nyc_taxi_final.py:149-234): schema'd CSV scan →
-    projection with rounding → range filter → overwrite parquet sink.
+    projection (P2) with rounding (P1) → predicate/range filter (P3/P4) →
+    overwrite parquet sink (S5). ``predicate`` takes the reference's
+    date-part filter (`year(date)==2024 & month(date).between(1,6)`,
+    :198-199) or any Column.
 
     Returns the cleaned DataFrame (lazy); writes only when ``output_path``
     is given."""
     df = read_csv(spark, csv_path, schema)
+    if select_cols:
+        df = df.select(*select_cols)
     for col, nd in (round_cols or {}).items():
         df = df.withColumn(col, F.round(F.col(col), nd))
+    if predicate is not None:
+        df = df.filter(predicate)
     if ranges:
         df = filter_ranges(df, ranges)
     if output_path:
