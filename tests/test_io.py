@@ -106,6 +106,44 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
 
 
+def test_taxi_schema_prunes_columns_at_scan(spark, tmp_path):
+    """S3 (nyc_taxi_final.py:306-318): an explicit subset schema on a wide
+    parquet file acts as projection pushdown — the scan's ReadSchema must
+    carry only TAXI_SCHEMA's 8 columns, not the file's full width."""
+    import datetime as dt
+
+    from yellowrush_spark_ml_pipeline_spark.schemas import TAXI_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+    wide_rows = [
+        (
+            1, t0, t0 + dt.timedelta(minutes=15), 1.0, 3.5, "N", 140, 230,
+            1, 18.0, 2.5, 0.5, 3.0, 0.0, 1.0, 25.0, 2.5, 0.0, 5.5,
+        )
+    ]
+    wide_cols = [
+        "VendorID", "tpep_pickup_datetime", "tpep_dropoff_datetime",
+        "passenger_count", "trip_distance", "store_and_fwd_flag",
+        "PULocationID", "DOLocationID", "payment_type", "fare_amount",
+        "congestion_surcharge", "mta_tax", "tip_amount", "tolls_amount",
+        "improvement_surcharge", "total_amount", "extra_2", "airport_fee",
+        "extra",
+    ]
+    path = str(tmp_path / "taxi_wide")
+    wide = spark.createDataFrame(wide_rows, wide_cols).withColumn(
+        "PULocationID", F.col("PULocationID").cast("int")
+    ).withColumn("DOLocationID", F.col("DOLocationID").cast("int"))
+    wide.coalesce(1).write.parquet(path)
+
+    df = read_parquet(spark, path, TAXI_SCHEMA)
+    assert df.schema == TAXI_SCHEMA
+    plan = explain_str(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "trip_distance" in read_schema and "fare_amount" not in read_schema
+    row = df.first()
+    assert row.trip_distance == 3.5 and row.PULocationID == 140
+
+
 def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
     """S2 (nyc_taxi_final.py:187): schema'd CSV read — no inference scan,
     types from the declared StructType."""
