@@ -52,6 +52,37 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(timings.values()), 3)
+
+    # Direct BASELINE.md comparison hook: the reference's only published
+    # numbers are RF training time (70-80 s, 4-core/14 GB, 30% sample,
+    # numTrees=30/maxDepth=8) and the model metrics. Time the same
+    # reference-config fit on the preprocessed dataset here.
+    baseline_cmp: dict[str, float] = {}
+    try:
+        from yellowrush_spark_ml_pipeline_spark.flows import preprocess_lineitem
+        from yellowrush_spark_ml_pipeline_spark.ml import (
+            evaluate_binary,
+            train_classifier,
+        )
+
+        pre = preprocess_lineitem(spark, SF_DIR, encode=False)
+        feats = [
+            "ship_month",
+            "ship_day_of_week",
+            "ship_is_holiday",
+            "l_quantity",
+            "p_retailprice",
+        ]
+        t0 = time.perf_counter()
+        model, _, test_df = train_classifier(
+            pre, feats, "is_over_expected", sample_fraction=0.3
+        )
+        baseline_cmp["rf_train_sec"] = round(time.perf_counter() - t0, 3)
+        metrics = evaluate_binary(model, test_df, "is_over_expected")
+        baseline_cmp.update({k: round(v, 4) for k, v in metrics.items()})
+    except Exception as exc:  # noqa: BLE001
+        failures["baseline_rf"] = f"{type(exc).__name__}: {exc}"[:200]
+
     out = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -60,6 +91,7 @@ def main() -> int:
         "sf": _sf_from_dir(SF_DIR),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "n_queries": len(timings),
+        "baseline_comparison": baseline_cmp,
     }
     if failures:
         out["failures"] = failures
