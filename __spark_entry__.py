@@ -283,6 +283,24 @@ def q_dim_join_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "l_partkey", "p_retailprice")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event enriched with the user's most recent
+    purchase value at or before the click — checked against DuckDB's
+    native ASOF JOIN. Implemented as the union-sort trick (one shuffle,
+    no row explosion), not a range theta-join."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = joins.asof_join(
+        clicks, purchases, key="user_id", value_cols=["purchase_value"]
+    )
+    return out.select("event_id", "user_id", "purchase_value")
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join: customers having at least one urgent order (EXISTS) —
     only join keys shuffle, no payload duplication."""
@@ -750,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_avg_global_fill": q_hist_avg_global_fill,
         "star_join": q_star_join,
         "dim_join_null_fill": q_dim_join_null_fill,
+        "asof_join": q_asof_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "top_orders": q_top_orders,
@@ -908,6 +927,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem li
             LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25) p
               ON li.l_partkey = p.p_partkey
+        """,
+        "asof_join": """
+            SELECT c.event_id, c.user_id, p.purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                            FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "semi_join": """
             SELECT c_custkey, c_name, c_nationkey

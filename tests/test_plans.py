@@ -81,6 +81,30 @@ def test_salted_join_equals_plain_join(spark, sf_small):
     assert "_salt" in explain_str(salted), "salt must be part of the join keys"
 
 
+def test_asof_join_edge_semantics(spark):
+    """Backward as-of: same-instant right rows ARE visible (>= semantics),
+    rows with no prior state get null, later states don't leak backward."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t(0)), (2, 1, t(10)), (3, 1, t(20)), (4, 2, t(5))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 200.0), (3, t(0), 999.0)],
+        ["user_id", "ts", "state"],
+    )
+    out = {
+        r.event_id: r.state
+        for r in joins.asof_join(left, right, "user_id", value_cols=["state"]).collect()
+    }
+    assert out[1] is None  # before any state
+    assert out[2] == 100.0  # same-instant state visible (>=)
+    assert out[3] == 200.0  # latest prior, not first
+    assert out[4] is None  # other key's state never leaks
+
+
 def test_salted_join_under_hot_key_skew(spark):
     """Stress the skew case salting exists for: 90% of fact rows share one
     key. The salted join must (a) return exactly the plain join's result

@@ -18,6 +18,62 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """As-of (backward) join: attach to every left row the latest right
+    row with ``right_ts <= left_ts`` for the same key — the canonical
+    time-series enrichment (price as of trade time, state as of event
+    time) that plain equi-joins can't express.
+
+    Implemented as the union-sort trick, NOT a range join: tag both
+    sides, union on (key, ts), and carry the right side's values forward
+    with ``last(..., ignorenulls=True)`` over an ordered per-key window.
+    One shuffle on the key, O(n log n) per key for the sort, zero row
+    explosion — a naive ``left.ts >= right.ts`` theta-join materializes
+    O(|left|x|right|) per key before picking the max, which is exactly
+    the plan that dies at 100 TB. Right rows order before left rows on
+    timestamp ties so a same-instant state IS visible to the left row
+    (matching ``ASOF JOIN``'s >= semantics)."""
+    vals = list(value_cols)
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in vals],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tagged.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in vals],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    for c in vals:
+        merged = merged.withColumn(
+            f"_rv_{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w)
+        )
+    out = merged.filter(F.col("_side") == 1)
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_rv_{c}").alias(c) for c in vals],
+    )
+
+
 def group_enrich_join(
     df: DataFrame,
     keys: Sequence[str],
