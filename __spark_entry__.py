@@ -301,6 +301,26 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "purchase_value")
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per click, count the same user's purchases in the
+    preceding hour — bucketed equi-join (two probe buckets/row), never a
+    per-key cross product."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    pairs = joins.range_join_pairs(
+        clicks, purchases, key="user_id", window_seconds=3600
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("purchases_1h"))
+    return clicks.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("purchases_1h"), F.lit(0)).alias("purchases_1h"),
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join: customers having at least one urgent order (EXISTS) —
     only join keys shuffle, no payload duplication."""
@@ -769,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": q_star_join,
         "dim_join_null_fill": q_dim_join_null_fill,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "top_orders": q_top_orders,
@@ -935,6 +956,18 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
                             FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "range_join": """
+            SELECT c.event_id, c.user_id,
+                   CAST(COUNT(p.ts) AS BIGINT) AS purchases_1h
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts > c.ts - INTERVAL 1 HOUR
+             AND p.ts <= c.ts
+            GROUP BY c.event_id, c.user_id
         """,
         "semi_join": """
             SELECT c_custkey, c_name, c_nationkey

@@ -166,6 +166,47 @@ def salted_join(
     return fact_s.join(dim_s, [*on_cols, "_salt"], how).drop("_salt")
 
 
+def range_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Time-range join: pairs where ``right_ts ∈ (left_ts - window,
+    left_ts]`` for the same key, via bucketed equi-join.
+
+    Both sides are bucketed by ``floor(epoch/window)``; a qualifying right
+    row can only live in the left row's bucket or the one before, so the
+    left side probes exactly two buckets and the join is a plain equi-join
+    on (key, bucket) with a residual range filter. A naive theta-join
+    (`l.ts BETWEEN ...`) is a per-key cross product — Catalyst can only
+    nested-loop it, which is quadratic per key and dies at scale; the
+    bucketed form shuffles on (key, bucket) like any equi-join.
+
+    Output: all left columns + right's non-key columns suffixed `_r`."""
+    w_us = window_seconds * 1_000_000
+    l_bucket = F.floor(F.unix_micros(F.col(left_ts)) / w_us)
+    r_bucket = F.floor(F.unix_micros(F.col(right_ts)) / w_us)
+    l = left.withColumn("_probe", F.explode(F.array(l_bucket, l_bucket - 1)))
+    rcols = [c for c in right.columns if c != key]
+    r = right.select(
+        F.col(key),
+        r_bucket.alias("_probe"),
+        *[F.col(c).alias(f"{c}_r") for c in rcols],
+    )
+    rt = F.col(f"{right_ts}_r")
+    lt = F.col(left_ts)
+    return (
+        l.join(r, [key, "_probe"])
+        .filter(
+            (rt > lt - F.expr(f"INTERVAL {window_seconds} SECOND")) & (rt <= lt)
+        )
+        .drop("_probe")
+    )
+
+
 def semi_join(
     left: DataFrame, right: DataFrame, on: Sequence[str] | str
 ) -> DataFrame:
