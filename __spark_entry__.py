@@ -43,6 +43,7 @@ from yellowrush_spark_ml_pipeline_spark.operators import (
 )
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
 from yellowrush_spark_ml_pipeline_spark.streaming import (
+    hypertable_rollup,
     session_window_agg,
     sessionize,
     sliding_window_agg,
@@ -444,6 +445,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tier of the hourly→daily continuous aggregate. The oracle
+    aggregates RAW events by day, so a hash match proves tier
+    re-aggregation (daily-from-hourly) is exact, not just that the query
+    runs."""
+    ev = _t(spark, sf_dir, "events")
+    tiers = hypertable_rollup(ev, "ts", ["event_type"], "value")
+    daily = tiers["1 day"]
+    return daily.select(
+        "window_start",
+        "event_type",
+        "event_count",
+        F.round(F.col("value_sum"), 4).alias("value_sum"),
+    )
+
+
 def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/30m event-time windows per event_type — every event lands
     in exactly two windows (oracle: union of the two 30-min-grid starts)."""
@@ -799,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_stats": q_summary_stats,
         "window_enrich": q_window_enrich,
         "tumbling_windows": q_tumbling_windows,
+        "hypertable_rollup": q_hypertable_rollup,
         "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
         "sessionize": q_sessionize,
@@ -1033,6 +1051,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tumbling_windows": f"""
             SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS event_count,
+                   ROUND({dec_sum('value')}, 4) AS value_sum
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "hypertable_rollup": f"""
+            SELECT date_trunc('day', ts) AS window_start, event_type,
                    COUNT(*) AS event_count,
                    ROUND({dec_sum('value')}, 4) AS value_sum
             FROM events

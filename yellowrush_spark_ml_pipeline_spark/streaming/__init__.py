@@ -1,5 +1,6 @@
 from .stateful import streaming_user_totals
 from .windows import (
+    hypertable_rollup,
     session_window_agg,
     sessionize,
     sliding_window_agg,
@@ -8,6 +9,7 @@ from .windows import (
 )
 
 __all__ = [
+    "hypertable_rollup",
     "session_window_agg",
     "sessionize",
     "sliding_window_agg",

@@ -71,6 +71,53 @@ def sliding_window_agg(
     )
 
 
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = (),
+    value_col: str = "value",
+    levels: Sequence[str] = ("1 hour", "1 day"),
+) -> dict[str, DataFrame]:
+    """Tiered time-bucket rollups (TimescaleDB-style continuous
+    aggregates): raw → levels[0] → levels[1] → …, where every coarser
+    tier re-aggregates the PREVIOUS tier's output, not the raw table.
+
+    At 100 TB this is the whole point: the daily rollup reads the hourly
+    aggregate (≈ |keys|·24 rows/day), not the raw events. Counts re-sum
+    exactly; value sums stay exact through tiers because each tier's
+    decimal sum casts to double only at 4-decimal precision, which
+    round-trips losslessly back into decimal at the next tier — so
+    `daily(hourly(raw)) == daily(raw)` bit-for-bit (oracle-checked).
+
+    Returns {level: DataFrame(window_start, *keys, event_count,
+    value_sum)}. Each level's frame is lazy; persist intermediate tiers
+    when materializing several."""
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for level in levels:
+        if prev is None:
+            agg = (
+                df.groupBy(F.window(F.col(ts_col), level).alias("w"), *keys)
+                .agg(
+                    F.count(F.lit(1)).alias("event_count"),
+                    decimal_sum(F.col(value_col)).alias("value_sum"),
+                )
+            )
+        else:
+            agg = (
+                prev.groupBy(F.window(F.col("window_start"), level).alias("w"), *keys)
+                .agg(
+                    F.sum("event_count").alias("event_count"),
+                    decimal_sum(F.col("value_sum")).alias("value_sum"),
+                )
+            )
+        prev = agg.select(
+            F.col("w.start").alias("window_start"), *keys, "event_count", "value_sum"
+        )
+        out[level] = prev
+    return out
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",
