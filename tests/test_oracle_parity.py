@@ -36,7 +36,11 @@ def duck():
 
 def _norm_cell(v):
     if v is None:
-        return None
+        # pandas renders NULL in float columns as NaN; the driver hashes
+        # through pandas on both engines, so None and NaN must normalize
+        # to the same sentinel here too (Spark collect() gives None where
+        # fetchdf() gives NaN for the same unmatched left-join row).
+        return "NaN"
     if isinstance(v, bool):
         return int(v)
     if hasattr(v, "to_pydatetime"):  # pandas Timestamp
