@@ -382,6 +382,32 @@ def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals: revenue by (returnflag, linestatus), by
+    returnflag, and grand total — one aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "row_count": F.count(F.lit(1)),
+            "revenue": decimal_sum(F.col("l_extendedprice")),
+        },
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with urgent orders EXCEPT customers with
+    low-priority orders, UNION the intersection of both — exercises
+    except/intersect/unionByName distinct semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    only_urgent = urgent.subtract(low).withColumn("segment", F.lit("urgent_only"))
+    both = urgent.intersect(low).withColumn("segment", F.lit("both"))
+    return only_urgent.unionByName(both)
+
+
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (rows-only: HLL++/KLL internals are
     engine-specific; error bounds vs exact answers are asserted in
@@ -812,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "label_flags": q_label_flags,
         "validate_lineitem": q_validate_lineitem,
+        "rollup_revenue": q_rollup_revenue,
+        "set_ops": q_set_ops,
         "sketch_stats": q_sketch_stats,
         "summary_stats": q_summary_stats,
         "window_enrich": q_window_enrich,
@@ -1026,6 +1054,27 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(l_shipdate AS DATE)) AS min_date,
                    MAX(CAST(l_shipdate AS DATE)) AS max_date
             FROM lineitem
+        """,
+        "rollup_revenue": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_lvl,
+                   COUNT(*) AS row_count,
+                   {dec_sum('l_extendedprice')} AS revenue
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "set_ops": """
+            SELECT o_custkey, 'urgent_only' AS segment FROM (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+            )
+            UNION ALL
+            SELECT o_custkey, 'both' AS segment FROM (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+            )
         """,
         "summary_stats": f"""
             SELECT COUNT(l_quantity) AS count_l_quantity,

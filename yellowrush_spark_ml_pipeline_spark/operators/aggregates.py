@@ -88,6 +88,38 @@ def validate_table(
     return df.agg(*aggs)
 
 
+def rollup_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    agg_exprs: dict[str, Column],
+    grouping_id_col: str = "grouping_lvl",
+) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP): one pass produces per-key,
+    per-prefix, and grand-total rows. Catalyst expands grouping sets
+    before the shuffle, so this is still a single partial+final hash
+    aggregation — not N queries over the fact table. ``grouping_lvl``
+    (the GROUPING_ID bitmask) disambiguates a subtotal row from a data
+    row whose key is genuinely NULL."""
+    return df.rollup(*keys).agg(
+        F.grouping_id().alias(grouping_id_col),
+        *[expr.alias(name) for name, expr in agg_exprs.items()],
+    )
+
+
+def cube_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    agg_exprs: dict[str, Column],
+    grouping_id_col: str = "grouping_lvl",
+) -> DataFrame:
+    """All-subsets subtotals (CUBE) — same single-pass property as
+    `rollup_agg`, 2^|keys| grouping sets."""
+    return df.cube(*keys).agg(
+        F.grouping_id().alias(grouping_id_col),
+        *[expr.alias(name) for name, expr in agg_exprs.items()],
+    )
+
+
 def approx_stats(
     df: DataFrame,
     cols: Sequence[str],
