@@ -689,6 +689,25 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, jaccard_threshold=0.4)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → connected components → (doc_id, group_id): the keep/drop
+    decision step of the dedup pipeline (rows-only: pairs come from
+    xxhash-banded MinHash; transitivity and planted-group assertions live
+    in tests/test_extensions.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs.unionByName(planted), jaccard_threshold=0.4
+    )
+    return dedup.dedup_groups(pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only: xxhash64 is engine-internal)."""
     docs = _t(spark, sf_dir, "documents")
@@ -862,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
         "preprocess_pipeline": q_preprocess_pipeline,

@@ -180,6 +180,42 @@ def test_minhash_char_basis_finds_cjk_near_dups(spark, sf_small):
     assert len(hits) >= 16, f"char-basis minhash found {len(hits)}/20 planted zh pairs"
 
 
+def test_dedup_groups_connected_components(spark):
+    """Pairs → groups: chains must merge transitively (a~b, b~c → one
+    group with the min id), singletons in pairs stay in their own group,
+    and group_id == min(component)."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain → component {1,2,3,4}
+            (10, 11),                        # simple pair
+            (20, 22), (21, 22),              # star → {20,21,22}
+            (30, 31), (32, 33), (31, 32),    # two pairs bridged → {30..33}
+        ],
+        ["id_a", "id_b"],
+    )
+    groups = {
+        r.doc_id: r.group_id for r in dedup.dedup_groups(pairs).collect()
+    }
+    assert {groups[i] for i in (1, 2, 3, 4)} == {1}
+    assert {groups[i] for i in (10, 11)} == {10}
+    assert {groups[i] for i in (20, 21, 22)} == {20}
+    assert {groups[i] for i in (30, 31, 32, 33)} == {30}
+    # keep-rule: exactly one representative per component
+    keeps = [n for n, g in groups.items() if n == g]
+    assert sorted(keeps) == [1, 10, 20, 30]
+
+
+def test_dedup_groups_end_to_end_with_minhash(spark, planted_docs):
+    """Full curation path: minhash pairs → components → drop list. The 20
+    planted near-dups must each group with their source doc."""
+    pairs = dedup.minhash_dedup_pairs(planted_docs, jaccard_threshold=0.4)
+    groups = {r.doc_id: r.group_id for r in dedup.dedup_groups(pairs).collect()}
+    hit = sum(
+        1 for d, g in groups.items() if d >= 100000 and g == d - 100000
+    )
+    assert hit >= 18, f"only {hit}/20 planted dups grouped with their source"
+
+
 def test_simhash_near_dups_differ_in_few_bits(spark, planted_docs):
     sims = dedup.simhash(planted_docs)
     a = sims.alias("a")

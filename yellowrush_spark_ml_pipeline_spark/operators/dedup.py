@@ -188,6 +188,63 @@ def ngram_jaccard_verify(
     return out
 
 
+def dedup_groups(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, group_id) with
+    group_id = smallest doc id in the component. THE missing last step
+    between "pairs were found" and "which docs to drop": keep
+    group_id == doc_id, drop the rest.
+
+    Iterative min-label propagation: every node adopts the smallest label
+    among itself and its neighbors until a fixpoint (each sweep is one
+    shuffle on node id; converges in O(diameter) sweeps — near-dup
+    components are shallow, so typically 2-4). The loop is driver-
+    coordinated but all data movement is joins/aggregations — no
+    collect(); the per-sweep convergence check is a 1-row count. An
+    explicit ``max_iterations`` bounds pathological chains (a 100 TB run
+    would switch to the large-star/small-star variant for adversarial
+    graphs)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_cached = None
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+        ).cache()
+        changed = updated.filter(F.col("label") != F.col("_old")).limit(1).count()
+        labels = updated.select("node", "label")
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document.
 
