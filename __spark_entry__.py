@@ -735,6 +735,26 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_cosine_dedup(emb.unionByName(planted), threshold=0.9)
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM training-data curation flow (rows-only: MinHash banding is
+    engine-internal; planted-collapse and layout assertions live in
+    tests/test_flows.py): quality filter → language ID → near-dup
+    components → one representative per group."""
+    from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny suffix")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return curate_corpus(
+        docs.unionByName(planted), min_quality=0.5, jaccard_threshold=0.5
+    )
+
+
 def q_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full taxi preprocessing flow composed as ONE lazy
     plan (nyc_taxi_final.py:259-650): clean → time features → period →
@@ -884,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
+        "curate_corpus": q_curate_corpus,
         "preprocess_pipeline": q_preprocess_pipeline,
         "ml_classifier_metrics": q_ml_classifier_metrics,
     }

@@ -129,6 +129,46 @@ def test_weather_flow_reference_shape(spark, tmp_path):
     assert got["2024-02-02"] == (0.0, 0.0)  # unmatched → filled
 
 
+def test_curate_corpus_flow(spark, sf_small, tmp_path):
+    """Curation end-to-end: planted near-dups collapse to one
+    representative, low-quality docs are dropped, output lands
+    hive-partitioned by language."""
+    from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny suffix")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out_path = str(tmp_path / "curated")
+    curated = curate_corpus(
+        docs.unionByName(planted),
+        min_quality=0.5,
+        jaccard_threshold=0.5,
+        output_path=out_path,
+    ).cache()
+
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    # every planted near-dup lost to its (smaller-id) source
+    survivors = [i for i in ids if i >= 700000]
+    # a planted copy survives only if its source was quality-filtered out
+    for s in survivors:
+        assert (s - 700000) not in ids
+    assert len(ids) > 300  # most of the corpus survives curation
+    # quality gate actually dropped something
+    assert curated.count() < docs.count() + 25
+    # partitioned-by-lang layout on disk
+    import pathlib
+
+    langs = {p.name for p in pathlib.Path(out_path).iterdir() if p.name.startswith("lang=")}
+    assert langs == {f"lang={r.lang}" for r in curated.select("lang").distinct().collect()}
+    curated.unpersist()
+
+
 def test_preprocess_dim_csv_flow(spark, tmp_path):
     schema = StructType(
         [

@@ -163,6 +163,48 @@ def preprocess_lineitem(
     return out
 
 
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.7,
+    output_path: str | None = None,
+) -> DataFrame:
+    """The LLM training-data curation flow end-to-end: quality scoring →
+    threshold filter → language ID → MinHash near-dup pairs → connected
+    components → keep one representative per group → hive-partitioned
+    sink by language.
+
+    This is the 100 TB shape: scoring/lang-ID are narrow map stages fused
+    into the scan; dedup candidates come from banded self-joins (never
+    all-pairs); the grouping join ships only (doc_id, group_id); the text
+    column rides through untouched — no re-tokenization after the filter
+    stage decides survival."""
+    from .operators.dedup import dedup_groups, minhash_dedup_pairs
+    from .operators.textstats import language_id, quality_score
+
+    kept = quality_score(docs).filter(F.col("quality_score") >= min_quality)
+    kept = language_id(kept)
+    pairs = minhash_dedup_pairs(kept, jaccard_threshold=jaccard_threshold)
+    groups = dedup_groups(pairs)
+    curated = (
+        kept.join(groups, "doc_id", "left")
+        .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "lang_pred",
+            "source",
+            "n_chars",
+            "n_tokens",
+            "quality_score",
+        )
+    )
+    if output_path:
+        write_partitioned_parquet(curated, output_path, "lang")
+    return curated
+
+
 def train_and_evaluate(
     df: DataFrame,
     feature_cols: list[str],
