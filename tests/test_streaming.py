@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
 from yellowrush_spark_ml_pipeline_spark.streaming import (
+    streaming_dedup,
     streaming_user_totals,
     streaming_window_agg,
 )
@@ -71,6 +72,50 @@ def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(got) > 50  # real window spread, not a degenerate single bucket
+
+
+def test_streaming_dedup_across_batches(spark, sf_small, tmp_path):
+    """Cross-batch dedup: the same fingerprint landing in a LATER
+    micro-batch must be suppressed by state, not re-emitted."""
+    from yellowrush_spark_ml_pipeline_spark.functions.text import rolling_fingerprint
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            rolling_fingerprint(F.col("text")).alias("fp"),
+            F.to_timestamp(F.lit("2024-01-01 12:00:00")).alias("ts"),
+        )
+    )
+    dup_batch = docs.filter(F.col("doc_id") < 30)  # re-send first 30 later
+    src = str(tmp_path / "dedup_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    dup_batch.coalesce(1).write.mode("append").parquet(src)
+
+    stream_df = streaming_dedup(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        dedup_cols=["fp"],
+        ts_col="ts",
+        watermark="1 hour",
+    )
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+
+    out = spark.sql("SELECT fp, count(*) AS n FROM dedup_stream_test GROUP BY fp").collect()
+    assert len(out) == 60  # every distinct fingerprint exactly once
+    assert all(r.n == 1 for r in out), "cross-batch duplicate leaked through"
 
 
 def test_stateful_user_totals_accumulate_across_batches(spark, sf_small, tmp_path):

@@ -25,6 +25,36 @@ from pyspark.sql.types import (
 )
 
 
+def streaming_dedup(
+    spark,
+    source_path: str,
+    schema: StructType,
+    dedup_cols: list[str] | None = None,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` backed by the
+    state store, so a duplicate arriving in a LATER micro-batch is still
+    suppressed (state remembers seen keys).
+
+    With ``ts_col`` set, uses ``dropDuplicatesWithinWatermark``: a
+    duplicate key arriving within the watermark delay is dropped and the
+    key's state is evicted once the watermark passes it — state is
+    O(keys-per-watermark-window), not O(all keys ever), which is
+    mandatory at 100 TB/day. Without it, state grows unboundedly (only
+    acceptable for bounded backfills)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    if ts_col is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+        return stream.dropDuplicatesWithinWatermark(dedup_cols)
+    return stream.dropDuplicates(dedup_cols)
+
+
 def streaming_user_totals(
     spark,
     source_path: str,
