@@ -72,6 +72,18 @@ def test_feature_importances_rank(spark, labeled_orders):
     assert any(name.startswith("o_orderpriority_ohe") for name, _ in imps)
 
 
+def test_confusion_metrics_match_mllib_evaluators(spark, labeled_orders):
+    """The single-pass confusion-matrix path must reproduce the MLlib
+    evaluator values exactly (same definitions, fewer jobs)."""
+    feats = ["month", "day_of_week", "log_price"]
+    model, _, test_df = train_classifier(labeled_orders, feats, "is_high_value")
+    fast = evaluate_binary(model, test_df, "is_high_value")
+    slow = evaluate_binary(model, test_df, "is_high_value", use_evaluators=True)
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert abs(fast[k] - slow[k]) < 1e-9, (k, fast[k], slow[k])
+
+
 def test_model_save_load_identical_predictions(spark, labeled_orders, tmp_path):
     """S7 round-trip (nyc_taxi_final.py:956-960): persisted model must
     reproduce the in-memory model's predictions exactly."""

@@ -27,6 +27,7 @@ from pyspark.ml.evaluation import (
 )
 from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -117,11 +118,21 @@ def train_classifier(
 
 
 def evaluate_binary(
-    model: PipelineModel, test_df: DataFrame, label_col: str
+    model: PipelineModel,
+    test_df: DataFrame,
+    label_col: str,
+    use_evaluators: bool = False,
 ) -> dict[str, float]:
     """M6+M7 (nyc_taxi_final.py:897-912) with predictions cached ONCE —
     the evaluators each trigger an action and the reference recomputed the
-    plan four times."""
+    plan four times.
+
+    Default path: AUC from the MLlib evaluator (needs the score ranking),
+    and accuracy / weighted precision / weighted recall / weighted F1
+    from ONE confusion-matrix aggregation — same definitions as
+    MulticlassClassificationEvaluator (asserted equal to 1e-9 in
+    tests/test_ml.py) for a quarter of the jobs.
+    ``use_evaluators=True`` runs the four MLlib evaluator passes instead."""
     predictions = model.transform(test_df).select(
         label_col, "rawPrediction", "prediction"
     )
@@ -130,19 +141,61 @@ def evaluate_binary(
         auc = BinaryClassificationEvaluator(
             labelCol=label_col, rawPredictionCol="rawPrediction", metricName="areaUnderROC"
         ).evaluate(predictions)
-        multi = MulticlassClassificationEvaluator(
-            labelCol=label_col, predictionCol="prediction"
-        )
-        metrics = {
-            "roc_auc": auc,
-            "accuracy": multi.setMetricName("accuracy").evaluate(predictions),
-            "precision": multi.setMetricName("weightedPrecision").evaluate(predictions),
-            "recall": multi.setMetricName("weightedRecall").evaluate(predictions),
-            "f1": multi.setMetricName("f1").evaluate(predictions),
-        }
+        if use_evaluators:
+            multi = MulticlassClassificationEvaluator(
+                labelCol=label_col, predictionCol="prediction"
+            )
+            metrics = {
+                "roc_auc": auc,
+                "accuracy": multi.setMetricName("accuracy").evaluate(predictions),
+                "precision": multi.setMetricName("weightedPrecision").evaluate(predictions),
+                "recall": multi.setMetricName("weightedRecall").evaluate(predictions),
+                "f1": multi.setMetricName("f1").evaluate(predictions),
+            }
+        else:
+            metrics = {"roc_auc": auc, **_multiclass_from_confusion(predictions, label_col)}
     finally:
         predictions.unpersist()
     return metrics
+
+
+def _multiclass_from_confusion(
+    predictions: DataFrame, label_col: str
+) -> dict[str, float]:
+    """Weighted multiclass metrics from a single (label, prediction)
+    count aggregation — MulticlassClassificationEvaluator's definitions
+    (weightedPrecision/Recall/F1 weighted by true-class support) without
+    four full passes."""
+    cells = {
+        (r["lab"], r["pred"]): r["n"]
+        for r in predictions.groupBy(
+            F.col(label_col).cast("double").alias("lab"),
+            F.col("prediction").cast("double").alias("pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    classes = sorted({k[0] for k in cells} | {k[1] for k in cells})
+    total = sum(cells.values())
+    correct = sum(n for (lab, pred), n in cells.items() if lab == pred)
+    prec_w = rec_w = f1_w = 0.0
+    for c in classes:
+        tp = cells.get((c, c), 0)
+        fp = sum(n for (lab, pred), n in cells.items() if pred == c and lab != c)
+        support = sum(n for (lab, _), n in cells.items() if lab == c)
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / support if support else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        w = support / total
+        prec_w += w * prec
+        rec_w += w * rec
+        f1_w += w * f1
+    return {
+        "accuracy": correct / total,
+        "precision": prec_w,
+        "recall": rec_w,
+        "f1": f1_w,
+    }
 
 
 def feature_importances(
