@@ -382,6 +382,42 @@ def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by returnflag pivoted on linestatus. Explicit pivot
+    values keep it one pass (no values-discovery job) — the form to use
+    at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(decimal_sum(F.col("l_extendedprice")))
+        .withColumnRenamed("F", "revenue_f")
+        .withColumnRenamed("O", "revenue_o")
+    )
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein distance on planted near-dup pairs — the
+    edit-distance verify tier of the dedup stack (run on CANDIDATE pairs
+    only; quadratic in string length, so never corpus-wide)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 40).select(
+        "doc_id", F.col("text").alias("text_a")
+    )
+    b = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.concat(F.col("text"), F.lit(" suffix")).alias("text_b"),
+    )
+    return (
+        a.join(b, a.doc_id == b.doc_id_b)
+        .select(
+            "doc_id",
+            F.levenshtein("text_a", "text_b").alias("edit_distance"),
+            F.length("text_a").alias("len_a"),
+        )
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals: revenue by (returnflag, linestatus), by
     returnflag, and grand total — one aggregation pass."""
@@ -877,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "label_flags": q_label_flags,
         "validate_lineitem": q_validate_lineitem,
+        "pivot_revenue": q_pivot_revenue,
+        "edit_distance": q_edit_distance,
         "rollup_revenue": q_rollup_revenue,
         "set_ops": q_set_ops,
         "sketch_stats": q_sketch_stats,
@@ -1095,6 +1133,21 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(l_shipdate AS DATE)) AS min_date,
                    MAX(CAST(l_shipdate AS DATE)) AS max_date
             FROM lineitem
+        """,
+        "pivot_revenue": f"""
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS revenue_f,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS revenue_o
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "edit_distance": """
+            SELECT doc_id,
+                   CAST(levenshtein(text, text || ' suffix') AS INT) AS edit_distance,
+                   length(text) AS len_a
+            FROM documents WHERE doc_id < 40
         """,
         "rollup_revenue": f"""
             SELECT l_returnflag, l_linestatus,
