@@ -552,21 +552,34 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized text (hash-groupBy, min-id representative).
-
-    The fixtures contain zero duplicates, so the corpus is unioned with
-    planted case/whitespace variants of the first 50 docs — the dedup path
-    provably collapses them (dup_count=2 groups) instead of passing the
-    identity case vacuously (VERDICT r1)."""
-    docs = _t(spark, sf_dir, "documents")
-    planted = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.upper(F.regexp_replace(F.col("text"), " ", "  ")).alias("text"),
+def _plant_docs(docs: DataFrame, n: int, offset: int, text_expr) -> DataFrame:
+    """First ``n`` docs re-emitted with offset ids and a mutated text —
+    known-answer duplicates for the dedup paths (the fixtures themselves
+    contain zero duplicates, VERDICT r1)."""
+    return docs.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        text_expr.alias("text"),
         "lang",
         "source",
         "n_chars",
     )
+
+
+def _case_ws_variant():
+    """Case/whitespace variant: identical after lower + whitespace
+    collapse. (Function, not module constant: building a Column requires
+    an active SparkContext in Spark 4.)"""
+    return F.upper(F.regexp_replace(F.col("text"), " ", "  "))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (hash-groupBy, min-id representative).
+
+    The corpus is unioned with planted case/whitespace variants of the
+    first 50 docs — the dedup path provably collapses them (dup_count=2
+    groups) instead of passing the identity case vacuously."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = _plant_docs(docs, 50, 1000000, _case_ws_variant())
     return dedup.exact_dedup(docs.unionByName(planted))
 
 
@@ -575,13 +588,7 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-internal). Planted whitespace/case variants of 50 docs prove the
     normalize-fingerprint path collapses groups (dup_count=2)."""
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.upper(F.regexp_replace(F.col("text"), " ", "  ")).alias("text"),
-        "lang",
-        "source",
-        "n_chars",
-    )
+    planted = _plant_docs(docs, 50, 1000000, _case_ws_variant())
     return dedup.fingerprint_dedup(docs.unionByName(planted))
 
 
@@ -731,12 +738,8 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash-banded MinHash; transitivity and planted-group assertions live
     in tests/test_extensions.py)."""
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.filter(F.col("doc_id") < 30).select(
-        (F.col("doc_id") + 500000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
-        "lang",
-        "source",
-        "n_chars",
+    planted = _plant_docs(
+        docs, 30, 500000, F.concat(F.col("text"), F.lit(" near duplicate suffix"))
     )
     pairs = dedup.minhash_dedup_pairs(
         docs.unionByName(planted), jaccard_threshold=0.4
@@ -779,12 +782,8 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 700000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" tiny suffix")).alias("text"),
-        "lang",
-        "source",
-        "n_chars",
+    planted = _plant_docs(
+        docs, 25, 700000, F.concat(F.col("text"), F.lit(" tiny suffix"))
     )
     return curate_corpus(
         docs.unionByName(planted), min_quality=0.5, jaccard_threshold=0.5

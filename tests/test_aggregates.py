@@ -42,6 +42,31 @@ def test_cube_agg_all_subsets(spark, sf_small):
     out.unpersist()
 
 
+def test_hypertable_rollup_rejects_non_nesting_levels(spark, sf_small):
+    import pytest as _pytest
+
+    from yellowrush_spark_ml_pipeline_spark.streaming import hypertable_rollup
+
+    ev = load_table(spark, sf_small, "events")
+    with _pytest.raises(ValueError, match="must nest"):
+        hypertable_rollup(ev, levels=("1 hour", "90 minutes"))
+
+
+def test_evaluate_metrics_on_empty_predictions(spark, sf_small):
+    """Empty test frame degrades to zero metrics, not ZeroDivisionError."""
+    from yellowrush_spark_ml_pipeline_spark.functions.scalar import binary_flag
+    from yellowrush_spark_ml_pipeline_spark.ml import evaluate_binary, train_classifier
+
+    orders = load_table(spark, sf_small, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        binary_flag(F.col("o_totalprice") > 300000.0).alias("y"),
+    )
+    model, _, test_df = train_classifier(orders, ["x"], "y")
+    empty = test_df.filter(F.lit(False))
+    m = evaluate_binary(model, empty, "y")
+    assert m["accuracy"] == 0.0 and m["f1"] == 0.0
+
+
 def test_operators_on_empty_input(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").filter(F.lit(False))
     assert dedup.exact_dedup(docs).count() == 0

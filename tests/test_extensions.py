@@ -161,7 +161,9 @@ def test_minhash_char_basis_finds_cjk_near_dups(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").filter(F.col("lang") == "zh")
     n_zh = docs.count()
     assert n_zh >= 50
-    planted = docs.limit(20).select(
+    # deterministic planted set: limit() without ordering re-evaluates to
+    # a different row set per action
+    planted = docs.orderBy("doc_id").limit(20).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit("后缀标记")).alias("text"),
         "lang",

@@ -105,6 +105,32 @@ def test_asof_join_edge_semantics(spark):
     assert out[4] is None  # other key's state never leaks
 
 
+def test_asof_join_tied_right_rows_deterministic(spark):
+    """Two right states at the identical (key, ts) must resolve to the
+    value-column-largest row, independent of shuffle order."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1, 12, 0)
+    left = spark.createDataFrame([(1, 1, ts)], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(1, ts, 10.0), (1, ts, 99.0)], ["user_id", "ts", "state"]
+    )
+    for _ in range(3):
+        row = joins.asof_join(left, right, "user_id", value_cols=["state"]).first()
+        assert row.state == 99.0
+
+
+def test_salted_join_rejects_dim_preserving_types(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_small, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        joins.salted_join(li, part, on="l_partkey", how="full")
+
+
 def test_salted_join_under_hot_key_skew(spark):
     """Stress the skew case salting exists for: 90% of fact rows share one
     key. The salted join must (a) return exactly the plain join's result

@@ -168,6 +168,7 @@ def curate_corpus(
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.7,
     output_path: str | None = None,
+    partition_col: str = "lang",
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
@@ -186,22 +187,21 @@ def curate_corpus(
     kept = language_id(kept)
     pairs = minhash_dedup_pairs(kept, jaccard_threshold=jaccard_threshold)
     groups = dedup_groups(pairs)
+    # Schema-agnostic output: whatever columns the corpus came with, plus
+    # the derived curation columns — the flow requires only doc_id + text.
+    out_cols = list(docs.columns) + ["lang_pred", "n_tokens", "quality_score"]
     curated = (
         kept.join(groups, "doc_id", "left")
         .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
-        .select(
-            "doc_id",
-            "text",
-            "lang",
-            "lang_pred",
-            "source",
-            "n_chars",
-            "n_tokens",
-            "quality_score",
-        )
+        .select(*out_cols)
     )
     if output_path:
-        write_partitioned_parquet(curated, output_path, "lang")
+        if partition_col not in curated.columns:
+            raise ValueError(
+                f"partition_col {partition_col!r} not in curated columns "
+                f"{curated.columns}; pass partition_col= for this corpus"
+            )
+        write_partitioned_parquet(curated, output_path, partition_col)
     return curated
 
 

@@ -177,6 +177,8 @@ def _multiclass_from_confusion(
     }
     classes = sorted({k[0] for k in cells} | {k[1] for k in cells})
     total = sum(cells.values())
+    if total == 0:  # empty test frame — degrade like an all-wrong model
+        return {"accuracy": 0.0, "precision": 0.0, "recall": 0.0, "f1": 0.0}
     correct = sum(n for (lab, pred), n in cells.items() if lab == pred)
     prec_w = rec_w = f1_w = 0.0
     for c in classes:

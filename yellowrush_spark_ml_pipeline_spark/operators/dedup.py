@@ -248,6 +248,10 @@ def dedup_groups(
         prev_cached = updated
         if changed == 0:
             break
+    # The convergence count materialized the final cached label frame, so
+    # the edge cache is no longer on the hot path — free it (a cache
+    # eviction would recompute through `pairs`, correct but slower).
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
 
 

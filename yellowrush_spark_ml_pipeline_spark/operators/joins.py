@@ -39,7 +39,10 @@ def asof_join(
     O(|left|x|right|) per key before picking the max, which is exactly
     the plan that dies at 100 TB. Right rows order before left rows on
     timestamp ties so a same-instant state IS visible to the left row
-    (matching ``ASOF JOIN``'s >= semantics)."""
+    (matching ``ASOF JOIN``'s >= semantics). Multiple right rows tied on
+    (key, ts) resolve deterministically by ordering on the value columns
+    (largest wins) — without the tiebreak the winner would depend on
+    shuffle order."""
     vals = list(value_cols)
     l_tagged = left.select(
         F.col(key).alias("_k"),
@@ -59,7 +62,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(F.col("_ts"), F.col("_side"), *[F.col(f"_rv_{c}") for c in vals])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tagged.unionByName(r_tagged)
@@ -156,7 +159,15 @@ def salted_join(
     sort-merge case automatically; explicit salting remains the tool when
     the skewed side feeds an aggregation or the join is shuffled-hash.
     Replication multiplies only the DIM side (×salt_buckets) — use for
-    fact-dim joins where the dim is modest, never fact-fact."""
+    fact-dim joins where the dim is modest, never fact-fact. Only inner
+    and left joins are supported: any dim-preserving type (right/full)
+    would emit one null-extended row per salt replica for unmatched dim
+    keys."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: "
+            "dim-preserving types duplicate unmatched dim rows per salt"
+        )
     on_cols = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     fact_s = fact.withColumn("_salt", salt)
@@ -241,10 +252,5 @@ def star_join(
     out = fact
     for entry in dims:
         dim, on, bcast = entry if len(entry) == 3 else (*entry, None)
-        on_cols = [on] if isinstance(on, str) else list(on)
-        if bcast is True:
-            dim = F.broadcast(dim)
-        elif bcast is False:
-            dim = dim.hint("merge")
-        out = out.join(dim, on_cols, how)
+        out = broadcast_dim_join(out, dim, on, how, broadcast=bcast)
     return out

@@ -74,10 +74,20 @@ def streaming_user_totals(
     sketches, per-key model state, …) while keeping the state-store
     contract."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import NumericType
 
+    # Output/key types derive from the declared source schema — a string
+    # key or non-numeric value would otherwise fail deep inside the
+    # micro-batch's Arrow conversion instead of at call time.
+    key_type = schema[user_col].dataType
+    if not isinstance(schema[value_col].dataType, NumericType):
+        raise TypeError(
+            f"value_col {value_col!r} must be numeric, got "
+            f"{schema[value_col].dataType.simpleString()}"
+        )
     out_schema = StructType(
         [
-            StructField(user_col, LongType()),
+            StructField(user_col, key_type),
             StructField("event_count", LongType()),
             StructField("value_sum", DoubleType()),
         ]

@@ -71,6 +71,20 @@ def sliding_window_agg(
     )
 
 
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _duration_seconds(level: str) -> int:
+    qty, unit = level.strip().split()
+    return int(qty) * _DURATION_UNITS[unit.lower()]
+
+
 def hypertable_rollup(
     df: DataFrame,
     ts_col: str = "ts",
@@ -91,7 +105,20 @@ def hypertable_rollup(
 
     Returns {level: DataFrame(window_start, *keys, event_count,
     value_sum)}. Each level's frame is lazy; persist intermediate tiers
-    when materializing several."""
+    when materializing several.
+
+    Levels must NEST (each must be an exact multiple of the previous):
+    re-aggregating a finer tier's window START into a non-multiple width
+    silently assigns boundary-straddling buckets to the wrong coarse
+    bucket, so non-nesting levels are rejected up front."""
+    secs = [_duration_seconds(lv) for lv in levels]
+    for finer, coarser, f_lv, c_lv in zip(secs, secs[1:], levels, levels[1:]):
+        if coarser % finer != 0:
+            raise ValueError(
+                f"hypertable levels must nest: {c_lv!r} is not a multiple "
+                f"of {f_lv!r} — tier re-aggregation would misassign "
+                "boundary-straddling buckets"
+            )
     out: dict[str, DataFrame] = {}
     prev: DataFrame | None = None
     for level in levels:
