@@ -154,6 +154,60 @@ def test_sessionize_breaks_exactly_on_gap(spark, gaps, gap_minutes):
     assert got == want
 
 
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+                max_codepoint=0x2FF,
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_tokens_match_python_model(spark, texts):
+    """`tokens` (split on non-letter/digit runs, lowercased, no empties)
+    must agree with the plain-Python re model — the dedup stack's shingle
+    alphabet rides on this."""
+    import re
+
+    from yellowrush_spark_ml_pipeline_spark.functions.text import tokens
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r.tok for r in df.select(tokens(F.col("text")).alias("tok")).collect()]
+    want = [
+        [t for t in re.split(r"[\W_]+", s.lower(), flags=re.UNICODE) if t]
+        for s in texts
+    ]
+    assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@_SETTINGS
+def test_shingles_count_and_first(spark, words, n):
+    from yellowrush_spark_ml_pipeline_spark.functions.text import shingles, tokens
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], ["text"])
+    sh = [
+        r.s
+        for r in df.select(
+            shingles(tokens(F.col("text")), n).alias("s")
+        ).collect()
+    ][0]
+    assert len(sh) == max(len(words) - n, 0) + 1
+    assert sh[0] == " ".join(words[:n])
+
+
 @given(x=st.floats(min_value=-50, max_value=50, allow_nan=False))
 @_SETTINGS
 def test_range_predicate_unbounded_sides(spark, x):
