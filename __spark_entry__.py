@@ -343,6 +343,22 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority class by total price — the row_number
+    window pattern (one shuffle on the group key, no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: sort + limit with a total order (unique-key tiebreak)."""
     orders = _t(spark, sf_dir, "orders")
@@ -678,6 +694,25 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus profile: posexplode the embedding arrays and
+    aggregate each dimension — the drift/normalization check a vector
+    pipeline runs before indexing. Values go through a deterministic
+    DECIMAL(28,18) rounding so sums are order-independent and
+    cross-engine exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+    )
+    dec = F.col("val").cast("decimal(28,18)")
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 8).alias("mean_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector math sanity surface: dims + L2 norm per embedding (exact,
     sequential fold in both engines)."""
@@ -905,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_avg_global_fill": q_hist_avg_global_fill,
         "star_join": q_star_join,
         "dim_join_null_fill": q_dim_join_null_fill,
+        "top_per_group": q_top_per_group,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "semi_join": q_semi_join,
@@ -1072,6 +1109,30 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem li
             LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25) p
               ON li.l_partkey = p.p_partkey
+        """,
+        "top_per_group": """
+            SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS INT) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "embedding_dim_stats": """
+            SELECT dim,
+                   COUNT(*) AS n,
+                   ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
+                         / COUNT(*), 8) AS mean_val,
+                   MIN(val) AS min_val,
+                   MAX(val) AS max_val
+            FROM (
+                SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       unnest(embedding) AS val
+                FROM embeddings
+            )
+            GROUP BY dim
         """,
         "asof_join": """
             SELECT c.event_id, c.user_id, p.purchase_value
