@@ -676,6 +676,17 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(docs).select("doc_id", "lang", "lang_pred")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing (rows-only: Bernoulli sampling isn't
+    SQL-replicable): downsample the dominant language, keep the tail —
+    statistical bounds asserted in tests/test_extensions.py."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = cleaning.stratified_sample(
+        docs, "lang", {"en": 0.3}, seed=42, default_fraction=1.0
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("doc_count"))
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup of the text layer: per-language doc counts,
     token totals, and mean quality score — the profiling aggregate a
@@ -969,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
         "language_id": q_language_id,
+        "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "embedding_norms": q_embedding_norms,
         "similarity_bruteforce": q_similarity_bruteforce,

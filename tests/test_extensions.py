@@ -249,6 +249,34 @@ def test_simhash_near_dups_differ_in_few_bits(spark, planted_docs):
     assert planted_mean <= rand_mean - 5, (planted_mean, rand_mean)
 
 
+def test_stratified_sample_rebalances(spark, sf_small):
+    """Downsampling the dominant stratum: en ~30% kept (binomial bounds),
+    every other language kept in full, deterministic for a fixed seed."""
+    from yellowrush_spark_ml_pipeline_spark.operators.cleaning import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = stratified_sample(docs, "lang", {"en": 0.3}, seed=42, default_fraction=1.0)
+    got = {r.lang: r.n for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # non-en strata fully kept
+    for lang, n in full.items():
+        if lang != "en":
+            assert got[lang] == n, (lang, got.get(lang), n)
+    # en within generous binomial bounds around 0.3
+    assert 0.15 * full["en"] <= got["en"] <= 0.45 * full["en"], got["en"]
+    # deterministic for fixed seed within a session
+    again = {
+        r.lang: r.n
+        for r in stratified_sample(docs, "lang", {"en": 0.3}, seed=42, default_fraction=1.0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == got
+
+
 def test_sketch_stats_error_bounds(spark, sf_small):
     """HLL++ distinct and approximate percentiles must land within their
     advertised error of the exact answers."""

@@ -46,3 +46,27 @@ def drop_nulls(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
 def fill_nulls(df: DataFrame, values: Mapping[str, object]) -> DataFrame:
     """Null fill, e.g. post-left-join (P7, nyc_taxi_final.py:563)."""
     return df.na.fill(dict(values))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[object, float],
+    seed: int = 42,
+    default_fraction: float | None = None,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (`sampleBy`) — the corpus-rebalancing
+    op of a training-data pipeline: downsample the dominant language /
+    source, keep the tail at full weight. One narrow scan, no shuffle;
+    each row flips a seed-pinned coin against its stratum's fraction.
+
+    ``default_fraction`` applies to strata absent from ``fractions``
+    (sampleBy's own default silently DROPS unlisted strata — usually not
+    what a rebalancing pass wants)."""
+    fr = dict(fractions)
+    if default_fraction is not None:
+        # strata are low-cardinality by definition (languages, sources) and
+        # sampleBy's fractions dict is driver-side by API design
+        for row in df.select(strata_col).distinct().collect():
+            fr.setdefault(row[0], default_fraction)
+    return df.sampleBy(strata_col, fr, seed=seed)
