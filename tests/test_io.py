@@ -38,6 +38,23 @@ def test_parquet_roundtrip(spark, sf_small, tmp_path):
     assert _as_sorted_rows(back, key) == _as_sorted_rows(orders, key)
 
 
+def test_target_file_size_bounds_file_count(spark, tmp_path):
+    """target_file_mb must control output file count from the plan
+    estimate: a frame estimated ~64 MB at an 8 MB target lands in several
+    files; the same frame with no target inherits upstream partitioning."""
+    df = spark.range(0, 2_000_000, 1, 4).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.rand(42).alias("v")
+    )
+    sized = str(tmp_path / "sized")
+    write_parquet(df, sized, target_file_mb=8)
+    import pathlib
+
+    n_sized = len(list(pathlib.Path(sized).glob("*.parquet")))
+    assert n_sized >= 2, "an 8 MB target on a multi-MB frame must split files"
+    back = read_parquet(spark, sized)
+    assert back.count() == 2_000_000
+
+
 def test_partitioned_roundtrip_and_pruning(spark, sf_small, tmp_path):
     orders = load_table(spark, sf_small, "orders").withColumn(
         "order_year", F.year("o_orderdate")

@@ -12,8 +12,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Plain parquet sink, overwrite by default (S5, nyc_taxi_final.py:231)."""
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the frame (column stats / scan sizes).
+    An estimate is exactly what file sizing needs — no extra job."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_file_mb: int | None = None,
+) -> None:
+    """Plain parquet sink, overwrite by default (S5, nyc_taxi_final.py:231).
+
+    ``target_file_mb`` sizes output files from Catalyst's plan estimate:
+    at scale, a sink that inherits the upstream partitioning writes either
+    thousands of KB-files (metadata pressure on every future scan) or a
+    handful of multi-GB files (no read parallelism). Parquet compresses
+    ~3-4x vs the in-memory estimate, so files land smaller than the
+    target — the knob bounds the file COUNT, which is what matters."""
+    if target_file_mb:
+        n = max(1, _plan_size_bytes(df) // (target_file_mb * 1024 * 1024))
+        df = df.repartition(n)
     df.write.mode(mode).parquet(path)
 
 
