@@ -67,6 +67,25 @@ def test_evaluate_metrics_on_empty_predictions(spark, sf_small):
     assert m["accuracy"] == 0.0 and m["f1"] == 0.0
 
 
+def test_assert_valid_gate(spark, sf_small):
+    import pytest as _pytest
+
+    from yellowrush_spark_ml_pipeline_spark.operators.aggregates import assert_valid
+
+    li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    out = assert_valid(li, nonnegative_cols=["l_quantity"])
+    assert out["row_count"] > 0
+
+    bad = li.withColumn(
+        "l_quantity", F.when(F.col("l_orderkey") % 100 == 0, -1.0).otherwise(F.col("l_quantity"))
+    )
+    with _pytest.raises(ValueError, match="negative_l_quantity"):
+        assert_valid(bad, nonnegative_cols=["l_quantity"])
+
+    with _pytest.raises(ValueError, match="empty"):
+        assert_valid(li.filter(F.lit(False)))
+
+
 def test_operators_on_empty_input(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").filter(F.lit(False))
     assert dedup.exact_dedup(docs).count() == 0

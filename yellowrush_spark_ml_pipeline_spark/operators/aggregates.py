@@ -147,6 +147,29 @@ def approx_stats(
     return df.agg(*aggs)
 
 
+def assert_valid(
+    df: DataFrame,
+    date_col: str | None = None,
+    nonnegative_cols: Sequence[str] = (),
+    require_rows: bool = True,
+) -> dict:
+    """D10 as a HARD gate: run `validate_table` and raise ``ValueError``
+    on any violation (nulls, negatives, empty table) instead of returning
+    numbers for a human to eyeball — the operational form of the
+    reference's show()-and-look checks. Returns the validation dict on
+    success for logging."""
+    row = validate_table(df, date_col, nonnegative_cols).first().asDict()
+    problems = []
+    if require_rows and row["row_count"] == 0:
+        problems.append("table is empty")
+    for k, v in row.items():
+        if (k.startswith("nulls_") or k.startswith("negative_")) and v:
+            problems.append(f"{k}={v}")
+    if problems:
+        raise ValueError(f"validation failed: {', '.join(problems)}")
+    return row
+
+
 def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """df.summary() analogue (A7, nyc_taxi_final.py:338) restricted to
     named columns; uses exact count + decimal mean + min/max (the

@@ -34,7 +34,9 @@ def write_parquet(
     target — the knob bounds the file COUNT, which is what matters."""
     if target_file_mb:
         n = max(1, _plan_size_bytes(df) // (target_file_mb * 1024 * 1024))
-        df = df.repartition(n)
+        current = df.rdd.getNumPartitions()
+        # shrinking -> coalesce (narrow, no shuffle); growing -> repartition
+        df = df.coalesce(n) if n < current else df.repartition(n)
     df.write.mode(mode).parquet(path)
 
 
