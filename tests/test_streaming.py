@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
 from yellowrush_spark_ml_pipeline_spark.streaming import (
     streaming_dedup,
+    streaming_enrich,
     streaming_user_totals,
     streaming_window_agg,
 )
@@ -116,6 +117,45 @@ def test_streaming_dedup_across_batches(spark, sf_small, tmp_path):
     out = spark.sql("SELECT fp, count(*) AS n FROM dedup_stream_test GROUP BY fp").collect()
     assert len(out) == 60  # every distinct fingerprint exactly once
     assert all(r.n == 1 for r in out), "cross-batch duplicate leaked through"
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, sf_small, tmp_path):
+    """Stream-static join: streamed events enriched with a static user
+    dim must equal the batch broadcast join, including left-join nulls."""
+    events = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    src = str(tmp_path / "enrich_src")
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+    # static dim covering only even user ids → odd ones exercise the left-null path
+    dim = (
+        events.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    stream_df = streaming_enrich(
+        spark, src, spark.read.parquet(src).schema, dim, on="user_id"
+    )
+    assert stream_df.isStreaming
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+    got = {
+        (r.event_id): (r.user_id, r.tier)
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    want = {
+        r.event_id: (r.user_id, r.tier)
+        for r in events.join(dim, "user_id", "left").collect()
+    }
+    assert got == want
+    assert any(t is None for _, t in got.values())  # left-null path exercised
 
 
 def test_stateful_user_totals_accumulate_across_batches(spark, sf_small, tmp_path):

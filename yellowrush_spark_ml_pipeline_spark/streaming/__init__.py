@@ -1,4 +1,4 @@
-from .stateful import streaming_dedup, streaming_user_totals
+from .stateful import streaming_dedup, streaming_enrich, streaming_user_totals
 from .windows import (
     hypertable_rollup,
     session_window_agg,
@@ -14,6 +14,7 @@ __all__ = [
     "sessionize",
     "sliding_window_agg",
     "streaming_dedup",
+    "streaming_enrich",
     "streaming_user_totals",
     "streaming_window_agg",
     "tumbling_window_agg",

@@ -55,6 +55,32 @@ def streaming_dedup(
     return stream.dropDuplicates(dedup_cols)
 
 
+def streaming_enrich(
+    spark,
+    source_path: str,
+    schema: StructType,
+    dim: "DataFrame",
+    on: str,
+    how: str = "left",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the live
+    stream against a static dimension (user profile, weather, parts).
+
+    The static side is broadcast — per micro-batch there is no shuffle of
+    the stream, exactly the J2/D9 pattern lifted to streaming. The dim is
+    re-resolved per batch, so a dim backed by a table picks up slowly-
+    changing updates without restarting the query."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def streaming_user_totals(
     spark,
     source_path: str,
