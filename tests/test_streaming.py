@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
 from yellowrush_spark_ml_pipeline_spark.streaming import (
+    stream_to_parquet,
     streaming_dedup,
     streaming_enrich,
     streaming_user_totals,
@@ -156,6 +157,48 @@ def test_stream_static_enrichment_matches_batch_join(spark, sf_small, tmp_path):
     }
     assert got == want
     assert any(t is None for _, t in got.values())  # left-null path exercised
+
+
+def test_stream_to_parquet_foreachbatch_sink(spark, sf_small, tmp_path):
+    """foreachBatch sink: streamed source lands as (transformed,
+    partitioned) parquet equal to the batch computation, with a
+    checkpoint directory committed per epoch."""
+    import pathlib
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "sink_src")
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    query = stream_to_parquet(
+        stream,
+        out,
+        ckpt,
+        partition_cols=["event_type"],
+        transform=lambda df: df.withColumn("value2", F.col("value") * 2),
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert set(back.columns) == {"event_id", "user_id", "event_type", "value", "value2"}
+    s = back.agg(F.sum("value2")).first()[0]
+    want = events.agg(F.sum("value") * 2).first()[0]
+    assert abs(s - want) < 1e-6
+    # hive layout + committed checkpoint epochs
+    assert any(p.name.startswith("event_type=") for p in pathlib.Path(out).iterdir())
+    assert (pathlib.Path(ckpt) / "commits").exists()
 
 
 def test_stateful_user_totals_accumulate_across_batches(spark, sf_small, tmp_path):

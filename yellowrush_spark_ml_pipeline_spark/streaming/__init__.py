@@ -1,3 +1,4 @@
+from .sinks import stream_to_parquet
 from .stateful import streaming_dedup, streaming_enrich, streaming_user_totals
 from .windows import (
     hypertable_rollup,
@@ -13,6 +14,7 @@ __all__ = [
     "session_window_agg",
     "sessionize",
     "sliding_window_agg",
+    "stream_to_parquet",
     "streaming_dedup",
     "streaming_enrich",
     "streaming_user_totals",
