@@ -343,6 +343,48 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window frame: per-user moving average over the last 3
+    events (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the bounded-frame
+    complement to the unbounded frames in sessionize/window_enrich."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg_3"),
+        F.count(F.lit(1)).over(w).alias("frame_size"),
+    )
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): rows whose join key is NULL match
+    each other instead of silently dropping — the semantics audits need
+    when keys are incomplete."""
+    ev = _t(spark, sf_dir, "events")
+    # make a keyed view with some NULL keys on both sides
+    left = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        F.when(F.col("user_id") % 10 != 0, F.col("user_id")).alias("k"),
+    )
+    right = (
+        ev.filter(F.col("event_id") % 11 == 0)
+        .select(F.when(F.col("user_id") % 10 != 0, F.col("user_id")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("right_n"))
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["k"]), "inner")
+        .select("event_id", left["k"].alias("k"), "right_n")
+    )
+
+
 def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per priority class by total price — the row_number
     window pattern (one shuffle on the group key, no global sort)."""
@@ -952,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": q_star_join,
         "dim_join_null_fill": q_dim_join_null_fill,
         "top_per_group": q_top_per_group,
+        "moving_average": q_moving_average,
+        "null_safe_join": q_null_safe_join,
         "embedding_dim_stats": q_embedding_dim_stats,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1121,6 +1165,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem li
             LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25) p
               ON li.l_partkey = p.p_partkey
+        """,
+        "moving_average": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS frame_size
+            FROM events
+        """,
+        "null_safe_join": """
+            SELECT l.event_id, l.k, r.right_n
+            FROM (SELECT event_id,
+                         CASE WHEN user_id % 10 <> 0 THEN user_id END AS k
+                  FROM events WHERE event_id % 7 = 0) l
+            JOIN (SELECT CASE WHEN user_id % 10 <> 0 THEN user_id END AS k,
+                         COUNT(*) AS right_n
+                  FROM events WHERE event_id % 11 = 0 GROUP BY 1) r
+              ON l.k IS NOT DISTINCT FROM r.k
         """,
         "top_per_group": """
             SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
