@@ -88,7 +88,12 @@ def test_oracle_parity(name, spark, duck):
     assert name in QUERIES, f"oracle_sql has {name} but queries() does not"
     sdf = QUERIES[name](spark, SF_DIR)
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    # Through pandas like the driver: a NULL in an integer column renders
+    # the WHOLE column float64 on either engine, so comparing collect()
+    # ints against pandas floats would flag spurious type mismatches that
+    # the driver's pandas-vs-pandas hash never sees.
+    spark_pd = sdf.toPandas()
+    spark_rows = [tuple(r) for r in spark_pd.itertuples(index=False, name=None)]
 
     duck_df = duck.execute(ORACLES[name]).fetchdf()
     duck_cols = list(duck_df.columns)
