@@ -718,6 +718,33 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(docs).select("doc_id", "lang", "lang_pred")
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with planted contacts (the fixtures contain none):
+    per-pattern counts + redacted length, oracle-mirrored with identical
+    RE2/Java-portable regexes."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://site.example/x or 10.0.0.1 ."),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = textstats.redact_pii(salted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_url",
+        "n_ipv4",
+        F.length("redacted_text").alias("redacted_len"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rebalancing (rows-only: Bernoulli sampling isn't
     SQL-replicable): downsample the dominant language, keep the tail —
@@ -1024,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
         "language_id": q_language_id,
+        "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "embedding_norms": q_embedding_norms,
@@ -1471,6 +1499,33 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 )
             )
+        """,
+        "pii_redaction": r"""
+            WITH salted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com via https://site.example/x or 10.0.0.1 .'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_url,
+                   CAST(len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ipv4,
+                   length(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                                   '[REDACTED]', 'g'),
+                               'https?://[^\s]+', '[REDACTED]', 'g'),
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                           '[REDACTED]', 'g')
+                   ) AS redacted_len
+            FROM salted
         """,
         "lang_scores": r"""
             SELECT doc_id,

@@ -110,3 +110,35 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit rolling-hash document fingerprint column."""
     return df.withColumn("fingerprint", rolling_fingerprint(F.col(text_col)))
+
+
+# Deliberately simple, engine-portable patterns (no backrefs/lookaheads —
+# valid in both Java regex and RE2, so the DuckDB oracle can mirror them).
+# A production pass adds locale-specific patterns and an NER model via
+# pandas UDF; the plumbing (count → redact → audit) is identical.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """PII scrub for training corpora: per-pattern match counts (the audit
+    trail) + a redacted text column. Pure regexp built-ins — one narrow
+    map stage fused into the scan, no Python."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    redacted = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)),
+        )
+        redacted = F.regexp_replace(redacted, pat, replacement)
+    return out.withColumn("redacted_text", redacted)
