@@ -169,6 +169,19 @@ def test_curate_corpus_flow(spark, sf_small, tmp_path):
     curated.unpersist()
 
 
+def test_curate_corpus_redacts_pii(spark, sf_small):
+    from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" mail me: a.b@example.com"))
+    )
+    curated = curate_corpus(docs, min_quality=0.0, jaccard_threshold=0.9, redact=True)
+    leaked = curated.filter(F.col("text").contains("example.com")).count()
+    assert leaked == 0
+    assert curated.filter(F.col("text").contains("[REDACTED]")).count() > 0
+
+
 def test_preprocess_dim_csv_flow(spark, tmp_path):
     schema = StructType(
         [

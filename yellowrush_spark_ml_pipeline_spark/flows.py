@@ -169,6 +169,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.7,
     output_path: str | None = None,
     partition_col: str = "lang",
+    redact: bool = False,
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
@@ -181,8 +182,16 @@ def curate_corpus(
     column rides through untouched — no re-tokenization after the filter
     stage decides survival."""
     from .operators.dedup import dedup_groups, minhash_dedup_pairs
-    from .operators.textstats import language_id, quality_score
+    from .operators.textstats import language_id, quality_score, redact_pii
 
+    if redact:
+        # scrub BEFORE scoring/dedup so downstream stages (and the sink)
+        # never see raw contact strings
+        scrubbed = redact_pii(docs)
+        docs = scrubbed.select(
+            *[c for c in docs.columns if c != "text"],
+            F.col("redacted_text").alias("text"),
+        )
     kept = quality_score(docs).filter(F.col("quality_score") >= min_quality)
     kept = language_id(kept)
     pairs = minhash_dedup_pairs(kept, jaccard_threshold=jaccard_threshold)
