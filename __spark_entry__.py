@@ -605,6 +605,44 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse (from_json with an explicit schema — parse ONCE
+    into a struct instead of one get_json_object scan per field, the
+    shape that matters when props carries many keys) + aggregate over the
+    typed field."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — the distribution profile
+    behind sampling/outlier decisions; one hash aggregation, bin id
+    computed in codegen."""
+    orders = _t(spark, sf_dir, "orders")
+    bin_width = 50000.0
+    return (
+        orders.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / F.lit(bin_width)).cast("int")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline extension operators (SURVEY.md §2.13)
 # --------------------------------------------------------------------------
@@ -1044,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "sessionize": q_sessionize,
         "json_extract": q_json_extract,
+        "json_struct_agg": q_json_struct_agg,
+        "histogram": q_histogram,
         "dedup_exact": q_dedup_exact,
         "fingerprint_dedup": q_fingerprint_dedup,
         "multimodal_features": q_multimodal_features,
@@ -1423,6 +1463,22 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
             FROM events
+        """,
+        "json_struct_agg": """
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
+                   COUNT(*) AS n,
+                   MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events
+            GROUP BY 1
+        """,
+        "histogram": """
+            SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bin,
+                   COUNT(*) AS n,
+                   ROUND(MIN(o_totalprice), 2) AS bin_min,
+                   ROUND(MAX(o_totalprice), 2) AS bin_max
+            FROM orders
+            GROUP BY 1
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
