@@ -964,7 +964,9 @@ def q_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M0-M8 end-to-end: labels → categorical encoding (StringIndexer+OHE,
     the reference's always-on path at nyc_taxi_final.py:581-596) → sample →
-    split → RF fit → cached-eval → one metrics row. Seed-pinned (seed=42)."""
+    split → RF fit → cached-eval → one metrics row. Seed-pinned (seed=42).
+    Rows-only: models/vectors aren't SQL-expressible; seed-pinned metric
+    bands are asserted in tests/test_ml.py instead."""
     from yellowrush_spark_ml_pipeline_spark.ml import (
         encode_categorical,
         evaluate_binary,

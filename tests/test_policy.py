@@ -1,0 +1,90 @@
+"""Mechanical enforcement of the engine's scale rules: the source tree
+itself must stay free of driver-side collection and row-at-a-time Python
+in hot paths. A new `.collect()` or `udf(` in an operator module is a
+design regression even if every functional test stays green.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+SRC = pathlib.Path(__file__).resolve().parents[1] / "yellowrush_spark_ml_pipeline_spark"
+
+# Files allowed to touch the driver, with the bounded reason:
+COLLECT_ALLOWED = {
+    "operators/cleaning.py",  # sampleBy fractions dict is driver-side by API
+    "ml/pipelines.py",  # model metrics / importances are tiny driver objects
+    "operators/aggregates.py",  # assert_valid reads its 1-row validation
+    "flows.py",  # validate_preprocessed reads its 1-row validation
+    "operators/similarity.py",  # IVF centroids are driver-small by construction
+}
+
+
+def _src_files():
+    return [p for p in SRC.rglob("*.py")]
+
+
+def test_no_unapproved_driver_collects():
+    offenders = []
+    for p in _src_files():
+        rel = str(p.relative_to(SRC))
+        if rel in COLLECT_ALLOWED:
+            continue
+        text = p.read_text()
+        for m in re.finditer(r"\.(collect|toPandas|collectAsList)\(", text):
+            line = text[: m.start()].count("\n") + 1
+            offenders.append(f"{rel}:{line} {m.group(0)}")
+    assert not offenders, (
+        "driver-side collection outside the allowlist (add a bounded-size "
+        f"justification or redesign): {offenders}"
+    )
+
+
+def test_no_row_at_a_time_python_udfs():
+    """Row-wise Python UDFs are banned everywhere; the only Python
+    boundary is Arrow-batched (mapInPandas / applyInPandasWithState)."""
+    offenders = []
+    for p in _src_files():
+        text = p.read_text()
+        for m in re.finditer(r"\bF\.udf\(|\@udf\b|functions\.udf\(", text):
+            line = text[: m.start()].count("\n") + 1
+            offenders.append(f"{p.relative_to(SRC)}:{line}")
+    assert not offenders, f"row-at-a-time Python UDFs found: {offenders}"
+
+
+RDD_ALLOWED = {
+    "sources/writers.py",  # .rdd.getNumPartitions() — metadata read, no job
+}
+
+
+def test_no_rdd_api_usage():
+    """The engine is DataFrame-only: no .rdd drops (they bypass Catalyst
+    and Tungsten entirely)."""
+    offenders = []
+    for p in _src_files():
+        if str(p.relative_to(SRC)) in RDD_ALLOWED:
+            continue
+        text = p.read_text()
+        for m in re.finditer(r"\.rdd\b", text):
+            line = text[: m.start()].count("\n") + 1
+            offenders.append(f"{p.relative_to(SRC)}:{line}")
+    assert not offenders, f".rdd usage found: {offenders}"
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    """Contract completeness: every queries() entry either has an
+    oracle_sql() or its docstring says why not (rows-only rationale)."""
+    import __spark_entry__ as entrymod
+
+    oracles = set(entrymod.oracle_sql())
+    missing = []
+    for name, fn in entrymod.queries().items():
+        if name in oracles:
+            continue
+        doc = (fn.__doc__ or "").lower()
+        if not any(k in doc for k in ("rows-only", "rows only", "no oracle")):
+            missing.append(name)
+    assert not missing, (
+        f"queries without oracle or documented rows-only rationale: {missing}"
+    )
