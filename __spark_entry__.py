@@ -335,10 +335,23 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: parts never appearing in any lineitem (NOT EXISTS)."""
+    """Anti join: parts never appearing in any lineitem (NOT EXISTS).
+
+    Every fixture part IS referenced by some lineitem, so 20 phantom
+    parts (ids beyond the real key range) are unioned in — the anti-join
+    provably keeps exactly the unmatched rows instead of passing 0==0
+    vacuously."""
     part = _t(spark, sf_dir, "part")
+    phantom = part.filter(F.col("p_partkey") < 20).select(
+        (F.col("p_partkey") + 90000000).alias("p_partkey"),
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    )
     li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
-    return joins.anti_join(part, li, "p_partkey").select(
+    return joins.anti_join(part.unionByName(phantom), li, "p_partkey").select(
         "p_partkey", "p_name", "p_retailprice"
     )
 
@@ -1309,7 +1322,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT p_partkey, p_name, p_retailprice
-            FROM part p
+            FROM (
+                SELECT * FROM part
+                UNION ALL
+                SELECT p_partkey + 90000000, p_name, p_brand, p_type, p_size,
+                       p_retailprice
+                FROM part WHERE p_partkey < 20
+            ) p
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                               WHERE l.l_partkey = p.p_partkey)
         """,
