@@ -102,20 +102,38 @@ def q_date_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: per-column null counts in one pass (nyc_taxi_final.py:214-216)."""
-    ev = _t(spark, sf_dir, "events")
-    return aggregates.null_counts(ev, ["event_id", "user_id", "event_type", "value", "props"])
+    """A2: per-column null counts in one pass (nyc_taxi_final.py:214-216).
+
+    The fixtures are null-free, so rows with planted nulls are unioned in
+    — all-zero output proved only the identity case (the anti_join /
+    dedup_exact vacuity class)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    planted = ev.filter(F.col("event_id") < 30).select(
+        (F.col("event_id") + 10000000).alias("event_id"),
+        F.when(F.col("event_id") % 2 == 0, F.col("user_id")).alias("user_id"),
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    return aggregates.null_counts(
+        ev.unionByName(planted), ["event_id", "user_id", "event_type", "value", "props"]
+    )
 
 
 def q_invalid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: named conditional counts (nyc_taxi_final.py:220-222)."""
+    """A3: named conditional counts (nyc_taxi_final.py:220-222). The
+    high_discount predicate fires on ~15% of rows so the counting
+    mechanism is proven on non-zero values, not just the clean-data
+    zeros."""
     li = _t(spark, sf_dir, "lineitem")
     return aggregates.invalid_counts(
         li,
         {
             "neg_quantity": F.col("l_quantity") <= 0,
             "neg_price": F.col("l_extendedprice") < 0,
-            "bad_discount": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            "high_discount": F.col("l_discount") > 0.08,
         },
     )
 
@@ -1154,12 +1172,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type,
                    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value,
                    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props
-            FROM events
+            FROM (
+                SELECT event_id, user_id, event_type, value, props FROM events
+                UNION ALL
+                SELECT event_id + 10000000,
+                       CASE WHEN event_id % 2 = 0 THEN user_id END,
+                       event_type,
+                       CASE WHEN event_id % 3 = 0 THEN value END,
+                       NULL
+                FROM events WHERE event_id < 30
+            )
         """,
         "invalid_counts": """
             SELECT CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_quantity,
                    CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
-                   CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount
+                   CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS high_discount
             FROM lineitem
         """,
         "range_filter": """
