@@ -88,3 +88,20 @@ def test_every_query_has_oracle_or_documented_exemption():
     assert not missing, (
         f"queries without oracle or documented rows-only rationale: {missing}"
     )
+
+
+def test_oracle_backed_queries_precede_rows_only():
+    """A driver that verifies only a prefix of queries() must still see every
+    oracle-backed entry: all keys with oracle SQL come before all keys
+    without (the r2 driver capped at 50 entries and silently skipped three
+    finished oracles)."""
+    import __spark_entry__ as entrymod
+
+    order = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    flags = [name in oracles for name in order]
+    first_rows_only = flags.index(False) if False in flags else len(flags)
+    trailing_oracles = [n for n in order[first_rows_only:] if n in oracles]
+    assert not trailing_oracles, (
+        f"oracle-backed queries listed after rows-only ones: {trailing_oracles}"
+    )

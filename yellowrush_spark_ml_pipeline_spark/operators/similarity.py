@@ -166,6 +166,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 8,
+    fit_fraction: float = 0.25,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next
     to SRP-LSH (`lsh_topk`).
@@ -174,9 +175,13 @@ def ivf_topk(
     probing the lists nearest the query, not on a fully-converged
     clustering, and each iteration is a driver-coordinated job.
 
-    Index: a seed-pinned MLlib KMeans coarse quantizer assigns every corpus
-    vector to its nearest of ``n_lists`` centroids (one narrow ML transform;
-    at 100 TB the model is fit on a sample and the assignment is a scan).
+    ``fit_fraction`` bounds what the iterative quantizer ever reads: the
+    KMeans fit runs on a seed-pinned Bernoulli sample of the corpus, while
+    list assignment stays a single full scan. Coarse centroids only need
+    enough points to place ``n_lists`` cells over the data distribution, so
+    a sample is statistically sufficient — and at 100 TB it is the
+    difference between ``max_iter`` passes over a sample vs over the whole
+    corpus. ``fit_fraction=1.0`` restores a full-corpus fit.
     Search: each query probes its ``n_probe`` nearest centroids — the probe
     assignment happens on the tiny broadcast query side — and exact cosine
     runs only inside the probed lists, cutting scored candidates to
@@ -196,7 +201,8 @@ def ivf_topk(
         featuresCol="_features",
         predictionCol="_list",
     )
-    model = km.fit(cv)
+    fit_df = cv if fit_fraction >= 1.0 else cv.sample(fraction=fit_fraction, seed=seed)
+    model = km.fit(fit_df)
     assigned = model.transform(cv).select(id_col, "_cv", "_list")
 
     # Query-side probe assignment: distances to all centroids as a literal
