@@ -720,16 +720,22 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only): synthetic binary payloads →
-    Arrow-batched mapInPandas decode/featurize (decode is a clearly-marked
-    deterministic stub — no codec libs in this container; the Spark-side
-    schema/batching/UDF shape is the real artifact). sf-independent."""
+    """Multimodal decode/featurize (rows-only: binary payloads + mapInPandas
+    aren't SQL-expressible): opaque synthetic payloads go through the
+    documented stub, while real 24-bit BMP and 16-bit PCM WAV payloads are
+    PARSED — pure-Python decoders inside the same Arrow-batched UDF
+    (operators/multimodal.py). sf-independent."""
     from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
         extract_features,
+        synthetic_decodable_media,
         synthetic_media,
     )
 
-    media = synthetic_media(spark, n=96)
+    media = synthetic_media(spark, n=96).unionByName(
+        synthetic_decodable_media(spark, n=24).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+    )
     feats = extract_features(media)
     return feats.select(
         "media_id",

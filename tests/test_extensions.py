@@ -207,6 +207,43 @@ def test_dedup_groups_connected_components(spark):
     assert sorted(keeps) == [1, 10, 20, 30]
 
 
+def test_dedup_groups_star_matches_label_propagation(spark):
+    """Both algorithms implement the same contract: identical
+    (doc_id, group_id) output on chains, stars, and bridged components."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),
+            (10, 11),
+            (20, 22), (21, 22),
+            (30, 31), (32, 33), (31, 32),
+            (42, 40), (41, 40),              # edges pointing at the min
+        ],
+        ["id_a", "id_b"],
+    )
+    label = {(r.doc_id, r.group_id) for r in dedup.dedup_groups(pairs).collect()}
+    star = {
+        (r.doc_id, r.group_id)
+        for r in dedup.dedup_groups(pairs, algorithm="star").collect()
+    }
+    assert label == star
+
+
+def test_dedup_groups_long_chain(spark):
+    """Adversarial 500-node path graph (diameter 499). Min-label
+    propagation needs O(diameter) sweeps — far past any sane cap — while
+    large-star/small-star halves depth each round and must converge to a
+    single component within the default 20-round cap (log2(500) ≈ 9)."""
+    n = 500
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = dedup.dedup_groups(chain, algorithm="star")
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.group_id for r in rows} == {0}, "chain did not collapse to root 0"
+    assert {r.doc_id for r in rows} == set(range(n))
+
+
 def test_dedup_groups_end_to_end_with_minhash(spark, planted_docs):
     """Full curation path: minhash pairs → components → drop list. The 20
     planted near-dups must each group with their source doc."""
@@ -317,6 +354,74 @@ def test_multimodal_arrow_path(spark):
     # deterministic across runs (same payload pattern → same features)
     again = {r.media_id: r.feature for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_multimodal_real_bmp_decode(spark):
+    """A planted known-pixel BMP must decode to its KNOWN content features
+    — this is real parsing (header, bottom-up rows, BGR order, padding),
+    not the byte-statistic stub."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        extract_features,
+    )
+
+    # 2x2: red, green / blue, white — means are exactly computable.
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    bmp = encode_bmp(px)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), "image/bmp", 2, 2, None)], MEDIA_SCHEMA
+    )
+    (row,) = extract_features(media).collect()
+    f = row.feature
+    assert f[7] == 2.0, "BMP must take the real-decode path, not the stub"
+    assert (f[0], f[1]) == (2.0, 2.0)  # width, height from the header
+    assert abs(f[2] - 127.5) < 1e-3  # mean R = (255+0+0+255)/4
+    assert abs(f[3] - 127.5) < 1e-3  # mean G
+    assert abs(f[4] - 127.5) < 1e-3  # mean B
+    lums = [0.299 * r + 0.587 * g + 0.114 * b for row_ in px for r, g, b in row_]
+    mean = sum(lums) / 4
+    var = sum(v * v for v in lums) / 4 - mean * mean
+    assert abs(f[5] - mean) < 1e-3
+    assert abs(f[6] - var**0.5) < 1e-3
+
+
+def test_multimodal_real_wav_decode(spark):
+    """A planted square-wave WAV must decode to its known RMS / peak /
+    zero-crossing statistics through the RIFF chunk parser."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_features,
+    )
+
+    samples = [1000 if i % 4 < 2 else -1000 for i in range(32)]
+    wav = encode_wav(samples, sample_rate=16000)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav", None, None, 2), ], MEDIA_SCHEMA
+    )
+    (row,) = extract_features(media).collect()
+    f = row.feature
+    assert f[7] == 3.0, "WAV must take the real-decode path, not the stub"
+    assert f[0] == 16000.0 and f[1] == 32.0 and f[2] == 1.0
+    assert abs(f[3] - 1000.0) < 1e-3  # square wave RMS == amplitude
+    assert f[5] == 1000.0  # peak
+    assert abs(f[4] - 15 / 32) < 1e-6  # sign flips every 2 samples
+    assert abs(f[6]) < 1e-6  # zero mean
+
+
+def test_multimodal_decodable_synthetic_table(spark):
+    """The synthetic decodable table routes every row through a REAL
+    parser (tag 2.0/3.0), never the stub (tag 1.0)."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_decodable_media,
+    )
+
+    rows = extract_features(synthetic_decodable_media(spark, n=12)).collect()
+    assert len(rows) == 12
+    tags = {r.kind: {r2.feature[7] for r2 in rows if r2.kind == r.kind} for r in rows}
+    assert tags == {"image": {2.0}, "audio": {3.0}}
 
 
 def test_multimodal_null_payload(spark):

@@ -191,21 +191,35 @@ def ngram_jaccard_verify(
 def dedup_groups(
     pairs: DataFrame,
     max_iterations: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, group_id) with
     group_id = smallest doc id in the component. THE missing last step
     between "pairs were found" and "which docs to drop": keep
     group_id == doc_id, drop the rest.
 
-    Iterative min-label propagation: every node adopts the smallest label
-    among itself and its neighbors until a fixpoint (each sweep is one
-    shuffle on node id; converges in O(diameter) sweeps — near-dup
-    components are shallow, so typically 2-4). The loop is driver-
-    coordinated but all data movement is joins/aggregations — no
-    collect(); the per-sweep convergence check is a 1-row count. An
-    explicit ``max_iterations`` bounds pathological chains (a 100 TB run
-    would switch to the large-star/small-star variant for adversarial
-    graphs)."""
+    Two algorithms behind one contract:
+
+    * ``label`` — iterative min-label propagation: every node adopts the
+      smallest label among itself and its neighbors until a fixpoint (one
+      shuffle per sweep; O(diameter) sweeps — near-dup components are
+      shallow, so typically 2-4). The fastest choice for the common case.
+    * ``star`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond"): each round halves
+      component depth, converging in O(log n) rounds regardless of
+      diameter — the choice for adversarial chain-shaped graphs
+      (see ``test_dedup_groups_long_chain``).
+
+    The loop is driver-coordinated but all data movement is
+    joins/aggregations — no collect(); convergence checks are 1-row
+    aggregates. Every per-sweep frame is ``localCheckpoint``-ed so plan
+    lineage stays O(1) in the iteration count instead of accreting the
+    whole loop history (without it, sweep N's plan contains N copies of
+    the upstream pair-generation pipeline)."""
+    if algorithm == "star":
+        return _dedup_groups_star(pairs, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}; use 'label' or 'star'")
     # Cache the symmetrized edge list: every propagation sweep joins
     # against it, and without the cache each sweep re-executes the ENTIRE
     # upstream pair-generation pipeline (e.g. the full MinHash banding) —
@@ -224,13 +238,15 @@ def dedup_groups(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    prev_cached = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # localCheckpoint (eager) materializes the sweep AND truncates
+        # lineage — each sweep's plan starts from stored blocks, not from
+        # a re-derivation of every earlier sweep.
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -240,19 +256,76 @@ def dedup_groups(
                 ).alias("label"),
                 F.col("label").alias("_old"),
             )
-        ).cache()
+        ).localCheckpoint()
         changed = updated.filter(F.col("label") != F.col("_old")).limit(1).count()
         labels = updated.select("node", "label")
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = updated
         if changed == 0:
             break
-    # The convergence count materialized the final cached label frame, so
-    # the edge cache is no longer on the hot path — free it (a cache
-    # eviction would recompute through `pairs`, correct but slower).
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def _dedup_groups_star(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Large-star/small-star connected components (O(log n) rounds).
+
+    Round = large-star (hang every node's larger neighbors off the local
+    minimum) then small-star (re-hang smaller neighbors and self off the
+    minimum). At the fixpoint the edge set is a forest of depth-1 stars
+    rooted at each component's minimum id. Convergence is detected by an
+    order-insensitive edge checksum (count + bit_xor of xxhash64; XOR
+    never overflows under ANSI mode) — two identical consecutive edge
+    sets mean fixpoint."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # All nodes, for singleton-free label emission at the end (every input
+    # node has at least one edge by construction of `pairs`).
+    prev_sig = None
+    for _ in range(max_iterations):
+        # Large-star: sym edges, m(u) = min(N(u) ∪ {u}), emit (v, m) for v > u.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star on larger→smaller edges: m(u) = min(N(u)),
+        # emit (v, m) for v ∈ N(u) \ {m} plus (u, m).
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig_row = small.agg(
+            F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        sig = (sig_row["c"], sig_row["h"])
+        edges = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    roots = edges.select(F.col("v").alias("node")).subtract(
+        edges.select(F.col("u").alias("node"))
+    )
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("group_id"))
+        .unionByName(
+            roots.select(F.col("node").alias("doc_id"), F.col("node").alias("group_id"))
+        )
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1,11 +1,13 @@
 """Multimodal (image/audio/video) column plumbing (SURVEY.md §2.13).
 
 Media is modeled as opaque ``binary`` payload columns + typed metadata
-structs, processed by Arrow-batched ``mapInPandas`` — the Spark-side shape
-(schemas, batching, partition sizing) is real and tested; the actual codec
-calls are stubbed because this container has no image/audio libraries
-(clearly marked below). Swap ``_decode_stub`` for PIL/libav calls and
-nothing else changes.
+structs, processed by Arrow-batched ``mapInPandas``. Two media kinds are
+decoded for real with dependency-free pure-Python parsers — uncompressed
+24-bit BMP images (per-channel means + luminance statistics) and 16-bit
+PCM WAV audio (RMS / zero-crossing / peak) — so the path from raw bytes to
+content features is genuinely exercised. Compressed codecs (JPEG/MP3/video)
+are stubbed because this container has no media libraries (clearly marked
+below); swap ``_decode_stub`` for PIL/libav calls and nothing else changes.
 
 Scale notes:
 * payloads stay in executors end-to-end (no driver collects);
@@ -79,13 +81,179 @@ def synthetic_media(spark, n: int = 64, payload_bytes: int = 1024) -> DataFrame:
     )
 
 
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder (test fixture / synthetic media).
+
+    ``pixels`` is rows of (r, g, b), top-down; rows are written bottom-up
+    with 4-byte padding per the format."""
+    import struct
+
+    height = len(pixels)
+    width = len(pixels[0])
+    row_pad = (4 - (width * 3) % 4) % 4
+    body = b"".join(
+        b"".join(bytes((b, g, r)) for r, g, b in row) + b"\x00" * row_pad
+        for row in reversed(pixels)
+    )
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Minimal 16-bit mono PCM WAV encoder (test fixture / synthetic media)."""
+    import array
+    import struct
+
+    data = array.array("h", samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Real decode: uncompressed 24-bit BI_RGB BMP → 8-dim content feature
+    [width, height, mean_r, mean_g, mean_b, lum_mean, lum_std, 2.0]."""
+    import math
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    sr = sg = sb = 0
+    lum_s = lum_s2 = 0.0
+    for y in range(height):
+        row = offset + (height - 1 - y if bottom_up else y) * row_stride
+        for x in range(width):
+            b, g, r = payload[row + 3 * x : row + 3 * x + 3]
+            sr += r
+            sg += g
+            sb += b
+            lum = 0.299 * r + 0.587 * g + 0.114 * b
+            lum_s += lum
+            lum_s2 += lum * lum
+    n = width * height
+    lum_mean = lum_s / n
+    lum_var = max(lum_s2 / n - lum_mean * lum_mean, 0.0)
+    return [
+        float(width),
+        float(height),
+        sr / n,
+        sg / n,
+        sb / n,
+        lum_mean,
+        math.sqrt(lum_var),
+        2.0,
+    ]
+
+
+def _decode_wav(payload: bytes) -> list[float]:
+    """Real decode: 16-bit PCM WAV → 8-dim content feature
+    [sample_rate, n_samples, channels, rms, zero_cross_rate, peak, mean, 3.0]."""
+    import array
+    import math
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV variant (format={audio_format}, bits={bits})")
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) - len(data) % 2])
+    n = len(samples) or 1
+    s = s2 = 0
+    zc = 0
+    peak = 0
+    prev_neg = samples[0] < 0 if samples else False
+    for v in samples:
+        s += v
+        s2 += v * v
+        a = -v if v < 0 else v
+        if a > peak:
+            peak = a
+        neg = v < 0
+        if neg != prev_neg:
+            zc += 1
+        prev_neg = neg
+    return [
+        float(sample_rate),
+        float(len(samples)),
+        float(channels),
+        math.sqrt(s2 / n),
+        zc / n,
+        float(peak),
+        s / n,
+        3.0,
+    ]
+
+
+def _decode(payload: bytes, kind: str) -> list[float]:
+    """Dispatch on magic bytes: real BMP/WAV parsing when the payload is one,
+    the documented stub otherwise (JPEG/MP3/video codecs absent here)."""
+    if payload is None:
+        raise NotImplementedError("no payload to decode")
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    return _decode_stub(payload, kind)
+
+
+def synthetic_decodable_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic media table whose payloads are REAL encoded formats:
+    even ids get a 4x4 24-bit BMP (solid color derived from the id), odd
+    ids a 64-sample 16-bit PCM WAV (square wave, id-derived amplitude) —
+    so `extract_features` exercises the true decode path end-to-end.
+    Driver-side generation is a bounded test/synthetic fixture (n rows),
+    not a data path."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            c = (i * 7 % 256, i * 13 % 256, i * 29 % 256)
+            payload, kind, mime = encode_bmp([[c] * 4] * 4), "image", "image/bmp"
+            w, h, dur = 4, 4, None
+        else:
+            amp = 500 + 100 * i
+            payload = encode_wav([amp if j % 8 < 4 else -amp for j in range(64)])
+            kind, mime, w, h, dur = "audio", "audio/wav", None, None, 8
+        rows.append((i, kind, bytearray(payload), mime, w, h, dur))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """STUB: deterministic fake "decode + featurize".
+    """STUB: deterministic fake "decode + featurize" for formats whose
+    codecs are not in this container (JPEG/PNG/MP3/video).
 
     Real deployment: PIL.Image.open / soundfile.read / pyav frame sample →
-    resize → model features. Not available in this container, so we emit a
-    repeatable 8-dim byte-statistic vector instead. Raises on None payload
-    like a real decoder would.
+    resize → model features. Not available here, so we emit a repeatable
+    8-dim byte-statistic vector instead. Raises on None payload like a
+    real decoder would. BMP and WAV do NOT hit this path — see
+    ``_decode_bmp`` / ``_decode_wav``.
     """
     if payload is None:
         raise NotImplementedError("no payload to decode")
@@ -113,7 +281,7 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(p, k) if p is not None else None
+                _decode(p, k) if p is not None else None
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
