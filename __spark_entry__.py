@@ -821,12 +821,14 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus rebalancing (rows-only: Bernoulli sampling isn't
-    SQL-replicable): downsample the dominant language, keep the tail —
-    statistical bounds asserted in tests/test_extensions.py."""
+    """Corpus rebalancing with the DETERMINISTIC hash-mod sampler: keep a
+    row iff Lehmer-hash(doc_id) mod 1e6 clears its stratum's threshold —
+    a pure function of the data, so the exact surviving row set is
+    oracle-checkable (the Bernoulli `sampleBy` variant stays covered by
+    statistical-bound pytests)."""
     docs = _t(spark, sf_dir, "documents")
-    sampled = cleaning.stratified_sample(
-        docs, "lang", {"en": 0.3}, seed=42, default_fraction=1.0
+    sampled = cleaning.deterministic_stratified_sample(
+        docs, "lang", {"en": 0.3}, default_fraction=1.0
     )
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("doc_count"))
 
@@ -1142,11 +1144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         "embedding_dedup": q_embedding_dedup,
         "preprocess_pipeline": q_preprocess_pipeline,
+        "stratified_sample": q_stratified_sample,
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
         "multimodal_features": q_multimodal_features,
-        "stratified_sample": q_stratified_sample,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "minhash_dedup": q_minhash_dedup,
@@ -1696,6 +1698,13 @@ def oracle_sql() -> dict[str, str]:
                    len(embedding) AS dim,
                    ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
             FROM embeddings
+        """,
+        "stratified_sample": """
+            SELECT lang, COUNT(*) AS doc_count
+            FROM documents
+            WHERE ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 <
+                  CASE WHEN lang = 'en' THEN 300000 ELSE 1000000 END
+            GROUP BY lang
         """,
         "similarity_bruteforce": """
             SELECT query_id, vec_id, rank, cosine FROM (

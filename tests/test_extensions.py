@@ -314,6 +314,40 @@ def test_stratified_sample_rebalances(spark, sf_small):
     assert again == got
 
 
+def test_deterministic_stratified_sample_exact(spark, sf_small):
+    """The hash-mod sampler is a pure function of the data: the EXACT row
+    set is predictable (Lehmer hash threshold per stratum), non-en strata
+    survive in full, and en lands near 30% — no RNG, no partitioning
+    sensitivity."""
+    from yellowrush_spark_ml_pipeline_spark.operators.cleaning import (
+        deterministic_stratified_sample,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    sampled = deterministic_stratified_sample(
+        docs, "lang", {"en": 0.3}, default_fraction=1.0
+    )
+    p, mod = 2_147_483_647, 1_000_000
+    expected = {
+        r.doc_id
+        for r in docs.select("doc_id", "lang").collect()
+        if (r.doc_id % p) * 48271 % p % mod < (300_000 if r.lang == "en" else mod)
+    }
+    got = {r.doc_id for r in sampled.select("doc_id").collect()}
+    assert got == expected
+    # repartitioning must not change the surviving set (unlike Bernoulli)
+    again = {
+        r.doc_id
+        for r in deterministic_stratified_sample(
+            docs.repartition(7), "lang", {"en": 0.3}, default_fraction=1.0
+        ).select("doc_id").collect()
+    }
+    assert again == expected
+    full_en = docs.filter(F.col("lang") == "en").count()
+    kept_en = len(expected) - docs.filter(F.col("lang") != "en").count()
+    assert 0.2 * full_en <= kept_en <= 0.4 * full_en
+
+
 def test_sketch_stats_error_bounds(spark, sf_small):
     """HLL++ distinct and approximate percentiles must land within their
     advertised error of the exact answers."""
@@ -329,6 +363,34 @@ def test_sketch_stats_error_bounds(spark, sf_small):
     approx_p = row["approx_percentiles_l_extendedprice"]
     for a, e in zip(approx_p, exact_p):
         assert abs(a - e) <= 0.05 * abs(e), (a, e)
+
+
+def test_language_id_pluggable_scorer(spark):
+    """The pandas-UDF scorer slot must route every row through the model
+    and keep the output contract identical to the heuristic path."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import language_id
+
+    def _toy_lang_scorer(texts):
+        # Stand-in for a fastText-class model: Series -> Series of codes.
+        # Defined inside the test so cloudpickle ships it by value (the
+        # test module isn't importable on executor workers).
+        return texts.str.contains("bonjour").map({True: "fr", False: "xx"})
+
+    docs = spark.createDataFrame(
+        [(1, "bonjour le monde"), (2, "the quick brown fox"), (3, "bonjour again")],
+        ["doc_id", "text"],
+    )
+    heur = language_id(docs)
+    plug = language_id(docs, scorer=_toy_lang_scorer)
+    assert heur.columns == plug.columns  # same contract either way
+    got = {r.doc_id: r.lang_pred for r in plug.collect()}
+    assert got == {1: "fr", 2: "xx", 3: "fr"}
+    # flows.curate_corpus threads the scorer through without API change
+    import inspect
+
+    from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
+
+    assert "lang_scorer" in inspect.signature(curate_corpus).parameters
 
 
 def test_multimodal_arrow_path(spark):

@@ -170,11 +170,16 @@ def curate_corpus(
     output_path: str | None = None,
     partition_col: str = "lang",
     redact: bool = False,
+    lang_scorer=None,
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
     components → keep one representative per group → hive-partitioned
     sink by language.
+
+    ``lang_scorer`` plugs a real language-ID model (pandas-UDF slot, see
+    ``textstats.language_id``) into the flow without any other change;
+    None keeps the zero-Python heuristic.
 
     This is the 100 TB shape: scoring/lang-ID are narrow map stages fused
     into the scan; dedup candidates come from banded self-joins (never
@@ -193,7 +198,7 @@ def curate_corpus(
             F.col("redacted_text").alias("text"),
         )
     kept = quality_score(docs).filter(F.col("quality_score") >= min_quality)
-    kept = language_id(kept)
+    kept = language_id(kept, scorer=lang_scorer)
     pairs = minhash_dedup_pairs(kept, jaccard_threshold=jaccard_threshold)
     groups = dedup_groups(pairs)
     # Schema-agnostic output: whatever columns the corpus came with, plus

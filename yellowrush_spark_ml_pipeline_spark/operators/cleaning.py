@@ -70,3 +70,34 @@ def stratified_sample(
         for row in df.select(strata_col).distinct().collect():
             fr.setdefault(row[0], default_fraction)
     return df.sampleBy(strata_col, fr, seed=seed)
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[object, float],
+    default_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Exact stratified sampling: keep a row iff a Lehmer hash of its id,
+    reduced mod ``modulus``, falls under its stratum's threshold.
+
+    Unlike Bernoulli ``sampleBy`` this is a pure function of the data — no
+    RNG stream, no partitioning sensitivity — so the SAME rows survive in
+    any engine, which makes the sampling surface differentially testable
+    (exact DuckDB oracle) and reproducible across reruns/backfills at
+    100 TB. The hash is the MINSTD Lehmer step ``(id % p) * 48271 % p``
+    (p = 2^31-1): multiplicative mixing whose intermediate product stays
+    < 2^47, overflow-free in strict/ANSI integer arithmetic in any engine.
+    One narrow filter — no shuffle, no collect."""
+    p = 2_147_483_647
+    h = (F.col(id_col) % F.lit(p)) * F.lit(48271) % F.lit(p) % F.lit(modulus)
+    threshold = None
+    for k, frac in fractions.items():
+        t = F.lit(int(frac * modulus))
+        cond = F.col(strata_col) == F.lit(k)
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    default_t = F.lit(int(default_fraction * modulus))
+    threshold = default_t if threshold is None else threshold.otherwise(default_t)
+    return df.filter(h < threshold)

@@ -35,13 +35,40 @@ def _marker_hits(tok: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(tok, lambda t: F.array_contains(marker_arr, t)))
 
 
-def language_id(df: DataFrame, text_col: str = "text",
-                out_col: str = "lang_pred") -> DataFrame:
-    """N-gram/stopword-heuristic language ID: score = marker hits per
-    language, argmax wins (ties → lexicographic, deterministic).
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    scorer=None,
+) -> DataFrame:
+    """Language ID with a pluggable model slot.
 
-    For zh (no whitespace tokens) we count marker *substring* occurrences.
-    """
+    ``scorer=None`` (default): the dependency-free stopword-marker
+    heuristic — pure column expressions, zero Python, fused into the scan.
+    Score = marker hits per language, argmax wins (ties → lexicographic,
+    deterministic). For zh (no whitespace tokens) we count marker
+    *substring* occurrences.
+
+    ``scorer=callable``: an Arrow-batched pandas-UDF slot for a real model
+    (fastText/CLD3-class). The callable maps a ``pd.Series`` of texts to a
+    ``pd.Series`` of language codes and is shipped to executors in the
+    task closure — load heavy model weights lazily inside the callable
+    with a module/executor-level cache so they deserialize once per
+    executor, not per batch. Same output schema either way, so
+    ``curate_corpus`` and every downstream consumer are unchanged."""
+    if scorer is not None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _score_fn(texts):
+            return scorer(texts)
+
+        # Real class objects, not strings: this module's
+        # `from __future__ import annotations` would stringify inline
+        # hints and break pandas_udf's signature inference.
+        _score_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        _score = pandas_udf(_score_fn, "string")
+        return df.withColumn(out_col, _score(F.col(text_col)))
     tok = tokens(F.col(text_col))
     scores = []
     for lang, markers in sorted(_LANG_MARKERS.items()):
