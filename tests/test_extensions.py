@@ -365,6 +365,98 @@ def test_sketch_stats_error_bounds(spark, sf_small):
         assert abs(a - e) <= 0.05 * abs(e), (a, e)
 
 
+def test_minhash_banded_join_under_planted_skew(spark):
+    """Boilerplate-skew proof for the dedup path (dedup.py:12-14 risk):
+    one boilerplate sentence stamped into 40% of docs creates a hot
+    (band_id, band_hash) bucket. The banded self-join must (a) still
+    complete under the skew, and (b) with the max_bucket_size guard, skip
+    the quadratic boilerplate bucket while keeping genuine planted
+    near-dup candidates.
+
+    Why the guard is row-count-based and not left to AQE (measured, not
+    assumed — see test_aqe_skew_split_engages_for_byte_visible_skew for
+    the byte-visible case): a boilerplate bucket's shuffle rows share
+    identical (band_id, band_hash) keys, which LZ4 collapses in the map
+    outputs, so MapStatus BYTE sizes under-report exactly the partitions
+    that are row-wise quadratic — AQE's byte-threshold skew detection
+    structurally under-fires here, and even when it fires it rebalances
+    the shuffle without shrinking the O(B²) pair output. Capping bucket
+    membership is the only fix that bounds the output itself."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    boiler = "this content is provided as is without warranty of any kind " * 5
+    docs = []
+    for i in range(1500):
+        body = " ".join(rng.choice(vocab) for _ in range(60))
+        if i % 5 in (0, 1):  # 40% carry the boilerplate + tiny unique tail
+            docs.append((i, boiler + " " + body[:20]))
+        else:
+            docs.append((i, body))
+    # genuine near-dups: suffix-mutated copies of 20 clean docs
+    for i in range(2, 100, 5):
+        docs.append((200000 + i, docs[i][1] + " tail x y"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sigs = dedup.minhash_signatures(df).localCheckpoint()
+    (n_hot,) = dedup.minhash_lsh_candidates(sigs).groupBy().count().collect()
+    assert n_hot["count"] > 100000, "boilerplate should explode the pair count"
+
+    capped = dedup.minhash_lsh_candidates(sigs, max_bucket_size=50)
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    planted = {(i, 200000 + i) for i in range(2, 100, 5)}
+    found = planted & capped_pairs
+    assert len(found) >= 16, f"cap lost genuine near-dups: {len(found)}/20"
+    assert len(capped_pairs) < n_hot["count"] / 10, (
+        "cap should remove the quadratic boilerplate bucket"
+    )
+
+
+def test_aqe_skew_split_engages_for_byte_visible_skew(spark):
+    """The AQE runtime safety net: when shuffle-partition skew IS
+    byte-visible (incompressible hot key), the session's adaptive config
+    must split it — SortMergeJoin(skew=true) in the executed final plan.
+    Together with the planted-skew test above this pins down the division
+    of labor: AQE rebalances byte-skewed shuffles at runtime, while the
+    dedup path's max_bucket_size bounds row-quadratic buckets AQE cannot
+    see (compressed away) or fix (output-size, not shuffle-size)."""
+    from pyspark.sql import functions as F2
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # 20% of rows share key 0; payloads are distinct longs (do not
+        # compress away), so the hot reduce partition is byte-visible.
+        left = spark.range(20000).select(
+            F2.when(F2.col("id") % 5 == 0, 0).otherwise(F2.col("id")).alias("k"),
+            F2.col("id").alias("a"),
+        )
+        right = left.select("k", F2.col("a").alias("b"))
+        j = left.join(right, "k").filter(F2.col("a") < F2.col("b")).groupBy().count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE skew-split did not engage"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_language_id_pluggable_scorer(spark):
     """The pandas-UDF scorer slot must route every row through the model
     and keep the output contract identical to the heuristic path."""

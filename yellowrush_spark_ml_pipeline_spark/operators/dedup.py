@@ -10,8 +10,16 @@ Five tiers, cheapest-first — the order you'd run them at 100 TB:
 
 Scale design notes (apply to all):
 * Candidate generation NEVER compares all pairs — banding/bucketing bounds
-  the self-join to rows sharing a bucket key; AQE skew-join splits hot
-  buckets (e.g. boilerplate-heavy shingles).
+  the self-join to rows sharing a bucket key.
+* Boilerplate skew: a bucket shared by B docs is row-wise quadratic
+  (B²/2 pairs), and — measured, see
+  tests/test_extensions.py::test_minhash_banded_join_under_planted_skew —
+  AQE's byte-based skew detection under-fires on exactly those buckets
+  because their identical keys compress to almost nothing in the map
+  outputs; nor can a shuffle split shrink the O(B²) output. The
+  ``max_bucket_size`` cap on ``minhash_lsh_candidates`` is therefore the
+  primary guard (row-count, not bytes); AQE skew-split remains the
+  runtime net for byte-visible skew elsewhere in the plan.
 * All hashing is JVM-side (`xxhash64`) inside codegen; no Python.
 * Outputs are (doc_id, group/pair) relations, not materialized texts —
   at 100 TB you join the verdicts back, you don't carry the corpus.
@@ -98,10 +106,22 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_id, band_hash) to emit
     candidate pairs (a < b). Only rows sharing a band bucket are compared —
-    the candidate set is linear-ish in data size, never O(n²)."""
+    the candidate set is linear-ish in data size, never O(n²).
+
+    ``max_bucket_size`` is the boilerplate-skew guard: a band bucket shared
+    by B docs emits B² /2 pairs, so one boilerplate sentence stamped into
+    20% of a corpus turns the self-join quadratic no matter how the
+    partitions are split (AQE skew-split rebalances the shuffle but cannot
+    shrink the pair count). Buckets above the cap are excluded from
+    candidate generation: their members are either exact/near-exact dups
+    (already collapsed by the cheaper exact/fingerprint tiers that run
+    first at 100 TB) or share only ubiquitous boilerplate (not meaningful
+    near-dup evidence). The cap is computed with one extra aggregation on
+    the bucket key — no window, no second shuffle of the full banded set."""
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -121,6 +141,14 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
+        banded = banded.join(ok, ["band_id", "band_hash"], "inner")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -147,12 +175,17 @@ def minhash_dedup_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     basis: str = "word",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
     exact n-gram Jaccard verify on the candidates only. ``basis="char"``
-    switches the shingle alphabet for CJK/mixed corpora (use shingle_n≈5)."""
+    switches the shingle alphabet for CJK/mixed corpora (use shingle_n≈5);
+    ``max_bucket_size`` caps boilerplate-skewed band buckets (see
+    ``minhash_lsh_candidates``)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, basis)
-    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands, max_bucket_size
+    )
     return ngram_jaccard_verify(
         cands, df, text_col, id_col, shingle_n, jaccard_threshold, basis
     )
