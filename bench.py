@@ -31,6 +31,19 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def run_suite(spark, entrymod, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    return timings, failures
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from yellowrush_spark_ml_pipeline_spark.session import get_spark
@@ -42,16 +55,36 @@ def main() -> int:
     materialize(spark.range(1000).selectExpr("sum(id) as s"))
     materialize(spark.read.parquet(f"{SF_DIR}/region.parquet"))
 
-    timings: dict[str, float] = {}
-    failures: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        try:
-            materialize(fn(spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — record, keep benching
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    timings, failures = run_suite(spark, entrymod, SF_DIR)
     total = round(sum(timings.values()), 3)
+
+    # Two-point scaling curve: re-run the suite at a smaller SF and report
+    # per-query time ratios. A query scaling linearly in data shows a ratio
+    # <= the data ratio (fixed per-job overhead pulls it far below at these
+    # sizes); anything ABOVE the data ratio is flagged super-linear.
+    # Disable with SPARK_GRAFT_SCALING_DIR="".
+    default_secondary = "/root/testdata/sf0.01" if "0.01" not in SF_DIR else ""
+    scaling_dir = os.environ.get("SPARK_GRAFT_SCALING_DIR", default_secondary)
+    scaling: dict | None = None
+    if scaling_dir:
+        sec_timings, sec_failures = run_suite(spark, entrymod, scaling_dir)
+        data_ratio = _sf_from_dir(SF_DIR) / max(_sf_from_dir(scaling_dir), 1e-9)
+        ratios = {
+            q: round(timings[q] / max(sec_timings[q], 1e-3), 2)
+            for q in timings
+            if q in sec_timings
+        }
+        scaling = {
+            "secondary_sf": _sf_from_dir(scaling_dir),
+            "secondary_total": round(sum(sec_timings.values()), 3),
+            "data_ratio": round(data_ratio, 2),
+            "time_ratio": ratios,
+            "superlinear": sorted(
+                [q for q, r in ratios.items() if r > data_ratio]
+            ),
+        }
+        if sec_failures:
+            failures.update({f"scaling:{k}": v for k, v in sec_failures.items()})
 
     # Direct BASELINE.md comparison hook: the reference's only published
     # numbers are RF training time (70-80 s, 4-core/14 GB, 30% sample,
@@ -93,6 +126,8 @@ def main() -> int:
         "n_queries": len(timings),
         "baseline_comparison": baseline_cmp,
     }
+    if scaling is not None:
+        out["scaling"] = scaling
     if failures:
         out["failures"] = failures
     print(json.dumps(out), flush=True)

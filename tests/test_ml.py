@@ -97,3 +97,18 @@ def test_model_save_load_identical_predictions(spark, labeled_orders, tmp_path):
     assert orig == rt
     metrics = evaluate_binary(reloaded, test_df, "is_high_value")
     assert 0.9 <= metrics["roc_auc"] <= 1.0
+
+
+def test_timestamped_model_path():
+    """Reference wall-clock path convention (nyc_taxi_final.py:956-960),
+    injectable clock for determinism."""
+    import datetime as dt
+
+    from yellowrush_spark_ml_pipeline_spark.ml import timestamped_model_path
+
+    fixed = dt.datetime(2024, 6, 30, 12, 34, 56)
+    assert (
+        timestamped_model_path("/models/", "congestion_rf", now=fixed)
+        == "/models/congestion_rf_20240630_123456"
+    )
+    assert timestamped_model_path("/m", now=fixed) == "/m/model_20240630_123456"

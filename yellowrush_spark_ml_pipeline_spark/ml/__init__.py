@@ -11,5 +11,8 @@ __all__ = [
     "encode_categorical",
     "evaluate_binary",
     "feature_importances",
+    "load_model",
+    "save_model",
+    "timestamped_model_path",
     "train_classifier",
 ]

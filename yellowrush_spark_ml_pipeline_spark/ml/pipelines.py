@@ -233,5 +233,16 @@ def save_model(model: PipelineModel, path: str) -> None:
     model.write().overwrite().save(path)
 
 
+def timestamped_model_path(base: str, name: str = "model", now=None) -> str:
+    """The reference's wall-clock model-path convention
+    (nyc_taxi_final.py:956-960): ``{base}/{name}_{YYYYMMDD_HHMMSS}``.
+    ``now`` is injectable (a ``datetime``) so tests and backfills stay
+    deterministic; None uses current UTC."""
+    import datetime as _dt
+
+    ts = (now or _dt.datetime.now(_dt.timezone.utc)).strftime("%Y%m%d_%H%M%S")
+    return f"{base.rstrip('/')}/{name}_{ts}"
+
+
 def load_model(path: str) -> PipelineModel:
     return PipelineModel.load(path)
