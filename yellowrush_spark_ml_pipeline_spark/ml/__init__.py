@@ -3,6 +3,9 @@ from .pipelines import (
     encode_categorical,
     evaluate_binary,
     feature_importances,
+    load_model,
+    save_model,
+    timestamped_model_path,
     train_classifier,
 )
 
