@@ -892,6 +892,55 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization of the embedding column (per-vector
+    min/max scale): the 4x storage cut of a billion-vector index. Codes
+    use floor(x+0.5) so every arithmetic step is IEEE-identical across
+    engines — the oracle matches bit-for-bit with no rounding fudge."""
+    q = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.posexplode("codes").alias("dim", "code"),
+        F.col("offset").alias("q_offset"),
+        F.col("scale").alias("q_scale"),
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunking — the unit-of-work split
+    feeding embedding/indexing stages. Narrow sequence+substring maps."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.chunk_text(docs, chunk_chars=200, overlap=50)
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain provenance counts over planted URLs (the synthetic docs
+    carry none, so every third doc gets a deterministic URL appended —
+    mirrored exactly in the oracle): the blocklist/per-site-quota
+    primitive of web-corpus curation."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" https://site-"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.com/page"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return (
+        textstats.extract_domains(aug)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10: broadcast query set × corpus + per-query window."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1145,6 +1194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "preprocess_pipeline": q_preprocess_pipeline,
         "stratified_sample": q_stratified_sample,
+        "embedding_quantize": q_embedding_quantize,
+        "chunk_documents": q_chunk_documents,
+        "url_domains": q_url_domains,
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -1705,6 +1757,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 <
                   CASE WHEN lang = 'en' THEN 300000 ELSE 1000000 END
             GROUP BY lang
+        """,
+        "embedding_quantize": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), s AS (
+                SELECT vec_id, e,
+                       list_aggregate(e, 'min') AS vmin,
+                       list_aggregate(e, 'max') AS vmax
+                FROM v
+            ), p AS (
+                SELECT vec_id, e, vmin AS q_offset,
+                       CASE WHEN vmax = vmin THEN 1.0
+                            ELSE (vmax - vmin) / 255.0 END AS q_scale
+                FROM s
+            )
+            SELECT vec_id,
+                   CAST(generate_subscripts(e, 1) - 1 AS INT) AS dim,
+                   CAST(floor((unnest(e) - q_offset) / q_scale + 0.5) AS INT) AS code,
+                   q_offset, q_scale
+            FROM p
+        """,
+        "chunk_documents": """
+            SELECT doc_id,
+                   CAST((s - 1) // 150 AS INT) AS chunk_id,
+                   CAST(s AS INT) AS chunk_start,
+                   substring(text, CAST(s AS INT), 200) AS chunk_text
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           1, greatest(length(text) - 150, 1), 150)) AS s
+                FROM documents
+            )
+        """,
+        "url_domains": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN concat(text, ' https://site-',
+                                        CAST(doc_id % 20 AS VARCHAR),
+                                        '.example.com/page')
+                            ELSE text END AS text
+                FROM documents
+            ), hosts AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           text, 'https?://([A-Za-z0-9.\-]+)', 1)) AS host
+                FROM aug
+            )
+            SELECT host,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM hosts
+            GROUP BY host
         """,
         "similarity_bruteforce": """
             SELECT query_id, vec_id, rank, cosine FROM (

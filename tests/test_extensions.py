@@ -485,6 +485,70 @@ def test_language_id_pluggable_scorer(spark):
     assert "lang_scorer" in inspect.signature(curate_corpus).parameters
 
 
+def test_quantize_embeddings_roundtrip_error_bound(spark, sf_small):
+    """Scalar quantization contract: every code is in [0, 255] and
+    dequantization (code*scale + offset) reconstructs each value within
+    half a quantization step."""
+    from yellowrush_spark_ml_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = quantize_embeddings(emb)
+    joined = q.join(emb, "vec_id").select(
+        F.arrays_zip(
+            F.col("codes").alias("c"),
+            F.col("embedding").cast("array<double>").alias("x"),
+        ).alias("z"),
+        "offset",
+        "scale",
+    )
+    checked = joined.select(
+        F.exists("z", lambda p: (p["c"] < 0) | (p["c"] > 255)).alias("bad_code"),
+        F.exists(
+            "z",
+            lambda p: F.abs(p["c"] * F.col("scale") + F.col("offset") - p["x"])
+            > F.col("scale") / 2 + 1e-9,
+        ).alias("bad_err"),
+    )
+    assert checked.filter(F.col("bad_code") | F.col("bad_err")).count() == 0
+
+
+def test_quantize_embeddings_dequantized_values(spark, sf_small):
+    """Explicit round-trip on a planted vector with known codes."""
+    from yellowrush_spark_ml_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0, 4.0]), (2, [5.0, 5.0, 5.0, 5.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # vec 1: min 0, max 4 → scale 4/255; codes = floor(x*255/4 + .5)
+    assert rows[1].codes == [0, 64, 128, 255]
+    assert rows[1].offset == 0.0 and abs(rows[1].scale - 4 / 255) < 1e-12
+    # constant vector: scale guard 1.0, all codes 0
+    assert rows[2].codes == [0, 0, 0, 0] and rows[2].scale == 1.0
+    deq = [c * rows[1].scale + rows[1].offset for c in rows[1].codes]
+    assert all(abs(d - x) <= rows[1].scale / 2 for d, x in zip(deq, [0, 1, 2, 4]))
+
+
+def test_chunk_text_reassembles_documents(spark):
+    """Chunking contract: chunk 0 plus each later chunk minus its overlap
+    concatenates back to the original text, starts step by
+    chunk-overlap, and every chunk except the last is full-size."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import chunk_text
+
+    text = " ".join(f"tok{i:04d}" for i in range(80))  # 640 chars
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    chunks = chunk_text(df, chunk_chars=200, overlap=50).orderBy("chunk_id").collect()
+    assert [c.chunk_start for c in chunks] == [1 + 150 * i for i in range(len(chunks))]
+    assert all(len(c.chunk_text) == 200 for c in chunks[:-1])
+    rebuilt = chunks[0].chunk_text + "".join(c.chunk_text[50:] for c in chunks[1:])
+    assert rebuilt == text
+
+
 def test_multimodal_arrow_path(spark):
     """First-class execution of the mapInPandas plumbing: schema, batch
     shape, and the deterministic stub decode (operators/multimodal.py —

@@ -139,6 +139,62 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", rolling_fingerprint(F.col(text_col)))
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the unit-of-work transform feeding embedding/indexing stages of a
+    training-data or RAG pipeline. Emits (id, chunk_id, chunk_start,
+    chunk_text); the final partial chunk is kept (a tail shorter than
+    ``overlap`` would duplicate the previous chunk's suffix, so starts
+    are generated while start <= len - 1).
+
+    Pure sequence+substring column expressions: the explode multiplies
+    rows ~len/(chunk-overlap)× but stays a narrow map — no shuffle, and
+    chunk extraction is JVM-side codegen."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - F.lit(step), F.lit(1)), F.lit(step)
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        text.alias("_t"),
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.substring(F.col("_t"), F.col("chunk_start"), chunk_chars).alias("chunk_text"),
+    )
+
+
+# Engine-portable host pattern (no lookarounds — identical semantics in
+# Java regex and RE2/DuckDB): scheme://host[:port]/..., capture the host.
+_URL_HOST_PATTERN = r"https?://([A-Za-z0-9.\-]+)"
+
+
+def extract_domains(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document URL host extraction — the provenance/per-domain-quota
+    primitive of web-corpus curation (domain blocklists, per-site caps,
+    source mixing all hang off it). One row per (doc, host occurrence);
+    narrow map, aggregation left to the caller."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_URL_HOST_PATTERN), 1)
+        ).alias("host"),
+    )
+
+
 # Deliberately simple, engine-portable patterns (no backrefs/lookaheads —
 # valid in both Java regex and RE2, so the DuckDB oracle can mirror them).
 # A production pass adds locale-specific patterns and an NER model via
