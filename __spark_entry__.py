@@ -913,6 +913,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_text(docs, chunk_chars=200, overlap=50)
 
 
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rule over 3-gram shingles: most-frequent
+    n-gram count + distinct/total counts per doc (exact integers — the
+    float ratios are derived client-side, dodging cross-engine rounding).
+    Zero-shuffle per-row array math via aggregate()."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_score(docs).select(
+        "doc_id", "top_ngram_count", "n_ngrams", "n_distinct_ngrams"
+    )
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain provenance counts over planted URLs (the synthetic docs
     carry none, so every third doc gets a deterministic URL appended —
@@ -1197,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "chunk_documents": q_chunk_documents,
         "url_domains": q_url_domains,
+        "repetition_score": q_repetition_score,
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -1789,6 +1801,32 @@ def oracle_sql() -> dict[str, str]:
                            1, greatest(length(text) - 150, 1), 150)) AS s
                 FROM documents
             )
+        """,
+        "repetition_score": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                           x -> x != '') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(0, greatest(len(t) - 3, 0)),
+                           i -> array_to_string(t[i+1:i+3], ' ')) AS s
+                FROM tok
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM sh
+            ), cnt AS (
+                SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY doc_id, g
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(MAX(c) AS INT) AS top_ngram_count,
+                       CAST(SUM(c) AS INT) AS n_ngrams,
+                       CAST(COUNT(*) AS INT) AS n_distinct_ngrams
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT * FROM agg
         """,
         "url_domains": r"""
             WITH aug AS (

@@ -534,6 +534,28 @@ def test_quantize_embeddings_dequantized_values(spark, sf_small):
     assert all(abs(d - x) <= rows[1].scale / 2 for d, x in zip(deq, [0, 1, 2, 4]))
 
 
+def test_repetition_score_separates_looping_text(spark):
+    """Planted looping text must score high top_ngram_frac / low
+    diversity; varied prose the opposite. Counts are exact."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        repetition_score,
+    )
+
+    loop = "buy now click here " * 25  # 100 tokens, one dominant 3-gram
+    varied = " ".join(f"tok{i}" for i in range(100))
+    df = spark.createDataFrame([(1, loop), (2, varied)], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in repetition_score(df).collect()}
+    # loop: tokens = (buy now click here)*25 → 98 3-grams, 4 distinct
+    # patterns each appearing 24-25 times
+    assert rows[1].n_ngrams == 98
+    assert rows[1].n_distinct_ngrams == 4
+    assert rows[1].top_ngram_count == 25
+    assert rows[1].top_ngram_frac > 0.2
+    assert rows[2].n_distinct_ngrams == rows[2].n_ngrams  # all unique
+    assert rows[2].top_ngram_count == 1
+    assert rows[1].ngram_diversity < 0.1 < rows[2].ngram_diversity
+
+
 def test_chunk_text_reassembles_documents(spark):
     """Chunking contract: chunk 0 plus each later chunk minus its overlap
     concatenates back to the original text, starts step by

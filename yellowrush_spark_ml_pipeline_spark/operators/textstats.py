@@ -127,6 +127,60 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(composite, 2))
 
 
+def repetition_score(
+    df: DataFrame, text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """Gopher-style repetition rule: fraction of n-gram occurrences taken
+    by the single most frequent n-gram (``top_ngram_frac``), plus the
+    distinct/total n-gram ratio (``ngram_diversity``). Looping/boilerplate
+    text scores high on the former and low on the latter; natural prose
+    stays near 1/total and ~1.0 respectively.
+
+    Implemented with aggregate() over the sorted shingle array — per-row
+    array math inside codegen, zero shuffle, no explode row blow-up."""
+    from ..functions.text import shingles, tokens
+
+    sh = shingles(tokens(F.col(text_col)), ngram)
+    sorted_sh = F.array_sort(sh)
+    n = F.size(sorted_sh)
+    # Longest run of equal adjacent values in the sorted array == count of
+    # the most frequent n-gram; fold carries (prev, run, best).
+    best_run = F.aggregate(
+        sorted_sh,
+        F.struct(
+            F.lit("\x00").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    # Integer facts first (exact, oracle-able with no float rounding —
+    # ratios like 1/128 are binary-exact and tie at the rounding digit,
+    # where HALF_UP and half-even engines disagree); float ratios derived.
+    out = (
+        df.withColumn("top_ngram_count", best_run)
+        .withColumn("n_ngrams", n)
+        .withColumn("n_distinct_ngrams", F.size(F.array_distinct(sorted_sh)))
+    )
+    return out.withColumn(
+        "top_ngram_frac",
+        F.round(F.col("top_ngram_count") / F.greatest(F.col("n_ngrams"), F.lit(1)), 6),
+    ).withColumn(
+        "ngram_diversity",
+        F.round(
+            F.col("n_distinct_ngrams") / F.greatest(F.col("n_ngrams"), F.lit(1)), 6
+        ),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counts per document."""
     return df.withColumn(
