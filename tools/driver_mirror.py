@@ -68,6 +68,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--shuffle", type=int, default=None)
+    ap.add_argument(
+        "--ansi-off",
+        action="store_true",
+        help="run with spark.sql.ansi.enabled=false — probes that query "
+        "results don't depend on the (unknown) driver ANSI setting",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -76,9 +82,13 @@ def main() -> int:
     extra = {}
     if args.shuffle:
         extra["spark.sql.shuffle.partitions"] = str(args.shuffle)
+    if args.ansi_off:
+        extra["spark.sql.ansi.enabled"] = "false"
     spark = get_spark("driver-mirror", extra_conf=extra)
     if args.shuffle:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle))
+    if args.ansi_off:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
 
     con = duckdb.connect()
     for t in TABLES:
