@@ -1798,7 +1798,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT doc_id, text,
                        unnest(generate_series(
-                           1, greatest(length(text) - 150, 1), 150)) AS s
+                           1, greatest(length(text) - 50, 1), 150)) AS s
                 FROM documents
             )
         """,

@@ -214,3 +214,51 @@ def test_range_predicate_unbounded_sides(spark, x):
     """None bounds mean unbounded: (None, None) accepts everything."""
     df = spark.createDataFrame([(x,)], ["a"])
     assert df.filter(range_predicate(F.col("a"))).count() == 1
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=8), min_size=1, max_size=120
+    ),
+    chunk=st.integers(min_value=20, max_value=100),
+    overlap=st.integers(min_value=0, max_value=19),
+)
+@_SETTINGS
+def test_chunk_text_lossless_for_any_text(spark, words, chunk, overlap):
+    """Chunking must be lossless for ANY text/params: chunk 0 plus each
+    later chunk minus its overlap prefix reassembles the original."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import chunk_text
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = (
+        chunk_text(df, chunk_chars=chunk, overlap=overlap)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    rebuilt = rows[0].chunk_text + "".join(r.chunk_text[overlap:] for r in rows[1:])
+    assert rebuilt == text
+    step = chunk - overlap
+    assert [r.chunk_start for r in rows] == [1 + step * i for i in range(len(rows))]
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=2,
+        max_size=16,
+    )
+)
+@_SETTINGS
+def test_quantize_roundtrip_for_any_vector(spark, vec):
+    """Scalar quantization: codes in [0,255] and dequantization within
+    half a step, for arbitrary vectors including constants."""
+    from yellowrush_spark_ml_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    (row,) = quantize_embeddings(df).collect()
+    assert all(0 <= c <= 255 for c in row.codes)
+    for c, x in zip(row.codes, vec):
+        assert abs(c * row.scale + row.offset - x) <= row.scale / 2 + 1e-9

@@ -171,6 +171,7 @@ def curate_corpus(
     partition_col: str = "lang",
     redact: bool = False,
     lang_scorer=None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
@@ -179,7 +180,9 @@ def curate_corpus(
 
     ``lang_scorer`` plugs a real language-ID model (pandas-UDF slot, see
     ``textstats.language_id``) into the flow without any other change;
-    None keeps the zero-Python heuristic.
+    None keeps the zero-Python heuristic. ``max_bucket_size`` is the
+    boilerplate-skew guard on the dedup candidate join (see
+    ``dedup.minhash_lsh_candidates``) — set it for web-scale corpora.
 
     This is the 100 TB shape: scoring/lang-ID are narrow map stages fused
     into the scan; dedup candidates come from banded self-joins (never
@@ -199,7 +202,9 @@ def curate_corpus(
         )
     kept = quality_score(docs).filter(F.col("quality_score") >= min_quality)
     kept = language_id(kept, scorer=lang_scorer)
-    pairs = minhash_dedup_pairs(kept, jaccard_threshold=jaccard_threshold)
+    pairs = minhash_dedup_pairs(
+        kept, jaccard_threshold=jaccard_threshold, max_bucket_size=max_bucket_size
+    )
     groups = dedup_groups(pairs)
     # Schema-agnostic output: whatever columns the corpus came with, plus
     # the derived curation columns — the flow requires only doc_id + text.

@@ -203,9 +203,12 @@ def chunk_text(
     """Split documents into fixed-size overlapping character chunks —
     the unit-of-work transform feeding embedding/indexing stages of a
     training-data or RAG pipeline. Emits (id, chunk_id, chunk_start,
-    chunk_text); the final partial chunk is kept (a tail shorter than
-    ``overlap`` would duplicate the previous chunk's suffix, so starts
-    are generated while start <= len - 1).
+    chunk_text); the final partial chunk is kept. Start positions run
+    1, 1+step, ... up to ``len - overlap`` (step = chunk - overlap): the
+    last start is the first one whose chunk reaches the end of the text,
+    so coverage is lossless with no spurious tail chunk that would lie
+    entirely inside its predecessor (property-tested over arbitrary
+    text/chunk/overlap in tests/test_properties.py).
 
     Pure sequence+substring column expressions: the explode multiplies
     rows ~len/(chunk-overlap)× but stays a narrow map — no shuffle, and
@@ -215,7 +218,7 @@ def chunk_text(
     step = chunk_chars - overlap
     text = F.col(text_col)
     starts = F.sequence(
-        F.lit(1), F.greatest(F.length(text) - F.lit(step), F.lit(1)), F.lit(step)
+        F.lit(1), F.greatest(F.length(text) - F.lit(overlap), F.lit(1)), F.lit(step)
     )
     out = df.select(
         F.col(id_col),
