@@ -989,6 +989,24 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, jaccard_threshold=0.4)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup (rows-only: MinHash signatures are
+    engine-internal xxhash64, not SQL-replicable; planted-copy recall is
+    pytest-asserted): a synthetic "new batch" (mutated copies of the
+    first 20 docs) banded-joined against the persisted corpus signature
+    table — |new| x bucket-density cost, no corpus self-join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_sigs = dedup.minhash_signatures(docs)
+    new_batch = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" incremental tail")).alias("text"),
+    )
+    all_docs = docs.unionByName(new_batch)
+    return dedup.minhash_incremental_pairs(
+        new_batch, corpus_sigs, all_docs, jaccard_threshold=0.4
+    )
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → connected components → (doc_id, group_id): the keep/drop
     decision step of the dedup pipeline (rows-only: pairs come from
@@ -1216,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "minhash_dedup": q_minhash_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "curate_corpus": q_curate_corpus,

@@ -255,6 +255,34 @@ def test_dedup_groups_end_to_end_with_minhash(spark, planted_docs):
     assert hit >= 18, f"only {hit}/20 planted dups grouped with their source"
 
 
+def test_minhash_incremental_new_batch_vs_corpus(spark, planted_docs):
+    """Daily-increment shape: the corpus is represented ONLY by its
+    persisted signature table; a new batch of mutated copies + fresh docs
+    must match its copies' sources without any corpus-side re-shingling
+    or corpus self-join."""
+    corpus = planted_docs.filter(F.col("doc_id") < 100000).select("doc_id", "text")
+    corpus_sigs = dedup.minhash_signatures(corpus).localCheckpoint()
+    # new batch: near-copies of docs 0..19 (+300000 ids) and 30 fresh docs
+    copies = corpus.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended tail words")).alias("text"),
+    )
+    fresh = corpus.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),  # reversed => unrelated
+    )
+    new_batch = copies.unionByName(fresh)
+    all_docs = corpus.unionByName(new_batch)
+    pairs = dedup.minhash_incremental_pairs(
+        new_batch, corpus_sigs, all_docs, jaccard_threshold=0.4
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(300000 + i, i) for i in range(20)}
+    assert len(planted & got) >= 18, f"found {len(planted & got)}/20 planted pairs"
+    fresh_ids = {500000 + i for i in range(60, 90)}
+    assert not {p for p in got if p[0] in fresh_ids}, "fresh docs matched corpus"
+
+
 def test_simhash_near_dups_differ_in_few_bits(spark, planted_docs):
     sims = dedup.simhash(planted_docs)
     a = sims.alias("a")

@@ -101,6 +101,44 @@ def minhash_signatures(
     )
 
 
+def _band_signatures(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band_id, band_hash) rows: one xxhash64 per band over its
+    signature slice."""
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop band buckets with more than ``max_bucket_size`` members (the
+    boilerplate-skew guard — see module docstring)."""
+    ok = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
+    return banded.join(ok, ["band_id", "band_hash"], "inner")
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -122,33 +160,9 @@ def minhash_lsh_candidates(
     first at 100 TB) or share only ubiquitous boilerplate (not meaningful
     near-dup evidence). The cap is computed with one extra aggregation on
     the bucket key — no window, no second shuffle of the full banded set."""
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = _band_signatures(sigs, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
-        ok = (
-            banded.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_bucket_n"))
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
-        )
-        banded = banded.join(ok, ["band_id", "band_hash"], "inner")
+        banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -188,6 +202,57 @@ def minhash_dedup_pairs(
     )
     return ngram_jaccard_verify(
         cands, df, text_col, id_col, shingle_n, jaccard_threshold, basis
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    basis: str = "word",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: a NEW batch against an EXISTING
+    corpus — the shape a production pipeline actually runs daily. The
+    corpus side is its persisted signature table (``corpus_sigs``, the
+    artifact ``minhash_signatures`` writes once per corpus build); only
+    the new batch is shingled and hashed. Candidates come from a banded
+    new×corpus equi-join — cost scales with |new| × bucket density, NOT
+    |corpus|², and the corpus text is only touched for the candidate ids
+    in the verify step (``docs`` must cover both sides' ids).
+
+    Output: (id_a=new doc, id_b=corpus doc, jaccard) for verified pairs.
+    New-batch-internal duplicates are the ordinary self-join
+    (``minhash_dedup_pairs`` on the batch); run both for a full daily
+    merge."""
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n, basis)
+    rows_per_band = num_hashes // bands
+    banded_new = _band_signatures(new_sigs, id_col, bands, rows_per_band)
+    banded_corpus = _band_signatures(corpus_sigs, id_col, bands, rows_per_band)
+    if max_bucket_size is not None:
+        banded_corpus = _cap_buckets(banded_corpus, max_bucket_size)
+    cands = (
+        banded_new.alias("a")
+        .join(
+            banded_corpus.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return ngram_jaccard_verify(
+        cands, docs, text_col, id_col, shingle_n, jaccard_threshold, basis
     )
 
 
