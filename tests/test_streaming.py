@@ -201,6 +201,45 @@ def test_stream_to_parquet_foreachbatch_sink(spark, sf_small, tmp_path):
     assert (pathlib.Path(ckpt) / "commits").exists()
 
 
+def test_stream_restart_resumes_from_checkpoint(spark, sf_small, tmp_path):
+    """Checkpoint recovery — the property a 100 TB ingest depends on:
+    a stopped stream restarted with the same checkpoint processes ONLY
+    data that arrived since, and the combined output is each input row
+    exactly once (no replays of wave 1, no loss of wave 2)."""
+    from pyspark.sql.types import StructType
+
+    events = load_table(spark, sf_small, "events").select("event_id", "user_id", "ts")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    wave1 = events.filter(F.col("event_id") % 2 == 0)
+    wave2 = events.filter(F.col("event_id") % 2 == 1)
+    wave1.write.mode("append").parquet(src)
+
+    schema = StructType.fromJson(events.schema.jsonValue())
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+        )
+        q = stream_to_parquet(stream, out, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    n_after_wave1 = spark.read.parquet(out).count()
+    assert n_after_wave1 == wave1.count()
+
+    wave2.write.mode("append").parquet(src)
+    run_once()  # same checkpoint: must pick up ONLY wave 2
+    final = spark.read.parquet(out)
+    assert final.count() == events.count()
+    # exactly-once: every event_id appears once across both runs
+    assert final.select("event_id").distinct().count() == events.count()
+
+
 def test_stateful_user_totals_accumulate_across_batches(spark, sf_small, tmp_path):
     """applyInPandasWithState: per-key state must survive micro-batch
     boundaries — the file source is split in two so every user's total is
