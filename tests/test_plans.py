@@ -198,3 +198,21 @@ def test_pricing_summary_partial_agg(spark, sf_small):
     # per-group partials, not rows
     assert plan.count("HashAggregate") >= 2, plan
     assert "PushedFilters: [" in plan
+
+
+def test_narrow_text_embedding_ops_have_zero_exchanges(spark, sf_small):
+    """The per-row text/embedding operators (chunking, quantization,
+    repetition) must stay shuffle-free narrow maps fused into the scan —
+    at 100 TB a stray exchange here re-shuffles the whole corpus."""
+    for name in ("chunk_documents", "embedding_quantize", "repetition_score"):
+        rep = plan_report(entrymod.queries()[name](spark, sf_small))
+        assert rep["exchanges"] == 0, f"{name} should be a narrow map"
+        assert not rep["python_udf"], f"{name} must stay JVM-side"
+
+
+def test_incremental_dedup_no_corpus_self_join(spark, sf_small):
+    """The incremental candidate join must be new-batch x corpus — no
+    cartesian products, no broadcast of the (unbounded) corpus side."""
+    plan = explain_str(entrymod.queries()["incremental_dedup"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
