@@ -179,3 +179,52 @@ def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
     rows = df.orderBy("station").collect()
     assert rows[0].tmin == 12.5 and rows[1].snow == 4
     assert df.count() == 3
+
+
+def test_upsert_partitions_rewrites_only_touched(spark, sf_small, tmp_path):
+    """Dynamic partition overwrite: re-landing one year's (modified) slice
+    must replace exactly that partition and leave the rest byte-identical
+    — the incremental-backfill contract."""
+    from yellowrush_spark_ml_pipeline_spark.sources import (
+        read_parquet,
+        upsert_partitions,
+        write_partitioned_parquet,
+    )
+
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_upsert")
+    write_partitioned_parquet(orders, path, "order_year")
+    before = read_parquet(spark, path)
+    years = [r.order_year for r in before.select("order_year").distinct().collect()]
+    target = min(years)
+    # materialize pre-upsert facts NOW (the upsert replaces files under
+    # this frame's cached listing)
+    before_count = before.count()
+    key = sorted(c for c in before.columns if c != "order_year")
+    untouched_b = sorted(
+        map(repr, before.filter(F.col("order_year") != target).select(*key).collect())
+    )
+
+    patch = (
+        orders.filter(F.col("order_year") == target)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    upsert_partitions(patch, path, "order_year")
+
+    after = read_parquet(spark, path)
+    assert after.count() == before_count
+    # untouched partitions identical
+    untouched_a = sorted(
+        map(repr, after.filter(F.col("order_year") != target).select(*key).collect())
+    )
+    assert untouched_a == untouched_b
+    # touched partition carries the patch
+    doubled = after.filter(F.col("order_year") == target).agg(
+        F.sum("o_totalprice").alias("s")
+    ).first()["s"]
+    orig = orders.filter(F.col("order_year") == target).agg(
+        F.sum("o_totalprice").alias("s")
+    ).first()["s"]
+    assert abs(doubled - 2 * orig) < 1e-6

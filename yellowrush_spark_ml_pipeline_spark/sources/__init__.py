@@ -1,5 +1,10 @@
 from .readers import load_table, load_tables, read_csv, read_parquet
-from .writers import write_bucketed_table, write_parquet, write_partitioned_parquet
+from .writers import (
+    upsert_partitions,
+    write_bucketed_table,
+    write_parquet,
+    write_partitioned_parquet,
+)
 
 __all__ = [
     "load_table",
@@ -8,5 +13,6 @@ __all__ = [
     "read_parquet",
     "write_bucketed_table",
     "write_parquet",
+    "upsert_partitions",
     "write_partitioned_parquet",
 ]

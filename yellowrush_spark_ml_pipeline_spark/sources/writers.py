@@ -81,3 +81,29 @@ def write_partitioned_parquet(
         .partitionBy(*cols)
         .parquet(path)
     )
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | str,
+) -> None:
+    """Partition-level upsert: overwrite ONLY the hive partitions present
+    in ``df``, leaving every other partition untouched (dynamic partition
+    overwrite). This is the incremental-backfill sink — reprocessing one
+    day of a year-partitioned 100 TB table rewrites that day, not the
+    year, and readers never see a window where untouched partitions are
+    missing. Same repartition-first discipline as the full writer."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*cols)
+            .write.mode("overwrite")
+            .partitionBy(*cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
