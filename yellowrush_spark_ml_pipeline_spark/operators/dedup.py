@@ -331,10 +331,13 @@ def dedup_groups(
         .distinct()
         .cache()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # Initialize each node's label to min(node, min(neighbors)) — exactly
+    # what the first propagation sweep would compute from identity labels,
+    # but folded into the node-list aggregation: saves one full
+    # join+groupBy sweep (shallow components then converge in 1-2 sweeps
+    # instead of 2-3).
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.first("src"), F.min("dst")).alias("label")
     )
     for _ in range(max_iterations):
         neighbor_min = (
