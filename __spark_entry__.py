@@ -952,6 +952,42 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-100 corpus tokens, total order (freq desc,
+    token asc) — tokenizer-training prep."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocab_topk(docs, k=100)
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-frequency profile (exact integers) — the facts
+    behind unigram-LM quality filtering without cross-engine float logs."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_rarity(docs)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota over planted URLs: ≤2 docs per host, smallest ids
+    win — crawl balancing as one window. URL planting mirrors
+    q_url_domains exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = textstats.extract_domains(
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" https://site-"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.com/page"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+    )
+    return textstats.cap_per_domain(hosts, max_per_domain=2)
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10: broadcast query set × corpus + per-query window."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1227,6 +1263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "url_domains": q_url_domains,
         "repetition_score": q_repetition_score,
+        "vocab_topk": q_vocab_topk,
+        "token_rarity": q_token_rarity,
+        "domain_cap": q_domain_cap,
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -1846,6 +1885,59 @@ def oracle_sql() -> dict[str, str]:
                 FROM cnt GROUP BY doc_id
             )
             SELECT * FROM agg
+        """,
+        "vocab_topk": r"""
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                    x -> x != '')) AS token
+                FROM documents
+            ), cnt AS (
+                SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INT) AS rank,
+                   token, CAST(freq AS BIGINT) AS freq
+            FROM cnt
+            ORDER BY rank
+            LIMIT 100
+        """,
+        "token_rarity": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                    x -> x != '')) AS token
+                FROM documents
+            ), cnt AS (
+                SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+            )
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c.freq) AS BIGINT) AS total_token_freq,
+                   CAST(MIN(c.freq) AS BIGINT) AS min_token_freq
+            FROM tok t JOIN cnt c USING (token)
+            GROUP BY t.doc_id
+        """,
+        "domain_cap": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN concat(text, ' https://site-',
+                                        CAST(doc_id % 20 AS VARCHAR),
+                                        '.example.com/page')
+                            ELSE text END AS text
+                FROM documents
+            ), hosts AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           text, 'https?://([A-Za-z0-9.\-]+)', 1)) AS host
+                FROM aug
+            ), ranked AS (
+                SELECT doc_id, host,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY host ORDER BY doc_id ASC) AS rn
+                FROM hosts
+            )
+            SELECT doc_id, host FROM ranked WHERE rn <= 2
         """,
         "url_domains": r"""
             WITH aug AS (

@@ -188,6 +188,64 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("bpe_ish_tokens", bpe_ish_token_count(F.col(text_col)))
 
 
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by frequency with a total
+    order (count desc, token asc) — the first step of tokenizer/vocab
+    training. explode → hash-agg (map-side partial) → single top-k sort
+    of the VOCABULARY (≪ corpus); the corpus itself is never sorted."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "freq")
+    )
+
+
+def token_rarity(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency profile per document: total and minimum global
+    frequency of the doc's tokens, plus its token count — the exact
+    integer facts behind unigram-LM quality filtering (a doc of globally
+    rare tokens is gibberish or treasure; either way you look). Two
+    shuffles: token-frequency agg, then doc re-agg of the exploded join.
+    Kept integer-exact deliberately: log-prob floats differ across
+    engines' libm at the last ulp, integers never do."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tok.join(freqs, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("total_token_freq"),
+            F.min("freq").alias("min_token_freq"),
+        )
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    max_per_domain: int = 2,
+) -> DataFrame:
+    """Per-domain quota: keep at most N docs per host, smallest ids win
+    (deterministic). The crawl-balancing primitive that stops one site
+    from dominating a corpus — one window over the host partition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit rolling-hash document fingerprint column."""
     return df.withColumn("fingerprint", rolling_fingerprint(F.col(text_col)))
