@@ -191,17 +191,19 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Corpus vocabulary head: top-k tokens by frequency with a total
     order (count desc, token asc) — the first step of tokenizer/vocab
-    training. explode → hash-agg (map-side partial) → single top-k sort
-    of the VOCABULARY (≪ corpus); the corpus itself is never sorted."""
+    training. explode → hash-agg (map-side partial) → orderBy+limit,
+    which Spark executes as TakeOrderedAndProject: each partition keeps
+    its local top-k and only k rows travel — a 100 TB corpus' multi-GB
+    vocabulary is never globally sorted, let alone the corpus. The rank
+    column is a window over the k survivors only."""
     from pyspark.sql import Window
 
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "token", "freq")
+    order = [F.col("freq").desc(), F.col("token").asc()]
+    head = counts.orderBy(*order).limit(k)
+    return head.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"), "token", "freq"
     )
 
 
