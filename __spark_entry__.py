@@ -41,6 +41,7 @@ from yellowrush_spark_ml_pipeline_spark.operators import (
     similarity,
     textstats,
 )
+from yellowrush_spark_ml_pipeline_spark.operators import events as events_ops
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
 from yellowrush_spark_ml_pipeline_spark.streaming import (
     hypertable_rollup,
@@ -988,6 +989,54 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.cap_per_domain(hosts, max_per_domain=2)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-8-gram overlap of every document
+    against a planted benchmark set (docs with doc_id % 37 == 0 stand in
+    for an eval suite — they are in the corpus, so they MUST come out
+    flagged 100% contaminated; unrelated docs near 0). Broadcast bench
+    grams, integer counts + integer-ratio flag."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    return textstats.benchmark_overlap(docs, benchmark, n=8, flag_pct=10)
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 distinctive terms: the tf-idf ranking on exact
+    integers (df asc, tf desc, token asc) — no cross-engine float logs."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.distinctive_terms(docs, k=3)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase over events: users reaching
+    each stage in strict timestamp order (first-touch semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events: distinct active users k weeks
+    after their first-seen week, k=0..4."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.cohort_retention(ev, max_weeks=4)
+
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile profile of document lengths (corpus quality
+    stratification); deterministic NTILE via the (n_chars, doc_id) total
+    order."""
+    docs = _t(spark, sf_dir, "documents")
+    return aggregates.ntile_buckets(docs, "n_chars", "doc_id", n_buckets=10)
+
+
+def q_quantile_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p99 of document length WITHOUT a global sort: per-value
+    counts + running sum over the distinct-value relation (the scalable
+    exact-percentile-trim primitive)."""
+    docs = _t(spark, sf_dir, "documents")
+    return aggregates.quantile_cutoff(docs, "n_chars", q_pct=99)
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10: broadcast query set × corpus + per-query window."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1266,6 +1315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "token_rarity": q_token_rarity,
         "domain_cap": q_domain_cap,
+        "decontaminate": q_decontaminate,
+        "distinctive_terms": q_distinctive_terms,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "quality_buckets": q_quality_buckets,
+        "quantile_cutoff": q_quantile_cutoff,
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -1938,6 +1993,124 @@ def oracle_sql() -> dict[str, str]:
                 FROM hosts
             )
             SELECT doc_id, host FROM ranked WHERE rn <= 2
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x != '') AS toks
+                FROM documents
+            ), doc_grams AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(0, greatest(len(toks) - 8, 0) + 1),
+                               i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+                    FROM toks
+                ) WHERE gram <> ''
+            ), bench AS (
+                SELECT DISTINCT gram FROM doc_grams WHERE doc_id % 37 = 0
+            )
+            SELECT d.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(b.gram) AS BIGINT) AS n_contaminated,
+                   (COUNT(b.gram) * 100 >= COUNT(*) * 10) AS contaminated
+            FROM doc_grams d LEFT JOIN bench b ON d.gram = b.gram
+            GROUP BY d.doc_id
+        """,
+        "distinctive_terms": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                           x -> x != '')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+            ), dfreq AS (
+                SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+            ), ranked AS (
+                SELECT tf.doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY dfreq.df ASC, tf.tf DESC, tf.token ASC
+                       ) AS INT) AS rank,
+                       tf.token,
+                       CAST(tf.tf AS BIGINT) AS tf,
+                       CAST(dfreq.df AS BIGINT) AS df
+                FROM tf JOIN dfreq USING (token)
+            )
+            SELECT doc_id, rank, token, tf, df FROM ranked WHERE rank <= 3
+        """,
+        "funnel": r"""
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, MIN(e.ts) AS t1
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t0
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t1
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+                   CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+        """,
+        "cohort_retention": r"""
+            WITH first_seen AS (
+                SELECT user_id,
+                       MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+                FROM events GROUP BY user_id
+            ), act AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS active_week
+                FROM events
+            )
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INT)
+                       AS weeks_after,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM act a JOIN first_seen f USING (user_id)
+            WHERE date_diff('day', f.cohort_week, a.active_week) // 7 <= 4
+            GROUP BY 1, 2
+        """,
+        "quality_buckets": r"""
+            SELECT CAST(bucket AS INT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(n_chars) AS min_value,
+                   MAX(n_chars) AS max_value,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_value
+            FROM (
+                SELECT n_chars,
+                       NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+                FROM documents
+            )
+            GROUP BY bucket
+        """,
+        "quantile_cutoff": r"""
+            WITH counts AS (
+                SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+            ), cum AS (
+                SELECT v, cnt,
+                       SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(cnt) OVER () AS n_total
+                FROM counts
+            )
+            SELECT v AS cutoff,
+                   CAST(n_total AS BIGINT) AS n_total,
+                   CAST(cum AS BIGINT) AS n_at_or_below,
+                   CAST(n_total - cum AS BIGINT) AS n_above
+            FROM cum
+            WHERE cum >= FLOOR((n_total * 99 + 99) / 100)
+            ORDER BY v LIMIT 1
         """,
         "url_domains": r"""
             WITH aug AS (

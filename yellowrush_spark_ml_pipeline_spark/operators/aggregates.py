@@ -184,3 +184,75 @@ def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.max(c).alias(f"max_{c}"),
         ]
     return df.agg(*aggs)
+
+
+def ntile_buckets(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equal-frequency bucketing (NTILE) + per-bucket profile: the
+    quality-stratification step of corpus curation ("drop the bottom
+    decile, oversample the top one"). The (value, id) ORDER BY is a total
+    order, so bucket assignment is deterministic and engine-portable.
+
+    Scale note: NTILE needs a global rank, which Spark executes as a
+    single-partition window — fine for the per-bucket PROFILE (the window
+    input can be pre-aggregated), wrong for tagging 100 TB of rows. For
+    row tagging at scale use `quantile_cutoff` below (aggregate-then-rank
+    on the value histogram) — same math, no global sort of the fact
+    table."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    tagged = df.select(
+        F.col(value_col), F.ntile(n_buckets).over(w).alias("bucket")
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.sum(F.col(value_col).cast("bigint")).alias("total_value"),
+    )
+
+
+def quantile_cutoff(
+    df: DataFrame,
+    value_col: str,
+    q_pct: int = 99,
+) -> DataFrame:
+    """Exact q-th percentile WITHOUT a global sort of the fact table:
+    aggregate to per-value counts (one shuffle, map-side combinable),
+    then a running sum over the tiny distinct-value relation picks the
+    smallest value whose cumulative count reaches ceil(q% * N). This is
+    the scalable form of exact-percentile trimming: the window runs over
+    |distinct values| rows, not |table| rows. Returns one row:
+    (cutoff, n_total, n_at_or_below, n_above) — integer-exact.
+
+    Semantics match SQL's ``percentile_disc(q) WITHIN GROUP (ORDER BY v)``
+    for q expressed as a percentage."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_total", F.sum("cnt").over(Window.partitionBy())
+    )
+    # ceil(q/100 * N) in pure integers: (N*q + 99) div 100
+    target = (F.col("n_total") * q_pct + 99) / F.lit(100)
+    hit = (
+        cum.filter(F.col("cum") >= F.floor(target))
+        .orderBy(F.col("v").asc())
+        .limit(1)
+    )
+    return hit.select(
+        F.col("v").alias("cutoff"),
+        F.col("n_total"),
+        F.col("cum").alias("n_at_or_below"),
+        (F.col("n_total") - F.col("cum")).alias("n_above"),
+    )

@@ -342,3 +342,78 @@ def redact_pii(
         )
         redacted = F.regexp_replace(redacted, pat, replacement)
     return out.withColumn("redacted_text", redacted)
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    flag_pct: int = 10,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of word ``n``-grams
+    that also appear in a benchmark/eval set (the GPT-3/Llama-style
+    train-test overlap check). A doc whose contaminated-gram share reaches
+    ``flag_pct`` percent is flagged for removal.
+
+    Plan shape for 100 TB: the benchmark side is an eval set — thousands
+    of documents, a few million distinct n-grams — so it is aggregated to
+    a distinct-gram set and **broadcast**; the corpus side is a narrow
+    scan → per-row ``array_distinct`` (map-side, no shuffle) → explode →
+    broadcast-hash left join → per-doc hash agg. The only shuffle is the
+    final groupBy on ``id_col``, and every gram travels at most once.
+    Integer outputs only (counts + an integer-ratio flag): no
+    cross-engine float drift.
+    """
+    from ..functions.text import shingles
+
+    def grams(frame: DataFrame, cols: list[str]) -> DataFrame:
+        g = F.array_distinct(shingles(tokens(F.col(text_col)), n=n))
+        return (
+            frame.select(*cols, F.explode(g).alias("gram"))
+            .filter(F.col("gram") != "")
+        )
+
+    bench_grams = grams(benchmark, []).distinct().withColumn("hit", F.lit(1))
+    doc_grams = grams(df, [id_col])
+    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("hit").alias("n_contaminated"),
+        (F.count("hit") * 100 >= F.count(F.lit(1)) * flag_pct).alias(
+            "contaminated"
+        ),
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document distinctive terms: the tf-idf ranking re-expressed on
+    exact integers. For each (doc, token) we keep tf (in-doc count) and df
+    (number of docs containing the token), then rank per doc by rarest
+    first (df asc), heaviest in-doc use next (tf desc), token asc — the
+    same ordering idf*tf induces on a fixed corpus, minus the
+    cross-engine float log. Two shuffles (doc-term agg, df agg) + one
+    window; the df side aggregates to vocabulary size before the join, so
+    corpus scale never re-shuffles twice."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tf.join(dfreq, "token").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.col("df").asc(), F.col("tf").desc(), F.col("token").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        id_col, "rank", "token", "tf", "df"
+    )
