@@ -1,0 +1,95 @@
+"""Event-sequence analytics (operators/events.py) + decontamination:
+semantic edges the oracle's aggregate hash can't isolate — strict stage
+ordering, first-touch frontiers, planted contamination."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from yellowrush_spark_ml_pipeline_spark.operators import events as events_ops
+from yellowrush_spark_ml_pipeline_spark.operators import textstats
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, _ts(m)) for u, t, m in rows], ["user_id", "event_type", "ts"]
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    ev = _ev(
+        spark,
+        [
+            # u1: full ordered funnel
+            (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+            # u2: purchase BEFORE click → stops at click
+            (2, "view", 0), (2, "purchase", 1), (2, "click", 2),
+            # u3: click before any view → only view counts
+            (3, "click", 0), (3, "view", 1),
+            # u4: never viewed → not in funnel at all
+            (4, "click", 0), (4, "purchase", 1),
+        ],
+    )
+    out = events_ops.funnel_counts(ev, ["view", "click", "purchase"])
+    got = {r.stage: r.n_users for r in out.collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_first_touch_frontier(spark):
+    # u1's FIRST view is at t0; a later view at t3 must not resurrect a
+    # click at t4 into an earlier-stage window... it should: first-touch
+    # means the frontier is the EARLIEST qualifying event, so a click any
+    # time after t0 counts.
+    ev = _ev(spark, [(1, "view", 0), (1, "view", 3), (1, "click", 4)])
+    out = events_ops.funnel_counts(ev, ["view", "click"])
+    got = {r.stage: r.n_users for r in out.collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # Strict ordering: a click at exactly the view's timestamp is NOT
+    # after it.
+    ev = _ev(spark, [(1, "view", 0), (1, "click", 0)])
+    out = events_ops.funnel_counts(ev, ["view", "click"])
+    got = {r.stage: r.n_users for r in out.collect()}
+    assert got == {"view": 1, "click": 0}
+
+
+def test_cohort_retention_counts(spark):
+    # Two users cohorted in week of Jan 1 2024 (Mon); one returns in
+    # week+1, both active week 0.
+    rows = [
+        (1, "view", dt.datetime(2024, 1, 2, 10)),
+        (1, "view", dt.datetime(2024, 1, 9, 10)),   # next week
+        (2, "view", dt.datetime(2024, 1, 3, 10)),
+        (2, "view", dt.datetime(2024, 1, 4, 10)),   # same week → 1 row
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = events_ops.cohort_retention(ev, max_weeks=4)
+    got = {(str(r.cohort_week), r.weeks_after): r.n_users for r in out.collect()}
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1}
+
+
+def test_decontaminate_flags_planted_benchmark_docs(spark, sf_small):
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    out = textstats.benchmark_overlap(docs, benchmark, n=8, flag_pct=10)
+    bench_ids = {r.doc_id for r in benchmark.select("doc_id").collect()}
+    flagged = {r.doc_id for r in out.filter("contaminated").collect()}
+    # Every benchmark doc long enough to have grams must self-flag 100%.
+    rows = {r.doc_id: r for r in out.collect()}
+    for did in bench_ids:
+        if did in rows:
+            assert rows[did].n_contaminated == rows[did].n_grams
+            assert rows[did].contaminated
+    # Contamination must not blanket the corpus: planted benchmark docs
+    # (plus their planted near-duplicates) flag, the long tail does not.
+    assert len(flagged) < out.count() * 0.5

