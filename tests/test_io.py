@@ -228,3 +228,61 @@ def test_upsert_partitions_rewrites_only_touched(spark, sf_small, tmp_path):
         F.sum("o_totalprice").alias("s")
     ).first()["s"]
     assert abs(doubled - 2 * orig) < 1e-6
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, sf_small, tmp_path):
+    from yellowrush_spark_ml_pipeline_spark.sources.readers import read_jsonl
+    from yellowrush_spark_ml_pipeline_spark.sources.writers import write_jsonl
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(map(repr, docs.select("doc_id", "text", "lang").collect()))
+    b = sorted(map(repr, back.select("doc_id", "text", "lang").collect()))
+    assert a == b
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from yellowrush_spark_ml_pipeline_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"id": 1, "t": "ok"}\n{broken\n{"id": 3, "t": "also ok"}\n')
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("t", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    out = read_jsonl(spark, str(p), schema).cache()
+    assert out.count() == 3
+    assert out.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert out.filter(F.col("id").isNotNull()).count() == 2
+    out.unpersist()
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
+    from yellowrush_spark_ml_pipeline_spark.sources.readers import read_orc
+    from yellowrush_spark_ml_pipeline_spark.sources.writers import write_orc
+
+    orders = load_table(spark, sf_small, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum("o_totalprice").alias("s")).first()["s"]
+    b = back.agg(F.sum("o_totalprice").alias("s")).first()["s"]
+    assert abs(a - b) < 1e-6
+    # filter + projection reach the ORC scan
+    plan = (
+        back.filter(F.col("o_custkey") == 7)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]

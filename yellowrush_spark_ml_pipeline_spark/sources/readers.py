@@ -58,3 +58,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan with explicit schema — the standard interchange
+    format of web-crawl / LLM-corpus pipelines (one document object per
+    line). An explicit schema is non-negotiable at scale: schema
+    inference is a full extra pass over the data, and a drifting inferred
+    schema silently changes downstream plans. Pass
+    ``mode='PERMISSIVE'`` (default) + a ``_corrupt_record`` column in the
+    schema to quarantine malformed lines instead of failing the job."""
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan (columnar sibling of parquet; same pushdown/pruning
+    machinery in Spark — PushedFilters and ReadSchema reach the reader)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -107,3 +107,17 @@ def upsert_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — corpus-interchange output (one object per line,
+    gzip-friendly, splittable when uncompressed). Same partition-count
+    considerations as parquet apply; JSON costs ~3-5× parquet in bytes
+    and scan CPU, so it is an EXPORT format here, not a pipeline-internal
+    one."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (interop with Hive/Trino-centric estates)."""
+    df.write.mode(mode).orc(path)
