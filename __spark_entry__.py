@@ -1037,6 +1037,13 @@ def q_quantile_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.quantile_cutoff(docs, "n_chars", q_pct=99)
 
 
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent token pairs (BPE merge-pair counting): tokenizer
+    prep's other half next to vocab_topk."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bigram_topk(docs, k=50)
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10: broadcast query set × corpus + per-query window."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1321,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "quality_buckets": q_quality_buckets,
         "quantile_cutoff": q_quantile_cutoff,
+        "bigram_topk": q_bigram_topk,
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -2111,6 +2119,25 @@ def oracle_sql() -> dict[str, str]:
             FROM cum
             WHERE cum >= FLOOR((n_total * 99 + 99) / 100)
             ORDER BY v LIMIT 1
+        """,
+        "bigram_topk": r"""
+            WITH tok AS (
+                SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), pairs AS (
+                SELECT unnest(list_transform(
+                    range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+                FROM tok
+            ), cnt AS (
+                SELECT bigram, COUNT(*) AS freq FROM pairs GROUP BY bigram
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, bigram ASC) AS INT) AS rank,
+                   bigram, CAST(freq AS BIGINT) AS freq
+            FROM cnt
+            ORDER BY rank
+            LIMIT 50
         """,
         "url_domains": r"""
             WITH aug AS (

@@ -93,3 +93,58 @@ def test_decontaminate_flags_planted_benchmark_docs(spark, sf_small):
     # Contamination must not blanket the corpus: planted benchmark docs
     # (plus their planted near-duplicates) flag, the long tail does not.
     assert len(flagged) < out.count() * 0.5
+
+
+def test_select_canonical_quality_argmax(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.dedup import select_canonical
+
+    docs = spark.createDataFrame(
+        [
+            # component {1, 2, 9}: doc 9 has the best quality
+            (1, 0.50), (2, 0.75), (9, 1.00),
+            # singleton
+            (5, 0.25),
+        ],
+        ["doc_id", "quality_score"],
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 1)], ["doc_id", "group_id"]
+    )
+    min_id = {r.doc_id for r in select_canonical(docs, groups).collect()}
+    assert min_id == {1, 5}
+    best = {
+        r.doc_id
+        for r in select_canonical(
+            docs, groups, quality_col="quality_score"
+        ).collect()
+    }
+    assert best == {9, 5}
+
+
+def test_select_canonical_tie_breaks_to_min_id(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.dedup import select_canonical
+
+    docs = spark.createDataFrame(
+        [(3, 0.5), (7, 0.5)], ["doc_id", "quality_score"]
+    )
+    groups = spark.createDataFrame([(3, 3), (7, 3)], ["doc_id", "group_id"])
+    best = {
+        r.doc_id
+        for r in select_canonical(
+            docs, groups, quality_col="quality_score"
+        ).collect()
+    }
+    assert best == {3}
+
+
+def test_curate_corpus_best_quality_canonical(spark, sf_small):
+    from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    a = curate_corpus(docs, canonical="min_id")
+    b = curate_corpus(docs, canonical="best_quality")
+    # Same number of survivors (one per component either way), same
+    # schema; the selected ids may differ.
+    assert a.count() == b.count()
+    assert a.columns == b.columns

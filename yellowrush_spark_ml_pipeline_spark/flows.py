@@ -172,6 +172,7 @@ def curate_corpus(
     redact: bool = False,
     lang_scorer=None,
     max_bucket_size: int | None = None,
+    canonical: str = "min_id",
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
@@ -208,12 +209,17 @@ def curate_corpus(
     groups = dedup_groups(pairs)
     # Schema-agnostic output: whatever columns the corpus came with, plus
     # the derived curation columns — the flow requires only doc_id + text.
+    # canonical="min_id" keeps the smallest id per dup component (pure
+    # filter, no extra shuffle); "best_quality" keeps the highest-quality
+    # member via dedup.select_canonical's key-only argmax.
+    from .operators.dedup import select_canonical
+
     out_cols = list(docs.columns) + ["lang_pred", "n_tokens", "quality_score"]
-    curated = (
-        kept.join(groups, "doc_id", "left")
-        .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
-        .select(*out_cols)
-    )
+    curated = select_canonical(
+        kept,
+        groups,
+        quality_col="quality_score" if canonical == "best_quality" else None,
+    ).select(*out_cols)
     if output_path:
         if partition_col not in curated.columns:
             raise ValueError(

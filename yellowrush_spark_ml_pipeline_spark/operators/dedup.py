@@ -498,3 +498,47 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def select_canonical(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Pick ONE surviving document per duplicate component.
+
+    ``quality_col=None``: min-id representative — a pure filter
+    (group_id == id or ungrouped), zero additional shuffle; the default
+    inside `curate_corpus`.
+
+    ``quality_col='quality_score'``: keep the highest-quality member
+    (ties → smallest id) — the curation-grade policy: near-dup clusters
+    often pair a clean original with boilerplate-wrapped copies, and
+    min-id keeps whichever crawled first, not whichever is cleanest.
+
+    Scale shape: the argmax never shuffles document payloads. Only the
+    (id, group, quality) triple goes through the per-group window, and
+    winners semi-join back to the full rows on ``id_col`` — at 100 TB the
+    wide text/binary columns stay in place while kilobyte-scale keys
+    travel."""
+    from pyspark.sql import Window
+
+    joined = df.join(groups, id_col, "left")
+    if quality_col is None:
+        return joined.filter(
+            F.col("group_id").isNull() | (F.col("group_id") == F.col(id_col))
+        ).drop("group_id")
+    gid = F.coalesce(F.col("group_id"), F.col(id_col))
+    triple = joined.select(
+        F.col(id_col), gid.alias("_gid"), F.col(quality_col).alias("_q")
+    )
+    w = Window.partitionBy("_gid").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    winners = (
+        triple.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")

@@ -430,3 +430,25 @@ def distinctive_terms(
     return ranked.filter(F.col("rank") <= k).select(
         id_col, "rank", "token", "tf", "df"
     )
+
+
+def bigram_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Top-k adjacent token pairs — the merge-pair count behind one BPE
+    merge step (tokenizer-training prep alongside `vocab_topk`). Pairs
+    come from `shingles(n=2)` (one codegen regex pass); the sub-2-token
+    truncated shingle is excluded by the contains-space filter, so only
+    genuine adjacencies count. Same TakeOrderedAndProject shape as
+    vocab_topk: per-partition top-k, only k rows travel."""
+    from pyspark.sql import Window
+
+    from ..functions.text import shingles
+
+    pair = df.select(
+        F.explode(shingles(tokens(F.col(text_col)), 2)).alias("bigram")
+    ).filter(F.col("bigram").contains(" "))
+    counts = pair.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    order = [F.col("freq").desc(), F.col("bigram").asc()]
+    head = counts.orderBy(*order).limit(k)
+    return head.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"), "bigram", "freq"
+    )
