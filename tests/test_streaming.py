@@ -291,3 +291,58 @@ def test_stateful_user_totals_accumulate_across_batches(spark, sf_small, tmp_pat
         assert abs(got_total - total) < 1e-6 * max(1.0, abs(total))
     # state genuinely crossed batches: more update rows than users
     assert len(updates) > len(want)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_small, tmp_path):
+    from yellowrush_spark_ml_pipeline_spark.streaming.stateful import (
+        streaming_interval_join,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "ssj_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    joined = streaming_interval_join(
+        spark,
+        src,
+        src,
+        schema,
+        left_type="click",
+        right_type="purchase",
+        max_delay="1 hour",
+    )
+    assert joined.isStreaming
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(180)
+    finally:
+        query.stop()
+
+    got = {
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("l_ts")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    want = {
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in clicks.join(
+            buys,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want

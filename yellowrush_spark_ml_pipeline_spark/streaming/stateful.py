@@ -81,6 +81,64 @@ def streaming_enrich(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def streaming_interval_join(
+    spark,
+    left_path: str,
+    right_path: str,
+    schema: StructType,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    max_delay: str = "1 hour",
+    left_type: str | None = None,
+    right_type: str | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stream-stream INNER interval join: right-side events that occur
+    within ``(left.ts, left.ts + max_delay]`` for the same key —
+    click→purchase attribution as two live streams.
+
+    Both sides carry watermarks and the join condition is a closed time
+    range, which is what lets Spark BOUND THE JOIN STATE: each side's
+    buffered rows are dropped once the other side's watermark passes
+    ts + max_delay. Without the range condition the state grows forever —
+    that, not correctness, is why unconstrained stream-stream equi-joins
+    are rejected for append output. State size is O(events inside the
+    watermark+delay horizon per key), independent of stream length."""
+    from pyspark.sql import functions as F
+
+    def side(path: str, flt: str | None, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .parquet(path)
+            .withWatermark(ts_col, watermark)
+        )
+        if flt is not None:
+            s = s.filter(F.col(type_col) == flt)
+        return s.select(
+            F.col(key_col).alias(f"{prefix}_{key_col}"),
+            F.col(ts_col).alias(f"{prefix}_{ts_col}"),
+            F.col("value").alias(f"{prefix}_value"),
+        )
+
+    left = side(left_path, left_type, "l")
+    right = side(right_path, right_type, "r")
+    lk, rk = f"l_{key_col}", f"r_{key_col}"
+    lt, rt = f"l_{ts_col}", f"r_{ts_col}"
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rt) > F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return left.join(right, cond, "inner").select(
+        F.col(lk).alias(key_col),
+        F.col(lt),
+        F.col(rt),
+        F.col("l_value"),
+        F.col("r_value"),
+    )
+
+
 def streaming_user_totals(
     spark,
     source_path: str,
