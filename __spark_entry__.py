@@ -1053,6 +1053,26 @@ def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries_df, k=10)
 
 
+def q_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video path end-to-end (rows-only: binary frame payloads aren't
+    SQL-expressible): deterministic YRV1 containers → frame sampling
+    (row-expanding mapInPandas) → per-frame BMP decode + featurize.
+    sf-independent fixture, pixel-verified in tests/test_events.py."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synthetic_video_media,
+    )
+
+    vids = synthetic_video_media(spark, n=12, frames_per_video=6)
+    frames = sample_frames(vids, every_n=2).select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        "payload",
+    )
+    return extract_features(frames)
+
+
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-random-projection buckets (rows-only:
     the SRP hyperplanes aren't SQL-expressible)."""
@@ -1333,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
         "multimodal_features": q_multimodal_features,
+        "video_pipeline": q_video_pipeline,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "minhash_dedup": q_minhash_dedup,

@@ -148,3 +148,69 @@ def test_curate_corpus_best_quality_canonical(spark, sf_small):
     # schema; the selected ids may differ.
     assert a.count() == b.count()
     assert a.columns == b.columns
+
+
+def test_resize_images_real_bmp_path(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        _bmp_pixels,
+        encode_bmp,
+        resize_images,
+    )
+
+    # 4x4 image, left half red, right half blue → 2x2 resize keeps halves
+    red, blue = (255, 0, 0), (0, 0, 255)
+    px = [[red, red, blue, blue]] * 4
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(px)), "image/bmp", 4, 4, None),
+         (2, "image", bytearray(b"\xff\xd8notbmp"), "image/jpeg", None, None, None),
+         (3, "audio", bytearray(b"RIFF"), "audio/wav", None, None, None)],
+        "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms int",
+    )
+    out = {r.media_id: r for r in resize_images(media, 2, 2).collect()}
+    assert set(out) == {1, 2}  # audio row filtered, jpeg kept with NULL payload
+    assert out[2].payload is None
+    w, h, got = _bmp_pixels(bytes(out[1].payload))
+    assert (w, h) == (2, 2)
+    assert got == [[red, blue]] * 2
+    assert out[1].mime == "image/bmp"
+
+
+def test_sample_frames_every_other(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        _bmp_pixels,
+        sample_frames,
+        synthetic_video_media,
+    )
+
+    vids = synthetic_video_media(spark, n=3, frames_per_video=6)
+    frames = sample_frames(vids, every_n=2)
+    rows = frames.collect()
+    # 3 videos x frames {0, 2, 4}
+    assert {(r.media_id, r.frame_idx) for r in rows} == {
+        (i, j) for i in range(3) for j in (0, 2, 4)
+    }
+    # pixel-verify one sampled frame: video 2, frame 4
+    target = next(r for r in rows if r.media_id == 2 and r.frame_idx == 4)
+    _, _, px = _bmp_pixels(bytes(target.payload))
+    assert px[0][0] == ((2 * 31 + 4 * 17) % 256, 4 % 256, 2 % 256)
+
+
+def test_sampled_frames_feed_feature_extraction(spark):
+    from pyspark.sql import functions as SF
+
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synthetic_video_media,
+    )
+
+    vids = synthetic_video_media(spark, n=2, frames_per_video=4)
+    frames = sample_frames(vids, every_n=2).select(
+        (SF.col("media_id") * 100 + SF.col("frame_idx")).alias("media_id"),
+        SF.lit("image").alias("kind"),
+        "payload",
+    )
+    feats = extract_features(frames).collect()
+    assert len(feats) == 4  # 2 videos x frames {0, 2}
+    for r in feats:
+        assert r.feature[0] == 4.0 and r.feature[1] == 4.0  # real BMP decode

@@ -297,3 +297,173 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     if batch_hint:
         cols = cols.repartition(batch_hint)
     return cols.mapInPandas(featurize, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mime", StringType(), True),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _bmp_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode an uncompressed 24-bit BMP to top-down (r, g, b) pixel rows
+    (the full-image sibling of `_decode_bmp`'s statistics pass)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        src = offset + (height - 1 - y if bottom_up else y) * row_stride
+        row = []
+        for x in range(width):
+            b, g, r = payload[src + 3 * x : src + 3 * x + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    return width, height, rows
+
+
+def _resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize, BMP in → BMP out (pure Python; a real
+    deployment swaps PIL/opencv here with the same signature)."""
+    w, h, px = _bmp_pixels(payload)
+    resized = [
+        [px[y * h // out_h][x * w // out_w] for x in range(out_w)]
+        for y in range(out_h)
+    ]
+    return encode_bmp(resized)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize stage over binary payloads (Arrow-batched mapInPandas).
+
+    BMP payloads are resized FOR REAL (nearest-neighbor); other image
+    codecs have no decoder in this container, so their output payload is
+    NULL — the schema, batching, and partition shape are exactly what a
+    PIL/opencv-backed version has, and swapping `_resize_bmp` is the only
+    change. Non-image rows are dropped at the scan (pushed filter)."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs, mimes = [], [], [], []
+            for p in pdf["payload"]:
+                if p is not None and bytes(p[:2]) == b"BM":
+                    payloads.append(_resize_bmp(bytes(p), width, height))
+                    ws.append(width)
+                    hs.append(height)
+                    mimes.append("image/bmp")
+                else:
+                    payloads.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    mimes.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "mime": mimes,
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(do, RESIZED_SCHEMA)
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Minimal deterministic video container (test fixture): magic 'YRV1',
+    frame count, per-frame lengths, then concatenated frame payloads
+    (each frame a BMP). Stands in for a real container so the
+    frame-sampling PLUMBING (multi-row-per-input mapInPandas, per-frame
+    payload rows) is genuinely exercised without libav."""
+    import struct
+
+    return (
+        b"YRV1"
+        + struct.pack("<I", len(frames))
+        + b"".join(struct.pack("<I", len(f)) for f in frames)
+        + b"".join(frames)
+    )
+
+
+def _video_frames(payload: bytes) -> list[bytes]:
+    import struct
+
+    if payload[:4] != b"YRV1":
+        raise ValueError("not a YRV1 container")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    lens = struct.unpack_from(f"<{n}I", payload, 8)
+    pos = 8 + 4 * n
+    out = []
+    for ln in lens:
+        out.append(payload[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling stage: one output ROW per kept frame (idx % every_n
+    == 0) — the row-expanding mapInPandas shape of real video pipelines
+    (a 1 M-video table becomes a 30 M-frame table; Arrow batches bound
+    memory and the expansion happens executor-side, never on the driver).
+    Unknown containers yield zero rows for that input (documented codec
+    gap, same policy as `resize_images`)."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or bytes(p[:4]) != b"YRV1":
+                    continue
+                for i, frame in enumerate(_video_frames(bytes(p))):
+                    if i % every_n == 0:
+                        ids.append(mid)
+                        idxs.append(i)
+                        payloads.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return vids.mapInPandas(do, FRAMES_SCHEMA)
+
+
+def synthetic_video_media(spark, n: int = 8, frames_per_video: int = 6) -> DataFrame:
+    """Deterministic videos: each frame a solid-color 4x4 BMP whose color
+    encodes (video id, frame idx) — so sampled frames are verifiable
+    pixel-for-pixel. Bounded driver-side fixture generation."""
+    rows = []
+    for i in range(n):
+        frames = [
+            encode_bmp([[( (i * 31 + j * 17) % 256, j % 256, i % 256)] * 4] * 4)
+            for j in range(frames_per_video)
+        ]
+        rows.append(
+            (i, "video", bytearray(encode_video(frames)), "video/x-yrv1", 4, 4, frames_per_video * 40)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
