@@ -1037,6 +1037,13 @@ def q_quantile_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.quantile_cutoff(docs, "n_chars", q_pct=99)
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest lineitem part keys with exact share-of-total basis
+    points — the skew measurement behind salting / AQE-split decisions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.skew_profile(li, "l_partkey", k=20)
+
+
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent token pairs (BPE merge-pair counting): tokenizer
     prep's other half next to vocab_topk."""
@@ -1349,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "quantile_cutoff": q_quantile_cutoff,
         "bigram_topk": q_bigram_topk,
+        "skew_profile": q_skew_profile,
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -2159,6 +2167,18 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
             ORDER BY rank
             LIMIT 50
+        """,
+        "skew_profile": r"""
+            WITH cnt AS (
+                SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+            ), tot AS (SELECT COUNT(*) AS total FROM lineitem)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS INT) AS rank,
+                   key, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(total AS BIGINT) AS total,
+                   CAST(FLOOR(cnt * 10000 / total) AS BIGINT) AS share_bp
+            FROM cnt, tot
+            ORDER BY rank
+            LIMIT 20
         """,
         "url_domains": r"""
             WITH aug AS (

@@ -256,3 +256,27 @@ def quantile_cutoff(
         F.col("cum").alias("n_at_or_below"),
         (F.col("n_total") - F.col("cum")).alias("n_above"),
     )
+
+
+def skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Join-key skew diagnostic: the top-k heaviest keys with exact counts
+    and share of total rows in basis points — the measurement that decides
+    between a plain shuffle join, salting, or an AQE skew split. One
+    map-side-combinable count agg; the scalar total rides in on a
+    broadcast single-row cross join (never a global window), and only the
+    top-k rows leave via TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    order = [F.col("cnt").desc(), F.col("key").asc()]
+    head = counts.join(F.broadcast(total)).orderBy(*order).limit(k)
+    return head.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        "key",
+        "cnt",
+        "total",
+        F.floor(F.col("cnt") * 10000 / F.col("total")).alias("share_bp"),
+    )
