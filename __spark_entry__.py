@@ -1044,6 +1044,27 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.skew_profile(li, "l_partkey", k=20)
 
 
+def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal moments for corr(quantity, extendedprice): sums are
+    exact rationals so the hash can't drift with partition order."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = aggregates.corr_moments(li, "l_quantity", "l_extendedprice")
+    # exact decimal -> double: both engines round the same rational to the
+    # same nearest double (cf. pricing_summary's determinism note)
+    return m.select(
+        "n",
+        *[F.col(c).cast("double").alias(c) for c in m.columns if c != "n"],
+    )
+
+
+def q_grouped_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median document length (percentile_disc semantics)
+    via histogram ranking — the window input is |groups × distinct
+    lengths|, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return aggregates.grouped_quantile_cutoff(docs, "lang", "n_chars", q_pct=50)
+
+
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent token pairs (BPE merge-pair counting): tokenizer
     prep's other half next to vocab_topk."""
@@ -1357,6 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_cutoff": q_quantile_cutoff,
         "bigram_topk": q_bigram_topk,
         "skew_profile": q_skew_profile,
+        "corr_moments": q_corr_moments,
+        "grouped_quantile": q_grouped_quantile,
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -2179,6 +2202,36 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt, tot
             ORDER BY rank
             LIMIT 20
+        """,
+        # corr_moments: sums are computed as exact decimals in BOTH engines
+        # (inputs carry <=2 decimals), then cast to double — both engines
+        # round the same exact rational to the same nearest double, so the
+        # hash is partition-order- and engine-invariant.
+        "corr_moments": r"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_y,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sum_xy,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sum_x2,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sum_y2
+            FROM lineitem
+        """,
+        "grouped_quantile": r"""
+            WITH counts AS (
+                SELECT lang AS grp, n_chars AS v, COUNT(*) AS cnt
+                FROM documents GROUP BY lang, n_chars
+            ), cum AS (
+                SELECT grp, v, cnt,
+                       SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(cnt) OVER (PARTITION BY grp) AS n_total
+                FROM counts
+            )
+            SELECT grp, MIN(v) AS cutoff,
+                   CAST(MAX(n_total) AS BIGINT) AS n_total
+            FROM cum
+            WHERE cum >= FLOOR((n_total * 50 + 99) / 100)
+            GROUP BY grp
         """,
         "url_domains": r"""
             WITH aug AS (

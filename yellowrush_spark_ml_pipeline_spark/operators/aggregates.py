@@ -280,3 +280,59 @@ def skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         "total",
         F.floor(F.col("cnt") * 10000 / F.col("total")).alias("share_bp"),
     )
+
+
+def corr_moments(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Exact decimal moments for Pearson correlation / covariance:
+    (n, Σx, Σy, Σx², Σy², Σxy) with every sum in DECIMAL(38,8) — the
+    inputs carry ≤2 decimals, so products have ≤4 and the sums are exact
+    rationals, order-independent, identical on every engine. Float
+    corr()/covar() differ at the last ulp per engine and per partition
+    order; the moments never do, and corr derives driver-side in one
+    line: (n·Σxy − Σx·Σy) / √(n·Σx²−Σx²ᵗᵒᵗ)·√(n·Σy²−Σy²ᵗᵒᵗ).
+    One map-side-combinable aggregation, no shuffle beyond the final
+    single-row reduce."""
+    x = F.col(x_col).cast("decimal(18,4)")
+    y = F.col(y_col).cast("decimal(18,4)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(38,8)").alias("sum_x"),
+        F.sum(y).cast("decimal(38,8)").alias("sum_y"),
+        F.sum((x * y).cast("decimal(38,8)")).alias("sum_xy"),
+        F.sum((x * x).cast("decimal(38,8)")).alias("sum_x2"),
+        F.sum((y * y).cast("decimal(38,8)")).alias("sum_y2"),
+    )
+
+
+def grouped_quantile_cutoff(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_pct: int = 50,
+) -> DataFrame:
+    """Per-group exact q-th percentile (percentile_disc semantics) with
+    the same histogram-ranking shape as `quantile_cutoff`: aggregate to
+    per-(group, value) counts first, run the window over that relation
+    (|groups × distinct values| rows, not |table| rows), pick the
+    smallest value whose cumulative count reaches ceil(q% · group
+    total). At scale the only full-table operation is one combinable
+    count shuffle."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_total", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    target = F.floor((F.col("n_total") * q_pct + 99) / F.lit(100))
+    return (
+        cum.filter(F.col("cum") >= target)
+        .groupBy("grp")
+        .agg(F.min("v").alias("cutoff"), F.max("n_total").alias("n_total"))
+    )
