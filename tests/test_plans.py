@@ -216,3 +216,67 @@ def test_incremental_dedup_no_corpus_self_join(spark, sf_small):
     plan = explain_str(entrymod.queries()["incremental_dedup"](spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_not_corpus(spark, sf_small):
+    """The benchmark-gram side is bounded (an eval set) and must
+    broadcast; the corpus side must never be broadcast or nested-loop
+    joined."""
+    plan = explain_str(entrymod.queries()["decontaminate"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_queries_never_globally_sort(spark, sf_small):
+    """vocab/bigram/skew heads must run as TakeOrderedAndProject
+    (per-partition top-k, k rows travel) — a global Sort of the exploded
+    token relation is the 100 TB failure mode."""
+    for name in ("vocab_topk", "bigram_topk", "skew_profile"):
+        plan = explain_str(entrymod.queries()[name](spark, sf_small))
+        assert "TakeOrderedAndProject" in plan, f"{name}: no top-k pushdown"
+
+
+def test_funnel_reuses_user_partitioning(spark, sf_small):
+    """Each funnel stage joins and re-aggregates on user_id; the events
+    relation is re-read per stage (one exchange each), but no stage may
+    introduce an EXTRA shuffle between its join and its aggregation."""
+    from yellowrush_spark_ml_pipeline_spark.operators import events as events_ops
+
+    ev = load_table(spark, sf_small, "events")
+    df = events_ops.funnel_counts(ev, ["view", "click", "purchase"])
+    plan = explain_str(df)
+    # 3 stage scans + stage-2 and stage-3 joins: every Exchange must be
+    # hashpartitioning(user_id) or the final single-partition union agg.
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)\(([^)]*)\)", plan)
+    for kind, args in exchanges:
+        assert (
+            "user_id" in args or "SinglePartition" in kind or "SinglePartition" in args
+        ), f"unexpected exchange: {kind}({args})"
+
+
+def test_quantile_cutoff_windows_over_histogram_not_table(spark, sf_small):
+    """The running-sum window must consume the aggregated per-value
+    relation (HashAggregate below the Window), never the raw table."""
+    plan = explain_str(entrymod.queries()["quantile_cutoff"](spark, sf_small))
+    assert "Window" in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], "window must sit over the value histogram"
+
+
+def test_grouped_quantile_no_global_sort(spark, sf_small):
+    plan = explain_str(entrymod.queries()["grouped_quantile"](spark, sf_small))
+    # partitioned window -> no single-partition exchange anywhere
+    assert "SinglePartition" not in plan
+
+
+def test_corr_moments_single_pass(spark, sf_small):
+    """All six moments must come from ONE scan + partial/final agg pair
+    (no join of separate aggregations)."""
+    df = entrymod.queries()["corr_moments"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] == 1  # the single-row final reduce only
