@@ -1044,6 +1044,13 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.skew_profile(li, "l_partkey", k=20)
 
 
+def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-token budget split by quality-weighted token
+    mass — integer floor-division arithmetic throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.mixture_allocation(docs, token_budget=1_000_000)
+
+
 def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decimal moments for corr(quantity, extendedprice): sums are
     exact rationals so the hash can't drift with partition order."""
@@ -1337,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "corr_moments": q_corr_moments,
         "grouped_quantile": q_grouped_quantile,
+        "mixture_allocation": q_mixture_allocation,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
         "invalid_counts": q_invalid_counts,
@@ -2217,6 +2225,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sum_x2,
                    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sum_y2
             FROM lineitem
+        """,
+        "mixture_allocation": r"""
+            WITH scored AS (
+                SELECT source,
+                       len(regexp_extract_all(lower(text), '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS bpe_tokens,
+                       CAST(ROUND(
+                           (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(punct / greatest(n_chars_c, 1), 6) <= 0.2 THEN 0.25 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(stop_hits / greatest(len(toks), 1), 6) >= 0.01 THEN 0.25 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(CASE WHEN len(toks) > 0
+                                      THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                                      ELSE 0.0 END, 6) BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END),
+                       2) * 100 AS BIGINT) AS q_centi
+                FROM (
+                    SELECT source, text,
+                           length(text) AS n_chars_c,
+                           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+                           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+                           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks,
+                           len(list_filter(
+                               list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> ''),
+                               t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS stop_hits
+                    FROM documents
+                )
+            ), per AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
+                       CAST(SUM(bpe_tokens * q_centi) AS BIGINT) AS weight
+                FROM scored GROUP BY source
+            ), tot AS (SELECT SUM(weight) AS w_total FROM per)
+            SELECT source, n_docs, total_tokens, weight,
+                   CAST((1000000 * weight) // w_total AS BIGINT) AS alloc_tokens,
+                   CAST((10000 * weight) // w_total AS BIGINT) AS share_bp
+            FROM per, tot
         """,
         "grouped_quantile": r"""
             WITH counts AS (

@@ -112,3 +112,24 @@ def test_timestamped_model_path():
         == "/models/congestion_rf_20240630_123456"
     )
     assert timestamped_model_path("/m", now=fixed) == "/m/model_20240630_123456"
+
+
+def test_gbt_builder_drop_in(spark, labeled_orders):
+    """GBT via the builder slot: same pipeline shape, near-separable
+    label → seed-pinned AUC band; proves train/evaluate are
+    model-agnostic."""
+    from yellowrush_spark_ml_pipeline_spark.ml.pipelines import (
+        build_gbt_pipeline,
+        evaluate_binary,
+    )
+
+    feats = ["month", "day_of_week", "is_holiday", "log_price"]
+    model, _, test_df = train_classifier(
+        labeled_orders,
+        feats,
+        "is_high_value",
+        builder=lambda f, l: build_gbt_pipeline(f, l, max_iter=10, max_depth=4),
+    )
+    metrics = evaluate_binary(model, test_df, "is_high_value")
+    assert 0.95 <= metrics["roc_auc"] <= 1.0, metrics
+    assert 0.9 <= metrics["accuracy"] <= 1.0, metrics

@@ -90,6 +90,38 @@ def build_rf_pipeline(
     return Pipeline(stages=[assembler, rf])
 
 
+def build_gbt_pipeline(
+    feature_cols: Sequence[str],
+    label_col: str,
+    max_iter: int = 30,
+    max_depth: int = 5,
+    step_size: float = 0.1,
+    seed: int = 42,
+    handle_invalid: str = "skip",
+) -> Pipeline:
+    """VectorAssembler → GBTClassifier: the boosted-tree alternative to
+    the reference's RF (same pipeline shape, drop-in for
+    `train_classifier(builder=...)`). GBT trains sequentially per
+    iteration but each iteration is a full distributed pass — at scale
+    the same caching/partitioning rules as RF apply, with ~maxIter
+    sequential barriers instead of ~maxDepth."""
+    from pyspark.ml.classification import GBTClassifier
+
+    assembler = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features", handleInvalid=handle_invalid
+    )
+    gbt = GBTClassifier(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        stepSize=step_size,
+        seed=seed,
+        cacheNodeIds=True,
+    )
+    return Pipeline(stages=[assembler, gbt])
+
+
 def train_classifier(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -98,6 +130,7 @@ def train_classifier(
     sample_fraction: float | None = None,
     split: tuple[float, float] = (0.8, 0.2),
     seed: int = 42,
+    builder=None,
 ) -> tuple[PipelineModel, DataFrame, DataFrame]:
     """End-to-end M0→M5: optional Bernoulli sample (nyc_taxi_final.py:744)
     → randomSplit (:808) → fit. Returns (model, train_df, test_df).
@@ -110,8 +143,13 @@ def train_classifier(
         df = df.sample(fraction=sample_fraction, seed=seed)
     train_df, test_df = df.randomSplit(list(split), seed=seed)
     train_df = train_df.cache()
+    pipeline = (
+        builder(feature_cols, label_col)
+        if builder is not None
+        else build_rf_pipeline(feature_cols, label_col, config)
+    )
     try:
-        model = build_rf_pipeline(feature_cols, label_col, config).fit(train_df)
+        model = pipeline.fit(train_df)
     finally:
         train_df.unpersist()
     return model, train_df, test_df

@@ -452,3 +452,39 @@ def bigram_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame
     return head.select(
         F.row_number().over(Window.orderBy(*order)).alias("rank"), "bigram", "freq"
     )
+
+
+def mixture_allocation(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Data-mixing allocation: split a training token budget across
+    sources proportionally to QUALITY-WEIGHTED token mass (a source's
+    weight is Σ tokens_i × quality_i over its documents) — the
+    source-mixing step between curation and tokenization.
+
+    Integer-exact end to end: quality scores are exact quarters, so
+    ``quality × 100`` is an exact integer weight per doc; allocations use
+    integer floor division (`div`), never float ratios — at any corpus
+    size the arithmetic is engine-portable and overflow-safe where a
+    double product would silently lose ulps past 2^53. One combinable
+    aggregation over the corpus; the grand total rides in on a broadcast
+    single-row cross join."""
+    scored = quality_score(token_counts(df, text_col), text_col)
+    q_centi = F.round(F.col("quality_score") * 100).cast("long")
+    per = scored.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe_ish_tokens").alias("total_tokens"),
+        F.sum(F.col("bpe_ish_tokens").cast("long") * q_centi).alias("weight"),
+    )
+    tot = per.agg(F.sum("weight").alias("_w_total"))
+    return per.join(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "total_tokens",
+        "weight",
+        F.expr(f"({token_budget} * weight) div _w_total").alias("alloc_tokens"),
+        F.expr("(10000 * weight) div _w_total").alias("share_bp"),
+    )
