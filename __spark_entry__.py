@@ -1044,6 +1044,13 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.skew_profile(li, "l_partkey", k=20)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language context-window packing (capacity 2048): exact integer
+    running-sum bin assignment, partition-invariant."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.pack_sequences(docs, capacity=2048)
+
+
 def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source training-token budget split by quality-weighted token
     mass — integer floor-division arithmetic throughout."""
@@ -1345,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_moments": q_corr_moments,
         "grouped_quantile": q_grouped_quantile,
         "mixture_allocation": q_mixture_allocation,
+        "pack_sequences": q_pack_sequences,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
         "invalid_counts": q_invalid_counts,
@@ -2260,6 +2268,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * weight) // w_total AS BIGINT) AS alloc_tokens,
                    CAST((10000 * weight) // w_total AS BIGINT) AS share_bp
             FROM per, tot
+        """,
+        "pack_sequences": r"""
+            WITH with_n AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(lower(text), '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS n_tokens
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, lang, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM with_n
+            )
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+                   CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin_id
+            FROM cum
         """,
         "grouped_quantile": r"""
             WITH counts AS (

@@ -488,3 +488,48 @@ def mixture_allocation(
         F.expr(f"({token_budget} * weight) div _w_total").alias("alloc_tokens"),
         F.expr("(10000 * weight) div _w_total").alias("share_bp"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed-capacity
+    context-window bins (the batch-construction step between curation and
+    training). Docs are packed in id order within each group; a doc's bin
+    is the context window its START offset falls in —
+    ``bin = (cumulative_tokens − n_tokens) div capacity`` — so assignment
+    is one windowed running sum, exact integers, and identical under any
+    partitioning. A doc longer than ``capacity`` spans bins but is
+    assigned where it starts (documented next-fit-shape slack; real
+    packers also chunk first — compose with `chunk_text` for that).
+
+    Scale: the window partitions by ``group_col`` (language/source), so
+    packing parallelizes across groups and no global sort exists. Output
+    is the per-doc assignment (id, group, n_tokens, start_offset,
+    bin_id)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import bpe_ish_token_count
+
+    with_n = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        bpe_ish_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = with_n.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("start_offset"),
+        F.expr(f"(cum_tokens - n_tokens) div {capacity}").alias("bin_id"),
+    )
