@@ -1044,6 +1044,14 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.skew_profile(li, "l_partkey", k=20)
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized revenue summary: clip l_extendedprice at its exact p99
+    (histogram-ranked cutoff, broadcast back) — outlier-robust totals
+    with decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.winsorize_summary(li, "l_extendedprice", q_pct=99)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language context-window packing (capacity 2048): exact integer
     running-sum bin assignment, partition-invariant."""
@@ -1353,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantile": q_grouped_quantile,
         "mixture_allocation": q_mixture_allocation,
         "pack_sequences": q_pack_sequences,
+        "winsorize": q_winsorize,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
         "invalid_counts": q_invalid_counts,
@@ -2284,6 +2293,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
                    CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin_id
             FROM cum
+        """,
+        "winsorize": r"""
+            WITH counts AS (
+                SELECT l_extendedprice AS v, COUNT(*) AS cnt FROM lineitem GROUP BY v
+            ), cum AS (
+                SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(cnt) OVER () AS n_total
+                FROM counts
+            ), cutoff AS (
+                SELECT v AS cutoff FROM cum
+                WHERE cum >= FLOOR((n_total * 99 + 99) / 100)
+                ORDER BY v LIMIT 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN l_extendedprice > cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+                   MIN(cutoff) AS cutoff,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS DOUBLE) AS sum_raw,
+                   CAST(CAST(SUM(CASE WHEN l_extendedprice > cutoff THEN CAST(cutoff AS DECIMAL(18,4)) ELSE CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS DOUBLE) AS sum_winsorized
+            FROM lineitem, cutoff
         """,
         "grouped_quantile": r"""
             WITH counts AS (

@@ -336,3 +336,32 @@ def grouped_quantile_cutoff(
         .groupBy("grp")
         .agg(F.min("v").alias("cutoff"), F.max("n_total").alias("n_total"))
     )
+
+
+def winsorize_summary(
+    df: DataFrame,
+    value_col: str,
+    q_pct: int = 99,
+) -> DataFrame:
+    """Winsorized aggregate: clip values above the exact q-th percentile
+    (from `quantile_cutoff`'s histogram ranking — no global sort) and
+    report before/after sums plus the clip count. The cutoff is a 1-row
+    broadcast cross join, so the clipping pass stays a narrow map over
+    the fact table; sums are decimal-exact (order-independent)."""
+    from ..functions.scalar import decimal_sum
+
+    cutoff = quantile_cutoff(df, value_col, q_pct).select("cutoff")
+    v = F.col(value_col).cast("decimal(18,4)")
+    clipped = F.least(v, F.col("cutoff").cast("decimal(18,4)"))
+    return (
+        df.join(F.broadcast(cutoff))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col(value_col) > F.col("cutoff")).cast("long")).alias(
+                "n_clipped"
+            ),
+            F.min("cutoff").alias("cutoff"),
+            F.sum(v).cast("decimal(38,8)").cast("double").alias("sum_raw"),
+            F.sum(clipped).cast("decimal(38,8)").cast("double").alias("sum_winsorized"),
+        )
+    )
