@@ -262,3 +262,83 @@ def test_quantize_roundtrip_for_any_vector(spark, vec):
     assert all(0 <= c <= 255 for c in row.codes)
     for c, x in zip(row.codes, vec):
         assert abs(c * row.scale + row.offset - x) <= row.scale / 2 + 1e-9
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    q=st.integers(min_value=1, max_value=100),
+)
+@_SETTINGS
+def test_quantile_cutoff_matches_percentile_disc(spark, vals, q):
+    """The histogram-ranked cutoff must equal the classic sorted-list
+    percentile_disc definition: the ceil(q% * n)-th smallest element."""
+    from yellowrush_spark_ml_pipeline_spark.operators.aggregates import (
+        quantile_cutoff,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    row = quantile_cutoff(df, "v", q_pct=q).first()
+    k = -(-q * len(vals) // 100)  # ceil
+    expect = sorted(vals)[k - 1]
+    assert row["cutoff"] == expect, (vals, q, row)
+    assert row["n_at_or_below"] + row["n_above"] == len(vals)
+    assert row["n_at_or_below"] == sum(1 for v in vals if v <= row["cutoff"])
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    cap=st.integers(min_value=16, max_value=256),
+)
+@_SETTINGS
+def test_pack_sequences_bin_math(spark, lens, cap):
+    """Bin ids are the running-start offset div capacity: contiguous in id
+    order, never decreasing, and every doc's start offset lands inside
+    its bin's window."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        pack_sequences,
+    )
+
+    rows = [(i, "x", " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = sorted(
+        pack_sequences(df, capacity=cap).collect(), key=lambda r: r.doc_id
+    )
+    run = 0
+    prev_bin = 0
+    for r, n in zip(out, lens):
+        assert r.n_tokens == n
+        assert r.start_offset == run
+        assert r.bin_id == run // cap
+        assert r.bin_id >= prev_bin
+        prev_bin = r.bin_id
+        run += n
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_mixture_allocation_conserves_budget(spark, docs):
+    """Allocations are proportional floor shares: each source gets
+    floor(B * w / W), so the total never exceeds the budget and is within
+    n_sources of it; weights are exactly Σ tokens × quality×100."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        mixture_allocation,
+    )
+
+    rows = [
+        (i, src, " ".join(["the"] * n))
+        for i, (src, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = mixture_allocation(df, token_budget=10_000).collect()
+    total_alloc = sum(r.alloc_tokens for r in out)
+    assert total_alloc <= 10_000
+    assert 10_000 - total_alloc < max(len(out), 1) + 1
+    w_total = sum(r.weight for r in out)
+    for r in out:
+        assert r.alloc_tokens == 10_000 * r.weight // w_total
