@@ -74,6 +74,13 @@ def main() -> int:
         help="run with spark.sql.ansi.enabled=false — probes that query "
         "results don't depend on the (unknown) driver ANSI setting",
     )
+    ap.add_argument(
+        "--aqe-off",
+        action="store_true",
+        help="run with spark.sql.adaptive.enabled=false — probes that "
+        "correctness never depends on AQE re-planning (broadcast "
+        "promotion, skew split, partition coalescing)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -84,11 +91,15 @@ def main() -> int:
         extra["spark.sql.shuffle.partitions"] = str(args.shuffle)
     if args.ansi_off:
         extra["spark.sql.ansi.enabled"] = "false"
+    if args.aqe_off:
+        extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark("driver-mirror", extra_conf=extra)
     if args.shuffle:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle))
     if args.ansi_off:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+    if args.aqe_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     con = duckdb.connect()
     for t in TABLES:
