@@ -1044,6 +1044,43 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.skew_profile(li, "l_partkey", k=20)
 
 
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip over planted markup (docs with
+    doc_id % 4 == 0 get wrapped in tags + entity salad): tags → space,
+    core entities decoded (&amp; last, so '&amp;lt;' stays a literal
+    '&lt;'), whitespace collapsed."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<html><body><p class=\"x\">"),
+                F.col("text"),
+                F.lit("</p><br/>&quot;q&#39; &amp;lt; &gt;</body></html>"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return textstats.strip_html(aug).select("doc_id", "clean_text", "had_markup")
+
+
+def q_normalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over five planted URL shapes (case, www,
+    query, fragment, trailing slash, non-URL passthrough)."""
+    docs = _t(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 5
+    sid = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(mod == 0, F.lit("HTTPS://WWW.Example.COM/Path/"))
+        .when(mod == 1, F.concat(F.lit("http://site-"), sid, F.lit(".example.com/a/b?q=1&x=2")))
+        .when(mod == 2, F.lit("https://example.org/page#frag"))
+        .when(mod == 3, F.concat(F.lit("http://example.net/p/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("not a url "), F.col("doc_id").cast("string")))
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return textstats.normalize_urls(urls).select("doc_id", "url", "url_norm")
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized revenue summary: clip l_extendedprice at its exact p99
     (histogram-ranked cutoff, broadcast back) — outlier-robust totals
@@ -1361,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantile": q_grouped_quantile,
         "mixture_allocation": q_mixture_allocation,
         "pack_sequences": q_pack_sequences,
+        "strip_html": q_strip_html,
+        "normalize_urls": q_normalize_urls,
         "winsorize": q_winsorize,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
@@ -2293,6 +2332,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
                    CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin_id
             FROM cum
+        """,
+        "strip_html": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '<html><body><p class="x">' || text ||
+                                 '</p><br/>&quot;q&#39; &amp;lt; &gt;</body></html>'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(
+                           regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', ''''), '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS clean_text,
+                   regexp_matches(text, '<[^>]*>') AS had_markup
+            FROM aug
+        """,
+        "normalize_urls": r"""
+            WITH urls AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                           WHEN 0 THEN 'HTTPS://WWW.Example.COM/Path/'
+                           WHEN 1 THEN 'http://site-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a/b?q=1&x=2'
+                           WHEN 2 THEN 'https://example.org/page#frag'
+                           WHEN 3 THEN 'http://example.net/p/' || CAST(doc_id AS VARCHAR)
+                           ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+                       END AS url
+                FROM documents
+            ), stripped AS (
+                SELECT doc_id, url,
+                       regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '') AS u
+                FROM urls
+            ), parts AS (
+                SELECT doc_id, url, u,
+                       lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                       regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/]*)', 1)), '^www\.', '') AS host,
+                       regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(/.*)?$', 1), '/$', '') AS path
+                FROM stripped
+            )
+            SELECT doc_id, url,
+                   CASE WHEN scheme <> '' THEN scheme || '://' || host || path
+                        ELSE u END AS url_norm
+            FROM parts
         """,
         "winsorize": r"""
             WITH counts AS (

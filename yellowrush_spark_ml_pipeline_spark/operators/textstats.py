@@ -533,3 +533,46 @@ def pack_sequences(
         (F.col("cum_tokens") - F.col("n_tokens")).alias("start_offset"),
         F.expr(f"(cum_tokens - n_tokens) div {capacity}").alias("bin_id"),
     )
+
+
+def strip_html(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate HTML removal for web corpora: drop tags, decode the
+    five core entities, collapse whitespace — the cheap regex tier of a
+    C4-style extraction pass (a DOM-aware extractor slots in as a pandas
+    UDF with the same output column). Pure regexp built-ins, RE2-safe
+    patterns (no backrefs), fused into the scan."""
+    stripped = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST: '&amp;lt;' must not become '<'
+    ):
+        stripped = F.regexp_replace(stripped, ent, ch)
+    clean = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.withColumn("clean_text", clean).withColumn(
+        "had_markup", F.col(text_col).rlike(r"<[^>]*>")
+    )
+
+
+def normalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """URL canonicalization for crawl dedup: lowercase scheme+host, drop
+    the fragment, drop query string, strip a trailing slash and a 'www.'
+    host prefix — the key under which crawl frontiers and URL-level
+    dedup aggregate. Regex-only (RE2-safe), zero Python."""
+    u = F.col(url_col)
+    u = F.regexp_replace(u, r"#.*$", "")        # fragment
+    u = F.regexp_replace(u, r"\?.*$", "")       # query string
+    # lowercase scheme://host (path case is significant, keep it)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/]*)", 1))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(/.*)?$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(path, r"/$", "")
+    norm = F.when(
+        scheme != "", F.concat(scheme, F.lit("://"), host, path)
+    ).otherwise(u)
+    return df.withColumn(out_col, norm)
