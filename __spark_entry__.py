@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from yellowrush_spark_ml_pipeline_spark.functions.scalar import (
@@ -38,6 +38,7 @@ from yellowrush_spark_ml_pipeline_spark.operators import (
     dedup,
     features,
     joins,
+    mutations,
     similarity,
     textstats,
 )
@@ -1081,6 +1082,41 @@ def q_normalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.normalize_urls(urls).select("doc_id", "url", "url_norm")
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: the pre-Jan-16 per-user snapshot merged with the
+    post-cutoff event stream — latest-wins upsert, users whose final op
+    is a delete ('error' events) dropped. One shuffle, no join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    cutoff = "2024-01-16 00:00:00"
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    target = (
+        ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upd = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp")).withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    return mutations.merge_upsert(
+        target, upd, keys=["user_id"], order_col="ts",
+        tiebreak_col="event_id", op_col="op",
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each user's event_type: one row per run of
+    equal states with [valid_from, valid_to) intervals, version numbers
+    and an is_current flag."""
+    ev = _t(spark, sf_dir, "events")
+    return mutations.scd2_history(
+        ev, keys=["user_id"], order_col="ts",
+        tracked_col="event_type", tiebreak_col="event_id",
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized revenue summary: clip l_extendedprice at its exact p99
     (histogram-ranked cutoff, broadcast back) — outlier-robust totals
@@ -1401,6 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": q_strip_html,
         "normalize_urls": q_normalize_urls,
         "winsorize": q_winsorize,
+        "merge_upsert": q_merge_upsert,
+        "scd2": q_scd2,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
         "invalid_counts": q_invalid_counts,
@@ -2397,6 +2435,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS DOUBLE) AS sum_raw,
                    CAST(CAST(SUM(CASE WHEN l_extendedprice > cutoff THEN CAST(cutoff AS DECIMAL(18,4)) ELSE CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS DOUBLE) AS sum_winsorized
             FROM lineitem, cutoff
+        """,
+        "merge_upsert": r"""
+            WITH ev AS (
+                SELECT user_id, event_type, value, ts, event_id FROM events
+            ), target AS (
+                SELECT user_id, event_type, value, ts, event_id,
+                       'U' AS op, 0 AS src
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                    ) AS rn
+                    FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+                ) WHERE rn = 1
+            ), updates AS (
+                SELECT user_id, event_type, value, ts, event_id,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       1 AS src
+                FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, src DESC, event_id DESC
+                ) AS rn
+                FROM (SELECT * FROM target UNION ALL SELECT * FROM updates)
+            )
+            SELECT user_id, event_type, value, ts, event_id
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "scd2": r"""
+            WITH pts AS (
+                SELECT user_id, event_type, ts, event_id
+                FROM (
+                    SELECT user_id, event_type, ts, event_id,
+                           lag(event_type) OVER w AS prev,
+                           row_number() OVER w AS rn
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                )
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   COALESCE(lead(ts) OVER w,
+                            TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+                   CAST(row_number() OVER w AS INT) AS version,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "grouped_quantile": r"""
             WITH counts AS (

@@ -31,7 +31,7 @@ TABLES = (
 def _norm_cell(v):
     import datetime as dt
 
-    if v is None:
+    if v is None or v != v:  # None / NaN / NaT
         return None
     if isinstance(v, bool):
         return int(v)

@@ -1,0 +1,128 @@
+"""Batch mutation semantics: MERGE/upsert and SCD type-2 history.
+
+A 100 TB corpus is never rebuilt from scratch between snapshots — it is
+*merged*: a CDC batch of upserts/deletes lands against the previous
+snapshot, and dimension attributes need an as-was history (slowly changing
+dimension type 2) so training runs are reproducible against the state the
+world was in at cut time. Spark has no MERGE statement outside table
+formats, but the semantics are a plain shuffle-once program:
+
+* ``merge_upsert`` — union(target, updates) → one hash shuffle on the key
+  → keep the per-key row with the highest (order, source-precedence) —
+  dropped entirely if that winning row is a delete. Latest-wins upsert +
+  delete in ONE exchange, no join (a join-based MERGE shuffles both sides
+  AND re-shuffles the output; the union form shuffles the same bytes once).
+* ``scd2_history`` — per-key ordered change detection (``lag``) followed by
+  validity intervals (``lead``) over the SAME window partitioning, so
+  Catalyst plans ONE Exchange for both window passes.
+
+Both are pure column programs — whole-stage codegen, no UDFs — and both
+are deterministic total functions of the input (explicit tiebreak column),
+which is what makes them exactly oracle-checkable against DuckDB and
+idempotently re-runnable on backfill.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SRC = "_merge_src"
+_RN = "_merge_rn"
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Latest-wins MERGE of ``updates`` into ``target``.
+
+    Per key, the surviving row is the one with the greatest
+    ``(order_col, source, tiebreak_col)`` — updates outrank target on
+    order ties (source precedence), and ``tiebreak_col`` (a unique id)
+    makes the result a deterministic function of the data even under
+    duplicate order values. If ``op_col`` is given, a winning row whose
+    op equals ``delete_op`` deletes the key from the output.
+
+    Scale shape: ``unionByName`` is a zero-cost plan node; the single
+    shuffle is the window's hash partition on ``keys``. Map-side, nothing
+    collapses (window, not agg), but the exchange carries each input row
+    exactly once — versus a join-based MERGE's two shuffles + output
+    re-shuffle. Skewed keys (one entity with millions of updates) split
+    under AQE like any window shuffle.
+    """
+    cols = [c for c in target.columns]
+    if op_col is not None and op_col not in cols:
+        target = target.withColumn(op_col, F.lit("U"))
+        cols = target.columns
+    u = updates.select(*cols).withColumn(_SRC, F.lit(1))
+    t = target.select(*cols).withColumn(_SRC, F.lit(0))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).desc(), F.col(_SRC).desc(), F.col(tiebreak_col).desc())
+    )
+    latest = (
+        t.unionByName(u)
+        .withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN, _SRC)
+    )
+    if op_col is not None:
+        latest = latest.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    return latest
+
+
+#: conventional SCD2 open-interval sentinel — a real timestamp rather than
+#: NULL so `valid_to` filters (`WHERE ts < valid_to`) need no null branch (2100-01-01: inside the pandas/Arrow ns range, unlike 9999)
+HIGH_DATE = "2100-01-01 00:00:00"
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tracked_col: str,
+    tiebreak_col: str,
+    high_value=None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history of ``tracked_col``.
+
+    Collapses the per-key ordered stream to its change points: one output
+    row per run of equal ``tracked_col`` values, with ``valid_from`` (the
+    first ``order_col`` of the run), ``valid_to`` (the next run's start,
+    null while current), ``version`` (1-based change index), and
+    ``is_current``. ``IS DISTINCT FROM`` (null-safe) change detection, so
+    a null tracked value is a real state, not a wildcard.
+
+    Scale shape: both window passes — ``lag`` for change detection over
+    all rows, ``lead``/``row_number`` for validity over the (much smaller)
+    change-point relation — partition by the same ``keys``, so the plan
+    has one Exchange for the wide pass and one for the collapsed pass; the
+    second moves only change rows. No UDFs, no collect.
+    """
+    w_full = Window.partitionBy(*keys).orderBy(F.col(order_col), F.col(tiebreak_col))
+    # row 1 is always a change point; after that, null-safe inequality
+    # (IS DISTINCT FROM) so a null tracked value is a real state
+    changed = (F.row_number().over(w_full) == 1) | ~F.lag(
+        F.col(tracked_col)
+    ).over(w_full).eqNullSafe(F.col(tracked_col))
+    points = df.withColumn("_chg", changed).filter(F.col("_chg")).drop("_chg")
+    w_pts = Window.partitionBy(*keys).orderBy(F.col(order_col), F.col(tiebreak_col))
+    nxt = F.lead(F.col(order_col)).over(w_pts)
+    if high_value is None:
+        high_value = F.lit(HIGH_DATE).cast("timestamp")
+    return points.select(
+        *keys,
+        F.col(tracked_col),
+        F.col(order_col).alias("valid_from"),
+        F.coalesce(nxt, high_value).alias("valid_to"),
+        F.row_number().over(w_pts).alias("version"),
+        nxt.isNull().alias("is_current"),
+    )
