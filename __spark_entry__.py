@@ -41,6 +41,7 @@ from yellowrush_spark_ml_pipeline_spark.operators import (
     mutations,
     similarity,
     textstats,
+    timeseries,
 )
 from yellowrush_spark_ml_pipeline_spark.operators import events as events_ops
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
@@ -1117,6 +1118,24 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 6-hour resample of per-user event values with LOCF gap fill:
+    bucket agg → per-key grid densification (sequence/explode, no driver
+    loop) → last-observation-carried-forward + is_gap flag."""
+    ev = _t(spark, sf_dir, "events")
+    b = timeseries.resample(
+        ev, keys=["user_id"], ts_col="ts", step_seconds=21600,
+        aggs={
+            "avg_value": decimal_sum(F.col("value")) / F.count(F.lit(1)),
+            "n_events": F.count(F.lit(1)),
+        },
+    )
+    filled = timeseries.gap_fill(
+        b, keys=["user_id"], step_seconds=21600, value_cols=["avg_value"]
+    )
+    return filled.withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized revenue summary: clip l_extendedprice at its exact p99
     (histogram-ranked cutoff, broadcast back) — outlier-robust totals
@@ -1439,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "merge_upsert": q_merge_upsert,
         "scd2": q_scd2,
+        "gap_fill": q_gap_fill,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
         "invalid_counts": q_invalid_counts,
@@ -2481,6 +2501,31 @@ def oracle_sql() -> dict[str, str]:
                    lead(ts) OVER w IS NULL AS is_current
             FROM pts
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "gap_fill": r"""
+            WITH b AS (
+                SELECT user_id,
+                       make_timestamp(((CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600)
+                                       * 21600) * 1000000) AS bucket,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           / COUNT(*) AS avg_value,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ), ext AS (
+                SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+                FROM b GROUP BY 1
+            ), grid AS (
+                SELECT user_id,
+                       unnest(generate_series(mn, mx, INTERVAL 21600 SECOND)) AS bucket
+                FROM ext
+            )
+            SELECT g.user_id, g.bucket,
+                   last_value(b.avg_value IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.bucket) AS avg_value,
+                   COALESCE(b.n_events, 0) AS n_events,
+                   b.avg_value IS NULL AS is_gap
+            FROM grid g
+            LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
         """,
         "grouped_quantile": r"""
             WITH counts AS (
