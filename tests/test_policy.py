@@ -18,6 +18,7 @@ COLLECT_ALLOWED = {
     "operators/aggregates.py",  # assert_valid reads its 1-row validation
     "flows.py",  # validate_preprocessed reads its 1-row validation
     "operators/similarity.py",  # IVF centroids are driver-small by construction
+    "operators/pruning.py",  # bloom bitmap words: ≤ n_bits/64 longs by construction
 }
 
 

@@ -1,0 +1,95 @@
+"""Bloom join pruning (operators/pruning.py) + z-order layout
+(operators/layout.py): no-false-negative guarantee, real prune rates,
+join equality, Morton bit math, and measured clustering locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yellowrush_spark_ml_pipeline_spark.operators import layout, pruning
+from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+N_BITS = 1 << 14
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must pass its own filter — the exactness
+    guarantee the join correctness rests on."""
+    dim = spark.range(0, 500).withColumnRenamed("id", "k")
+    words = pruning.bloom_build(dim, "k", n_bits=N_BITS, n_hashes=5)
+    hits = dim.filter(
+        pruning.bloom_might_contain(words, F.col("k"), N_BITS, 5)
+    ).count()
+    assert hits == 500
+
+
+def test_bloom_prunes_disjoint_keys(spark):
+    """Keys guaranteed absent are (almost all) pruned: FP rate under 5%
+    at ~33 bits/key."""
+    dim = spark.range(0, 500).withColumnRenamed("id", "k")
+    words = pruning.bloom_build(dim, "k", n_bits=N_BITS, n_hashes=5)
+    absent = spark.range(1_000_000, 1_010_000).withColumnRenamed("id", "k")
+    fp = absent.filter(
+        pruning.bloom_might_contain(words, F.col("k"), N_BITS, 5)
+    ).count()
+    assert fp / 10_000 < 0.05, f"FP rate {fp/10_000}"
+
+
+def test_bloom_join_equals_plain_join(spark, sf_oracle):
+    """bloom_join ≡ plain join on real fact/dim data (the bloom only
+    removes rows the join drops anyway)."""
+    li = load_table(spark, sf_oracle, "lineitem").select("l_partkey", "l_quantity")
+    part = load_table(spark, sf_oracle, "part").filter("p_size = 1").select(
+        "p_partkey", "p_brand"
+    )
+    fast = pruning.bloom_join(li, part, "l_partkey", "p_partkey")
+    plain = li.join(part, li.l_partkey == part.p_partkey)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bloom_probe_is_jvm_scan_filter(spark, sf_oracle):
+    """The probe must be a narrow JVM filter on the fact scan: no Python
+    eval, no extra join or shuffle introduced by the bloom."""
+    li = load_table(spark, sf_oracle, "lineitem").select("l_partkey")
+    part = load_table(spark, sf_oracle, "part").filter("p_size = 1")
+    words = pruning.bloom_build(part, "p_partkey", n_bits=N_BITS, n_hashes=5)
+    pruned = li.filter(
+        pruning.bloom_might_contain(words, F.col("l_partkey"), N_BITS, 5)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow: filter directly on the scan
+
+
+def test_zorder_key_known_bits(spark):
+    """Hand-computed Morton values: (x=3, y=1, 2 bits) → 0b0111 = 7;
+    (x=0, y=2, 2 bits) → 0b1000 = 8."""
+    df = spark.createDataFrame([(3, 1), (0, 2)], "x long, y long")
+    out = df.select(
+        layout.zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()
+    assert [r["z"] for r in out] == [7, 8]
+
+
+def test_zorder_layout_improves_locality(spark, sf_oracle):
+    """Measured clustering: per-partition bounding-box area over
+    (l_partkey, l_suppkey) must shrink by ≥ 4× versus the incoming
+    layout — the property that makes min/max skipping work on both
+    dimensions."""
+    li = load_table(spark, sf_oracle, "lineitem").select("l_partkey", "l_suppkey")
+
+    def total_area(df):
+        boxes = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("dx"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("dy"),
+            )
+        )
+        return boxes.agg(F.sum(F.col("dx") * F.col("dy"))).collect()[0][0]
+
+    base = total_area(li.repartition(16))
+    zed = total_area(layout.zorder_layout(li, ["l_partkey", "l_suppkey"],
+                                          bits=16, num_partitions=16))
+    assert zed * 4 <= base, f"z-order area {zed} vs base {base}"
