@@ -1210,6 +1210,30 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for a deterministic candidate set under
+    a full oracle — the LSH-verify primitive. Two planted regimes: every
+    doc_id % 10 == 0 vs its successor (unrelated, near-zero scores) AND
+    vs a tail-perturbed twin at doc_id + 1000000 (high scores) — so both
+    the reject and accept paths of a verify stage are value-checked.
+    Set ops on shingle arrays, raw IEEE ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz1 zz2 zz3 zz4")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(twins)
+    base = docs.select(F.col("doc_id").alias("id_a")).filter(F.col("id_a") % 10 == 0)
+    near = base.withColumn("id_b", F.col("id_a") + 1).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    twin_pairs = base.withColumn("id_b", F.col("id_a") + 1000000)
+    pairs = near.unionByName(twin_pairs)
+    return dedup.ngram_jaccard_verify(
+        pairs, aug, shingle_n=3, threshold=0.0, basis="word", round_digits=None
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized revenue summary: clip l_extendedprice at its exact p99
     (histogram-ranked cutoff, broadcast back) — outlier-robust totals
@@ -1536,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "zorder_key": q_zorder_key,
         "regional_revenue": q_regional_revenue,
+        "jaccard_pairs": q_jaccard_pairs,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
         "invalid_counts": q_invalid_counts,
@@ -2578,6 +2603,44 @@ def oracle_sql() -> dict[str, str]:
                    lead(ts) OVER w IS NULL AS is_current
             FROM pts
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "jaccard_pairs": r"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' zz1 zz2 zz3 zz4'
+                FROM documents WHERE doc_id % 10 = 0
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(t) >= 3 THEN
+                                list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                            WHEN len(t) = 0 THEN []
+                            ELSE [array_to_string(t, ' ')] END
+                       ) AS s
+                FROM (
+                    SELECT doc_id,
+                           list_filter(
+                               regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                               x -> x <> '') AS t
+                    FROM aug
+                )
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+                FROM documents a
+                JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id, doc_id + 1000000
+                FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT p.id_a, p.id_b,
+                   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                       / len(list_distinct(list_cat(sa.s, sb.s))) AS jaccard
+            FROM pairs p
+            JOIN sh sa ON sa.doc_id = p.id_a
+            JOIN sh sb ON sb.doc_id = p.id_b
         """,
         "regional_revenue": r"""
             SELECT n_name,

@@ -264,8 +264,11 @@ def ngram_jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.7,
     basis: str = "word",
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (id_a, id_b).
+    ``round_digits=None`` emits the raw IEEE ratio (size/size is the same
+    int->double division in any engine - exactly oracle-comparable).
 
     Set ops run on arrays JVM-side; the docs table is joined twice by id —
     at scale these are shuffle-hash joins on the id, and `pairs` is tiny
@@ -281,7 +284,11 @@ def ngram_jaccard_verify(
             / F.size(F.array_union("_sa", "_sb")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id_a", "id_b",
+            (F.round("jaccard", round_digits) if round_digits is not None
+             else F.col("jaccard")).alias("jaccard"),
+        )
     )
     return out
 
