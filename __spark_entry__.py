@@ -46,6 +46,7 @@ from yellowrush_spark_ml_pipeline_spark.operators import (
     timeseries,
 )
 from yellowrush_spark_ml_pipeline_spark.operators import events as events_ops
+from yellowrush_spark_ml_pipeline_spark.functions import langid
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
 from yellowrush_spark_ml_pipeline_spark.streaming import (
     hypertable_rollup,
@@ -796,6 +797,21 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full language ID (argmax over marker scores) vs the labeled lang."""
     docs = _t(spark, sf_dir, "documents")
     return textstats.language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_language_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-path language ID: char-trigram cosine profiles (Cavnar-
+    Trenkle) through the Arrow-batched scorer slot. rows-only: the model
+    scores are engine-internal (no SQL equivalent); accuracy on real
+    per-language sentences is asserted in tests/test_langid.py (the
+    corpus text is synthetic salad, so its lang labels are not ground
+    truth). Returns the prediction distribution — deterministic, so
+    value drift flags a model regression."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = textstats.language_id(
+        docs, scorer=langid.ngram_profile_scorer()
+    )
+    return scored.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "stratified_sample": q_stratified_sample,
         # ---- rows-only entries (documented no_oracle rationale each) ----
+        "language_id_model": q_language_id_model,
         "sketch_stats": q_sketch_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
         "multimodal_features": q_multimodal_features,
