@@ -1250,6 +1250,13 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (long format): the class-prototype /
+    IVF-seed aggregation, decimal-exact means per (label, dim)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.class_centroids(emb, group_col="label")
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized revenue summary: clip l_extendedprice at its exact p99
     (histogram-ranked cutoff, broadcast back) — outlier-robust totals
@@ -1577,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "regional_revenue": q_regional_revenue,
         "jaccard_pairs": q_jaccard_pairs,
+        "embedding_centroids": q_embedding_centroids,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
         "invalid_counts": q_invalid_counts,
@@ -2620,6 +2628,19 @@ def oracle_sql() -> dict[str, str]:
                    lead(ts) OVER w IS NULL AS is_current
             FROM pts
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "embedding_centroids": r"""
+            SELECT label, dim,
+                   COUNT(*) AS n,
+                   CAST(CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
+                             / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS centroid_val
+            FROM (
+                SELECT label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       unnest(embedding) AS val
+                FROM embeddings
+            )
+            GROUP BY label, dim
         """,
         "jaccard_pairs": r"""
             WITH aug AS (

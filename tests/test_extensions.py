@@ -102,6 +102,28 @@ def test_lsh_scores_match_exact_for_common_pairs(spark, planted_embeddings):
     assert all(exact[p] == approx[p] for p in common)
 
 
+def test_class_centroids_known_means(spark):
+    """Centroids over a hand-built table: two groups whose per-dim means are
+    exact in binary (so decimal rounding is a no-op) — output must equal the
+    hand-computed mean and carry the right group sizes."""
+    rows = [
+        ("a", [1.0, 2.0]),
+        ("a", [3.0, 6.0]),
+        ("b", [10.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    out = {
+        (r.label, r.dim): (r.n, r.centroid_val)
+        for r in similarity.class_centroids(df, group_col="label").collect()
+    }
+    assert out == {
+        ("a", 0): (2, 2.0),
+        ("a", 1): (2, 4.0),
+        ("b", 0): (1, 10.0),
+        ("b", 1): (1, 0.0),
+    }
+
+
 @pytest.fixture(scope="module")
 def planted_docs(spark, sf_small):
     """150 random docs + suffix-mutated copies of the first 20: appending 4

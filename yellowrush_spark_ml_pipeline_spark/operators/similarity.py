@@ -322,3 +322,33 @@ def embedding_cosine_dedup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def class_centroids(
+    df: DataFrame,
+    group_col: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-group embedding centroids in long format (group, dim, n,
+    centroid_val) — the seed step of IVF/KMeans init, class-prototype
+    nearest-centroid classification, and per-source drift monitoring.
+
+    posexplode → one map-side-combining shuffle on (group, dim): at 100 TB
+    the exchange carries one partial (sum, count) per partition per
+    (group, dim) — independent of row count. Means go through the proven
+    DECIMAL(28,18)-sum / DECIMAL(28,8)-cast path (order-independent,
+    cross-engine exact — see q_embedding_dim_stats provenance note).
+    Long format on purpose: re-assembling arrays would force a second
+    shuffle and a collect_list whose ordering needs pinning; downstream
+    dot products join on (group, dim) just as well."""
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias("dim", "val"),
+    )
+    dec = F.col("val").cast("decimal(28,18)")
+    dec8 = lambda c: c.cast("decimal(28,8)").cast("double")  # noqa: E731
+    return exploded.groupBy(group_col, "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec8(F.sum(dec).cast("double") / F.count(F.lit(1))).alias("centroid_val"),
+    )
