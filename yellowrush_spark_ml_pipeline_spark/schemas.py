@@ -134,13 +134,10 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
             StructField("l_shipdate", TimestampType(), True),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot map to its
-    # µs TimestampType directly; we read it as raw nanos (LongType, with
-    # spark.sql.legacy.parquet.nanosAsLong=true) and convert in the reader.
     "events": StructType(
         [
             StructField("event_id", LongType(), True),
-            StructField("ts", LongType(), True),
+            StructField("ts", TimestampType(), True),
             StructField("user_id", LongType(), True),
             StructField("event_type", StringType(), True),
             StructField("value", DoubleType(), True),
@@ -166,3 +163,19 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
 }
 
 TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
+
+# Variant for files whose ts column is physically TIMESTAMP(NANOS): Spark has
+# no nanosecond timestamp type, so ts is read as raw nanos (LongType, with
+# spark.sql.legacy.parquet.nanosAsLong=true) and truncated to µs in the
+# reader — the same truncation DuckDB applies. The reader probes the parquet
+# footer and picks this schema only when the file really is nanos.
+EVENTS_NANOS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)

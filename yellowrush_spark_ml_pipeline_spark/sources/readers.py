@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from ..schemas import TESTDATA_SCHEMAS
+from ..schemas import EVENTS_NANOS_SCHEMA, TESTDATA_SCHEMAS
 
 
 def read_csv(
@@ -40,20 +40,43 @@ def read_parquet(
     return reader.parquet(path)
 
 
+def _parquet_ts_unit(path: str, col: str = "ts") -> str:
+    """Physical timestamp unit ('us'/'ms'/'ns') of one column, from the
+    parquet footer only — a driver-side metadata read, no data scan. Used
+    to keep ``events.ts`` loading correct across testdata generations
+    (round 2 shipped TIMESTAMP(NANOS); round 3 ships TIMESTAMP(MICROS) —
+    a silent 1000x corruption if the wrong decode path is assumed)."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+
+        target = path
+        if _os.path.isdir(path):
+            inner = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            if inner:
+                target = inner[0]
+        return getattr(_pq.read_schema(target).field(col).type, "unit", "us")
+    except Exception:
+        return "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic test table with its registered schema.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS): Spark has no nanosecond
-    timestamp type, so it is read as raw nanos and truncated to a µs
-    timestamp (same truncation DuckDB applies)."""
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = read_parquet(spark, f"{sf_dir}/{name}.parquet", TESTDATA_SCHEMAS.get(name))
-    if name == "events":
+    ``events.ts`` may be parquet TIMESTAMP(NANOS) (older generators):
+    Spark has no nanosecond timestamp type, so that case is read as raw
+    nanos and truncated to a µs timestamp (same truncation DuckDB
+    applies). The normal µs/ms case maps straight to TimestampType."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _parquet_ts_unit(path) == "ns":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = read_parquet(spark, path, EVENTS_NANOS_SCHEMA)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_parquet(spark, path, TESTDATA_SCHEMAS.get(name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
