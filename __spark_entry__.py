@@ -1020,6 +1020,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.benchmark_overlap(docs, benchmark, n=8, flag_pct=10)
 
 
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal boilerplate spans: top-50 word 8-grams shared by
+    >=2 distinct documents (C4-style repeated-span removal list). One
+    shuffle + TakeOrderedAndProject; integer doc_freq only."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.boilerplate_spans(docs, n=8, min_docs=2, k=50)
+
+
 def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 distinctive terms: the tf-idf ranking on exact
     integers (df asc, tf desc, token asc) — no cross-engine float logs."""
@@ -1563,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "domain_cap": q_domain_cap,
         "decontaminate": q_decontaminate,
+        "boilerplate_spans": q_boilerplate_spans,
         "distinctive_terms": q_distinctive_terms,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -1585,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_centroids": q_embedding_centroids,
+        "stratified_sample": q_stratified_sample,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
         "invalid_counts": q_invalid_counts,
@@ -1629,7 +1639,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "corpus_stats": q_corpus_stats,
         "embedding_norms": q_embedding_norms,
-        "stratified_sample": q_stratified_sample,
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "language_id_model": q_language_id_model,
         "sketch_stats": q_sketch_stats,
@@ -2328,6 +2337,32 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(b.gram) * 100 >= COUNT(*) * 10) AS contaminated
             FROM doc_grams d LEFT JOIN bench b ON d.gram = b.gram
             GROUP BY d.doc_id
+        """,
+        "boilerplate_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x != '') AS toks
+                FROM documents
+            ), doc_grams AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(0, greatest(len(toks) - 8, 0) + 1),
+                               i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+                    FROM toks
+                ) WHERE gram <> ''
+            ), freq AS (
+                SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+                FROM doc_grams GROUP BY gram
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, gram ASC) AS INT)
+                       AS rank,
+                   gram, doc_freq
+            FROM freq
+            WHERE doc_freq >= 2
+            ORDER BY doc_freq DESC, gram ASC
+            LIMIT 50
         """,
         "distinctive_terms": r"""
             WITH tok AS (

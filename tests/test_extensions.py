@@ -606,6 +606,30 @@ def test_repetition_score_separates_looping_text(spark):
     assert rows[1].ngram_diversity < 0.1 < rows[2].ngram_diversity
 
 
+def test_boilerplate_spans_finds_planted_shared_span(spark):
+    """A span planted into 4 of 6 docs must rank first with doc_freq=4;
+    intra-doc repetition must NOT inflate doc_freq (per-doc distinct);
+    spans in fewer than min_docs docs are excluded."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        boilerplate_spans,
+    )
+
+    banner = "subscribe to our newsletter for daily updates now"  # 8 tokens
+    rows = []
+    for i in range(4):  # banner in docs 0-3; doc 0 repeats it twice
+        filler = " ".join(f"w{i}x{j}" for j in range(10))
+        text = f"{banner} {filler}" + (f" {banner}" if i == 0 else "")
+        rows.append((i, text))
+    rows.append((4, " ".join(f"unique{j}" for j in range(12))))
+    rows.append((5, " ".join(f"solo{j}" for j in range(12))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = boilerplate_spans(df, n=8, min_docs=2, k=10).collect()
+    assert out, "planted shared span not detected"
+    top = out[0]
+    assert top.rank == 1 and top.gram == banner and top.doc_freq == 4
+    assert all(r.doc_freq >= 2 for r in out)
+
+
 def test_chunk_text_reassembles_documents(spark):
     """Chunking contract: chunk 0 plus each later chunk minus its overlap
     concatenates back to the original text, starts step by

@@ -400,6 +400,45 @@ def benchmark_overlap(
     )
 
 
+def boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-internal boilerplate detection: the word ``n``-gram spans
+    shared by at least ``min_docs`` distinct documents, ranked by document
+    frequency — the C4/RefinedWeb "repeated line removal" generalized to
+    token spans. The output is the removal list a curation pass would
+    subtract from every document (cookie banners, nav menus, license
+    footers).
+
+    Plan shape for 100 TB: narrow scan → per-row ``array_distinct``
+    shingle expansion (map-side, the per-doc distinct collapses intra-doc
+    repeats BEFORE the shuffle) → one hash agg on gram → per-partition
+    top-k (TakeOrderedAndProject — only k rows ever reach the driver
+    side of the sort). One shuffle total, integer counts only.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import shingles
+
+    g = F.array_distinct(shingles(tokens(F.col(text_col)), n=n))
+    doc_grams = df.select(F.col(id_col), F.explode(g).alias("gram")).filter(
+        F.col("gram") != ""
+    )
+    freq = doc_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    order = [F.col("doc_freq").desc(), F.col("gram").asc()]
+    head = freq.filter(F.col("doc_freq") >= min_docs).orderBy(*order).limit(k)
+    return head.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        "gram",
+        "doc_freq",
+    )
+
+
 def distinctive_terms(
     df: DataFrame,
     text_col: str = "text",
