@@ -1265,6 +1265,18 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.class_centroids(emb, group_col="label")
 
 
+def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-evaluator surface with an exact oracle: mae/rmse/r2 of
+    the group-mean baseline regressor (o_totalprice ~ o_orderpriority) in
+    integer-cents arithmetic — order-independent, hash-stable."""
+    from yellowrush_spark_ml_pipeline_spark.ml.pipelines import (
+        baseline_regression_metrics,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return baseline_regression_metrics(orders, "o_totalprice", "o_orderpriority")
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized revenue summary: clip l_extendedprice at its exact p99
     (histogram-ranked cutoff, broadcast back) — outlier-robust totals
@@ -1594,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_centroids": q_embedding_centroids,
+        "regression_metrics": q_regression_metrics,
         "stratified_sample": q_stratified_sample,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
@@ -2337,6 +2350,38 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(b.gram) * 100 >= COUNT(*) * 10) AS contaminated
             FROM doc_grams d LEFT JOIN bench b ON d.gram = b.gram
             GROUP BY d.doc_id
+        """,
+        "regression_metrics": """
+            WITH base AS (
+                SELECT o_orderpriority AS grp,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS y_cents
+                FROM orders
+            ), pred AS (
+                SELECT grp, y_cents,
+                       CAST(FLOOR(CAST(SUM(y_cents) OVER (PARTITION BY grp)
+                                       AS DOUBLE)
+                                  / COUNT(*) OVER (PARTITION BY grp))
+                            AS BIGINT) AS pred_cents
+                FROM base
+            ), g AS (
+                SELECT CAST(FLOOR(CAST(SUM(y_cents) AS DOUBLE) / COUNT(*))
+                            AS BIGINT) AS ybar_cents
+                FROM base
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ABS(y_cents - pred_cents)) AS DOUBLE)
+                       / COUNT(*) / 100 AS mae,
+                   SQRT(CAST(SUM(CAST(y_cents - pred_cents AS HUGEINT)
+                                 * CAST(y_cents - pred_cents AS HUGEINT))
+                             AS DOUBLE) / COUNT(*)) / 100 AS rmse,
+                   1.0 - CAST(SUM(CAST(y_cents - pred_cents AS HUGEINT)
+                                  * CAST(y_cents - pred_cents AS HUGEINT))
+                              AS DOUBLE)
+                         / CAST(SUM(CAST(y_cents - ybar_cents AS HUGEINT)
+                                    * CAST(y_cents - ybar_cents AS HUGEINT))
+                                AS DOUBLE) AS r2
+            FROM pred, g
         """,
         "boilerplate_spans": r"""
             WITH toks AS (

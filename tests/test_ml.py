@@ -133,3 +133,24 @@ def test_gbt_builder_drop_in(spark, labeled_orders):
     metrics = evaluate_binary(model, test_df, "is_high_value")
     assert 0.95 <= metrics["roc_auc"] <= 1.0, metrics
     assert 0.9 <= metrics["accuracy"] <= 1.0, metrics
+
+
+def test_baseline_regression_metrics_known_values(spark):
+    """Hand-computed metrics on a 4-row frame: group A = {1.00, 2.00,
+    3.00} (pred 2.00), group B = {10.00} (pred 10.00); global mean
+    floor(400 cents). mae = 0.5, rmse = sqrt(5000)/100, r2 = 0.96."""
+    import math
+
+    from yellowrush_spark_ml_pipeline_spark.ml.pipelines import (
+        baseline_regression_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1.00), ("A", 2.00), ("A", 3.00), ("B", 10.00)],
+        ["grp", "price"],
+    )
+    row = baseline_regression_metrics(df, "price", "grp").collect()[0]
+    assert row.n == 4
+    assert row.mae == 0.5
+    assert row.rmse == math.sqrt(20000 / 4) / 100
+    assert row.r2 == 1.0 - 20000 / 500000

@@ -266,6 +266,64 @@ def feature_importances(
     return sorted(zip(names, imps), key=lambda t: t[1], reverse=True)
 
 
+def baseline_regression_metrics(
+    df: DataFrame,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Regression-evaluator surface (RegressionEvaluator's mae/rmse/r2)
+    computed against the group-mean baseline regressor, in EXACT integer
+    arithmetic so the result is bit-identical across engines and
+    partitionings.
+
+    Everything runs in integer cents: the label is fixed to 2 decimals
+    (lossless for money-style columns), the per-group and global means
+    are floor-divided (FLOOR has no tie-break mode, unlike ROUND — the
+    half-up-vs-half-even drift that bit ``embedding_dim_stats`` in round
+    2 cannot occur), and every per-row error term is an exact integer.
+    Sums of squares go through DECIMAL(38,0) (they exceed int64 at
+    15k+ rows); doubles appear only in the final metric expressions,
+    with identical operation order on the oracle side.
+
+    Plan: one window pass partitioned by ``group_col`` (decimal/long sum
+    — order-independent), a broadcast 1-row cross join for the global
+    mean, then a single hash aggregation. Two scans of the input, no
+    driver collects.
+    """
+    from pyspark.sql import Window
+
+    y = (F.col(label_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.select(F.col(group_col).alias("_grp"), y.alias("_y"))
+    w = Window.partitionBy("_grp")
+    pred = base.withColumn(
+        "_pred",
+        F.floor(
+            F.sum("_y").over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).cast("bigint"),
+    )
+    g = base.agg(
+        F.floor(
+            F.sum("_y").cast("double") / F.count(F.lit(1))
+        ).cast("bigint").alias("_ybar")
+    )
+    joined = pred.crossJoin(F.broadcast(g))
+    err = F.col("_y") - F.col("_pred")
+    dev = F.col("_y") - F.col("_ybar")
+    sq = lambda c: F.sum((c.cast("decimal(19,0)") * c.cast("decimal(19,0)")))  # noqa: E731
+    n = F.count(F.lit(1))
+    return joined.agg(
+        n.cast("bigint").alias("n"),
+        (F.sum(F.abs(err)).cast("double") / n / 100).alias("mae"),
+        F.sqrt(sq(err).cast("double") / n).alias("rmse_cents"),
+        (F.lit(1.0) - sq(err).cast("double") / sq(dev).cast("double")).alias("r2"),
+    ).select(
+        "n",
+        "mae",
+        (F.col("rmse_cents") / 100).alias("rmse"),
+        "r2",
+    )
+
+
 def save_model(model: PipelineModel, path: str) -> None:
     """S7 (nyc_taxi_final.py:956-960): overwrite-save a fitted pipeline."""
     model.write().overwrite().save(path)
