@@ -22,8 +22,9 @@ from yellowrush_spark_ml_pipeline_spark.streaming import (
 def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
     events = load_table(spark, sf_small, "events")
     src = str(tmp_path / "events_stream_src")
-    # re-land the fixture as a clean µs-timestamp parquet (the raw fixture
-    # is TIMESTAMP(NANOS), which a streaming schema can't declare directly)
+    # re-land the fixture as a clean µs-timestamp parquet (older fixture
+    # generations were TIMESTAMP(NANOS), which a streaming schema can't
+    # declare directly — re-landing is generation-proof)
     events.write.mode("overwrite").parquet(src)
 
     stream_df = streaming_window_agg(
@@ -346,3 +347,104 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_small, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """Append-mode watermark semantics across checkpointed incremental
+    runs — the part no batch-equivalence test can see: a row arriving in
+    a later run BEHIND the restored watermark (its window already
+    finalized) is dropped, each finalized window emits exactly once, and
+    a batch replay of the same files would have counted the late row —
+    the difference IS the drop.
+
+    (Within a single availableNow run Spark applies the late-record
+    filter with the watermark of the previous *run*, so the drop is only
+    observable across restarts — which is also the production shape for
+    incremental ingest.)"""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    src = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def land(rows, mode):
+        spark.createDataFrame(
+            [
+                (datetime.strptime(r[0], "%Y-%m-%d %H:%M:%S"), r[1], 1.0)
+                for r in rows
+            ],
+            schema=schema,
+        ).coalesce(1).write.mode(mode).parquet(src)
+
+    def run():
+        stream_df = streaming_window_agg(
+            spark,
+            src,
+            schema,
+            ts_col="ts",
+            duration="15 minutes",
+            watermark="30 minutes",
+            keys=("event_type",),
+            value_col="value",
+        )
+        query = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(120)
+        finally:
+            query.stop()
+
+    # run 1: two rows in the 10:00 window + a sentinel driving the
+    # watermark to 13:30 (event-time max 14:00 - 30 min delay)
+    land(
+        [
+            ("2024-01-01 10:00:00", "a"),
+            ("2024-01-01 10:05:00", "a"),
+            ("2024-01-01 14:00:00", "sent"),
+        ],
+        "overwrite",
+    )
+    run()
+    # run 2: a LATE duplicate for the long-finalized 10:00 window plus a
+    # sentinel raising the watermark further so 14:00's window flushes
+    land([("2024-01-01 10:05:00", "a"), ("2024-01-01 15:00:00", "sent")], "append")
+    run()
+    # run 3: one more sentinel so 15:00's window flushes as well
+    land([("2024-01-01 16:00:00", "sent")], "append")
+    run()
+
+    got = {
+        (str(r.window_start), r.event_type): r.event_count
+        for r in spark.read.parquet(out).collect()
+    }
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == len(got), "a finalized window emitted more than once"
+    # the late 10:05 duplicate was dropped: count stays 2 (batch says 3)
+    assert got.get(("2024-01-01 10:00:00", "a")) == 2
+    assert got.get(("2024-01-01 14:00:00", "sent")) == 1
+    assert got.get(("2024-01-01 15:00:00", "sent")) == 1
+    # the final sentinel's window never crossed the watermark -> unflushed
+    assert ("2024-01-01 16:00:00", "sent") not in got
+    assert os.path.isdir(ckpt)
