@@ -154,3 +154,27 @@ def test_baseline_regression_metrics_known_values(spark):
     assert row.mae == 0.5
     assert row.rmse == math.sqrt(20000 / 4) / 100
     assert row.r2 == 1.0 - 20000 / 500000
+
+
+def test_tune_classifier_grid_search(spark, labeled_orders):
+    """CrossValidator slot: the grid is fully scored (one avg-AUC per
+    cell), results come back best-first, the near-separable label keeps
+    the winner's AUC high, and the fitted best model predicts."""
+    from yellowrush_spark_ml_pipeline_spark.ml import tune_classifier
+
+    feats = ["month", "day_of_week", "is_holiday", "log_price"]
+    model, results = tune_classifier(
+        labeled_orders,
+        feats,
+        "is_high_value",
+        num_trees_grid=(5, 10),
+        max_depth_grid=(4,),
+        n_folds=2,
+        seed=42,
+    )
+    assert len(results) == 2  # 2 numTrees x 1 maxDepth
+    assert {(r["numTrees"], r["maxDepth"]) for r in results} == {(5, 4), (10, 4)}
+    assert results[0]["avg_auc"] >= results[1]["avg_auc"]
+    assert results[0]["avg_auc"] >= 0.95
+    preds = model.transform(labeled_orders)
+    assert preds.select("prediction").distinct().count() <= 2

@@ -1,4 +1,5 @@
 from .pipelines import (
+    baseline_regression_metrics,
     build_rf_pipeline,
     encode_categorical,
     evaluate_binary,
@@ -7,9 +8,11 @@ from .pipelines import (
     save_model,
     timestamped_model_path,
     train_classifier,
+    tune_classifier,
 )
 
 __all__ = [
+    "baseline_regression_metrics",
     "build_rf_pipeline",
     "encode_categorical",
     "evaluate_binary",
@@ -18,4 +21,5 @@ __all__ = [
     "save_model",
     "timestamped_model_path",
     "train_classifier",
+    "tune_classifier",
 ]

@@ -266,6 +266,75 @@ def feature_importances(
     return sorted(zip(names, imps), key=lambda t: t[1], reverse=True)
 
 
+def tune_classifier(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    num_trees_grid: Sequence[int] = (10, 30),
+    max_depth_grid: Sequence[int] = (4, 8),
+    n_folds: int = 3,
+    seed: int = 42,
+    parallelism: int = 2,
+):
+    """Hyperparameter search over the reference's RF pipeline: k-fold
+    CrossValidator on (numTrees, maxDepth) scored by areaUnderROC — the
+    tuning surface the reference hardcodes away (its config is fixed at
+    nyc_taxi_final.py:792-802; this searches around it with the same
+    pipeline object).
+
+    Scale posture: total work is folds x grid-size model fits.
+    ``parallelism`` trains candidate models concurrently inside each
+    fold (thread-level on the driver, cluster-level in execution);
+    MLlib caches each fold's train/validation split once across all
+    candidates, so the input is scanned per fold, not per candidate.
+    At 100 TB you tune on a stratified sample and refit the winner on
+    the full data — which is exactly ``bernoulli_sample`` (M0a) piped
+    into this function, then ``train_classifier`` with the returned
+    best params.
+
+    Returns ``(cv_model, results)`` where results is a list of
+    ``{"numTrees": .., "maxDepth": .., "avg_auc": ..}`` sorted best
+    first (driver-side: grid-size elements, not data).
+    """
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    pipeline = build_rf_pipeline(feature_cols, label_col, RFConfig(seed=seed))
+    rf = pipeline.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, list(num_trees_grid))
+        .addGrid(rf.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=n_folds,
+        seed=seed,
+        parallelism=parallelism,
+        collectSubModels=False,
+    )
+    model = cv.fit(df)
+    results = sorted(
+        (
+            {
+                "numTrees": pm[rf.numTrees],
+                "maxDepth": pm[rf.maxDepth],
+                "avg_auc": metric,
+            }
+            for pm, metric in zip(grid, model.avgMetrics)
+        ),
+        key=lambda r: r["avg_auc"],
+        reverse=True,
+    )
+    return model, results
+
+
 def baseline_regression_metrics(
     df: DataFrame,
     label_col: str,
