@@ -56,10 +56,20 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def _fixture_partitions(n: int) -> int:
+    """Partition count for bounded synthetic fixtures: a handful of rows
+    spread over defaultParallelism (32 here) makes every downstream
+    mapInPandas stage spawn a Python runner per mostly-empty partition —
+    measured at 8-17 s of pure worker-management wall per query. Real
+    media tables inherit their partitioning from the scan; only the
+    driver-built fixtures need this cap."""
+    return max(1, min(8, n // 8 + 1))
+
+
 def synthetic_media(spark, n: int = 64, payload_bytes: int = 1024) -> DataFrame:
     """Deterministic fake media table (payload = repeatable byte pattern)
     so the plumbing is testable without codecs."""
-    rows = spark.range(n).select(
+    rows = spark.range(n, numPartitions=_fixture_partitions(n)).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -242,7 +252,9 @@ def synthetic_decodable_media(spark, n: int = 24) -> DataFrame:
             payload = encode_wav([amp if j % 8 < 4 else -amp for j in range(64)])
             kind, mime, w, h, dur = "audio", "audio/wav", None, None, 8
         rows.append((i, kind, bytearray(payload), mime, w, h, dur))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+        _fixture_partitions(len(rows))
+    )
 
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
@@ -466,4 +478,6 @@ def synthetic_video_media(spark, n: int = 8, frames_per_video: int = 6) -> DataF
         rows.append(
             (i, "video", bytearray(encode_video(frames)), "video/x-yrv1", 4, 4, frames_per_video * 40)
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+        _fixture_partitions(len(rows))
+    )
