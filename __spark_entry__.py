@@ -1164,7 +1164,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned fact⋈dim: revenue by brand over only size-1 parts.
-    The fact side is pre-filtered by a 2^17-bit bloom over the selective
+    The fact side is pre-filtered by a 2^14-bit bloom over the selective
     dim keys (no false negatives → result ≡ the plain join the oracle
     runs), cutting the join shuffle to ~2% of the fact table."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1174,6 +1174,10 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select("p_partkey", "p_brand"),
         fact_key="l_partkey",
         dim_key="p_partkey",
+        # ~40 bits/key for this dim's cardinality — FP<<1% and an 8x
+        # smaller plan literal than the 2^17 default (size to the dim,
+        # not the default, is the production rule)
+        n_bits=1 << 14,
     )
     return (
         joined.groupBy("p_brand")
