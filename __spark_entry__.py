@@ -1269,6 +1269,32 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.class_centroids(emb, group_col="label")
 
 
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation audit (the CDC/migration parity check):
+    customers vs per-customer high-value order totals, every key
+    classified both/left_only/right_only with decimal-exact spend sums.
+    Non-vacuous on all three statuses: the >250k price floor strands
+    some customers (left_only), and orders with o_orderkey % 101 == 0
+    get phantom custkeys (right_only)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"), "c_name"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    o = orders.withColumn(
+        "cust_key",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_custkey") + 1000000
+        ).otherwise(F.col("o_custkey")),
+    )
+    right = o.groupBy("cust_key").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("total_spend"),
+    )
+    return joins.full_outer_reconcile(
+        cust, right, "cust_key", "c_name", "n_orders", sum_col="total_spend"
+    )
+
+
 def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regression-evaluator surface with an exact oracle: mae/rmse/r2 of
     the group-mean baseline regressor (o_totalprice ~ o_orderpriority) in
@@ -1611,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_centroids": q_embedding_centroids,
         "regression_metrics": q_regression_metrics,
+        "full_outer_reconcile": q_full_outer_reconcile,
         "stratified_sample": q_stratified_sample,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
@@ -2354,6 +2381,32 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(b.gram) * 100 >= COUNT(*) * 10) AS contaminated
             FROM doc_grams d LEFT JOIN bench b ON d.gram = b.gram
             GROUP BY d.doc_id
+        """,
+        "full_outer_reconcile": """
+            WITH o AS (
+                SELECT CASE WHEN o_orderkey % 101 = 0
+                            THEN o_custkey + 1000000
+                            ELSE o_custkey END AS cust_key,
+                       o_totalprice
+                FROM orders
+                WHERE o_totalprice > 250000
+            ), r AS (
+                SELECT cust_key,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spend
+                FROM o GROUP BY cust_key
+            ), l AS (
+                SELECT c_custkey AS cust_key, c_name FROM customer
+            )
+            SELECT CASE WHEN c_name IS NOT NULL AND n_orders IS NOT NULL
+                        THEN 'both'
+                        WHEN c_name IS NOT NULL THEN 'left_only'
+                        ELSE 'right_only' END AS status,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM l FULL OUTER JOIN r USING (cust_key)
+            GROUP BY 1
         """,
         "regression_metrics": """
             WITH base AS (

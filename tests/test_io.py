@@ -286,3 +286,32 @@ def test_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_compact_parquet_reduces_file_count_preserving_data(spark, sf_small, tmp_path):
+    """Compaction contract: a deliberately fragmented dataset (32 tiny
+    files) rewrites to the byte-computed file count with identical
+    contents; sizing comes from on-disk bytes, not row counts."""
+    import glob
+
+    from yellowrush_spark_ml_pipeline_spark.sources import compact_parquet, load_table
+
+    events = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    src = str(tmp_path / "fragmented")
+    events.repartition(32).write.mode("overwrite").parquet(src)
+    n_src = len(glob.glob(f"{src}/*.parquet"))
+    assert n_src == 32
+
+    dest = str(tmp_path / "compacted")
+    total = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(f"{src}/*.parquet")
+    )
+    # target slightly above half the data -> exactly 2 output files
+    n_out = compact_parquet(spark, src, dest, target_file_bytes=total // 2 + 1)
+    assert n_out == 2
+    assert len(glob.glob(f"{dest}/*.parquet")) == 2
+    back = spark.read.parquet(dest)
+    assert back.count() == events.count()
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, events.collect()))
+    assert a == b

@@ -254,3 +254,43 @@ def star_join(
         dim, on, bcast = entry if len(entry) == 3 else (*entry, None)
         out = broadcast_dim_join(out, dim, on, how, broadcast=bcast)
     return out
+
+
+def full_outer_reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_probe: str,
+    right_probe: str,
+    sum_col: str | None = None,
+) -> DataFrame:
+    """Reconciliation audit between two relations sharing a key — the
+    CDC/migration parity check: FULL OUTER join, classify every key as
+    ``both`` / ``left_only`` / ``right_only``, and aggregate per status.
+
+    ``left_probe`` / ``right_probe`` name columns that are non-null
+    whenever their side matched (presence indicators); ``sum_col`` (from
+    the right side, optional) is totaled per status with a decimal-exact
+    sum so drift shows as value, not just key, divergence.
+
+    Scale: ONE shuffle on the join key (both sides hash-partitioned),
+    then a tiny agg on the 3-value status key. The status breakdown is
+    the output a reconciliation job alerts on; the full row-level diff
+    (filter status != 'both') reuses the same joined frame."""
+    joined = left.join(right, on=[on], how="full_outer")
+    status = (
+        F.when(
+            F.col(left_probe).isNotNull() & F.col(right_probe).isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col(left_probe).isNotNull(), F.lit("left_only"))
+        .otherwise(F.lit("right_only"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_keys")]
+    if sum_col is not None:
+        aggs.append(
+            F.sum(F.col(sum_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value")
+        )
+    return joined.groupBy(status.alias("status")).agg(*aggs)

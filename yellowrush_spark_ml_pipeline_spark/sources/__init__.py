@@ -1,5 +1,6 @@
 from .readers import load_table, load_tables, read_csv, read_parquet
 from .writers import (
+    compact_parquet,
     upsert_partitions,
     write_bucketed_table,
     write_parquet,
@@ -7,6 +8,7 @@ from .writers import (
 )
 
 __all__ = [
+    "compact_parquet",
     "load_table",
     "load_tables",
     "read_csv",

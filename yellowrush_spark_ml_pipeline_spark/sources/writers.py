@@ -121,3 +121,38 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (interop with Hive/Trino-centric estates)."""
     df.write.mode(mode).orc(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-lived
+    dataset needs: streaming ingest and per-partition upserts strand
+    thousands of KB-scale files whose per-file open/footer/listing cost
+    comes to dominate scans long before data volume does. Sizes the
+    output from the ACTUAL on-disk bytes (a driver-side metadata walk,
+    no data read) and rewrites as ~`target_file_bytes` files; returns
+    the output file count.
+
+    Scale: one repartition round-trip (all data moves exactly once —
+    schedule off-peak, or per-partition for hive layouts); writing to a
+    sibling path + atomic rename keeps readers on a consistent layout
+    throughout. The byte walk uses the local filesystem here; on an
+    object store the same numbers come from the FileSystem listing API
+    the driver already holds."""
+    import math
+    import os
+
+    total = 0
+    for root, _, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dest_path)
+    return n_files
