@@ -1490,6 +1490,18 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-mile export flow (rows-only: composes the non-SQL curation
+    stages; exact accounting asserted in tests/test_flows.py): curation →
+    seeded hash-mod train/val split → per-(split, lang) packing →
+    manifest of docs/tokens/bins per cell."""
+    from yellowrush_spark_ml_pipeline_spark.flows import export_training_set
+
+    docs = _t(spark, sf_dir, "documents")
+    _, manifest = export_training_set(docs)
+    return manifest
+
+
 def q_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full taxi preprocessing flow composed as ONE lazy
     plan (nyc_taxi_final.py:259-650): clean → time features → period →
@@ -1696,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "curate_corpus": q_curate_corpus,
+        "export_manifest": q_export_manifest,
         "ml_classifier_metrics": q_ml_classifier_metrics,
     }
 

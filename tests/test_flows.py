@@ -208,3 +208,54 @@ def test_preprocess_dim_csv_flow(spark, tmp_path):
     assert rows["A"].tmin == 12.35
     back = read_parquet(spark, out)
     assert back.count() == 3
+
+
+def test_export_training_set_flow(spark, sf_small, tmp_path):
+    """Final-mile export: deterministic hash-mod split (stable under
+    corpus growth), per-(split,lang) packing with no cross-boundary
+    bins, hive layout split=/lang=, and a manifest that exactly accounts
+    for the written dataset."""
+    import pathlib
+
+    from yellowrush_spark_ml_pipeline_spark.flows import export_training_set
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "training_set")
+    dataset, manifest = export_training_set(docs, output_path=out)
+    dataset = dataset.cache()
+
+    rows = dataset.collect()
+    assert rows, "export produced no rows"
+    # split is the seeded hash-mod of doc_id — recompute and compare
+    want_split = {
+        r.doc_id: ("val" if r.h % 10 == 0 else "train")
+        for r in dataset.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(10)).alias("h")
+        ).collect()
+    }
+    assert all(want_split[r.doc_id] == r.split for r in rows)
+    assert {r.split for r in rows} == {"train", "val"}
+    # packing is (split, lang)-local: bins count from 0 in every group
+    # and bin start offsets never exceed capacity boundaries
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for r in rows:
+        by_grp[(r.split, r.lang)].append(r)
+    for grp, members in by_grp.items():
+        assert min(m.bin_id for m in members) == 0, grp
+    # manifest accounts exactly for the dataset
+    m = {(r.split, r.lang): r for r in manifest.collect()}
+    for grp, members in by_grp.items():
+        assert m[grp].n_docs == len(members)
+        assert m[grp].n_tokens == sum(x.pack_tokens for x in members)
+        assert m[grp].n_bins == max(x.bin_id for x in members) + 1
+    # hive layout + manifest on disk
+    splits = {p.name for p in pathlib.Path(out).iterdir() if "=" in p.name}
+    assert splits == {"split=train", "split=val"}
+    back = spark.read.parquet(f"{out}_manifest")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, manifest.collect())
+    )
+    dataset.unpersist()

@@ -230,6 +230,61 @@ def curate_corpus(
     return curated
 
 
+def export_training_set(
+    docs: DataFrame,
+    output_path: str | None = None,
+    min_quality: float = 0.5,
+    capacity: int = 2048,
+    val_mod: int = 10,
+    seed: int = 42,
+    **curate_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """The final mile of the corpus pipeline: curation → deterministic
+    train/val split → per-(split, language) context-window packing →
+    hive-partitioned sink + manifest. Returns ``(dataset, manifest)``;
+    the manifest is the per-(split, lang) accounting a training job
+    validates against before reading a byte.
+
+    The split is a seeded hash-mod on ``doc_id`` — exact, partition-
+    invariant, reproducible across backfills, and stable under corpus
+    growth (a doc's split never changes when neighbors arrive, unlike
+    randomSplit). Packing runs WITHIN (split, lang) so no context window
+    straddles the train/val boundary or mixes languages.
+
+    Scale: curation's shuffles are the dedup tiers' own; the split tag is
+    a narrow map; packing is one window per (split, lang) group; the
+    assignment joins back on ``doc_id`` (same key the dedup stages
+    already hash by). The manifest aggregates to (splits x langs) rows.
+    """
+    from .operators.textstats import pack_sequences
+
+    curated = curate_corpus(docs, min_quality=min_quality, **curate_kwargs)
+    tagged = curated.withColumn(
+        "split",
+        F.when(
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(val_mod)) == 0,
+            F.lit("val"),
+        ).otherwise(F.lit("train")),
+    )
+    grouped = tagged.withColumn("_grp", F.concat_ws("/", "split", "lang"))
+    packed = pack_sequences(grouped, group_col="_grp", capacity=capacity)
+    dataset = tagged.join(
+        packed.select("doc_id", F.col("n_tokens").alias("pack_tokens"), "bin_id"),
+        "doc_id",
+    )
+    manifest = dataset.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pack_tokens").alias("n_tokens"),
+        (F.max("bin_id") + 1).alias("n_bins"),
+    )
+    if output_path:
+        write_partitioned_parquet(dataset, output_path, ["split", "lang"])
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{output_path}_manifest"
+        )
+    return dataset, manifest
+
+
 def train_and_evaluate(
     df: DataFrame,
     feature_cols: list[str],
