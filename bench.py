@@ -54,6 +54,11 @@ def main() -> int:
     # is 5 rows — data-scale effects stay inside the measured queries).
     materialize(spark.range(1000).selectExpr("sum(id) as s"))
     materialize(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+    # Warm the Python-worker pool + Arrow path: workers are reused across
+    # queries (spark.python.worker.reuse), so without this the first
+    # pandas-UDF query alone is charged the whole pool spawn (~5 s).
+    warm_df = spark.range(256).repartition(8)
+    materialize(warm_df.mapInPandas(lambda it: it, warm_df.schema))
 
     timings, failures = run_suite(spark, entrymod, SF_DIR)
     total = round(sum(timings.values()), 3)
