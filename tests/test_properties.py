@@ -342,3 +342,63 @@ def test_mixture_allocation_conserves_budget(spark, docs):
     w_total = sum(r.weight for r in out)
     for r in out:
         assert r.alloc_tokens == 10_000 * r.weight // w_total
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=10_000_00),  # cents-scale
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_regression_metrics_invariants(spark, rows):
+    """On arbitrary grouped money data: n is exact, mae/rmse are
+    non-negative with rmse >= mae (power-mean inequality), r2 <= 1, and
+    a perfect predictor (constant per group, all groups equal) yields
+    mae = rmse = 0."""
+    from yellowrush_spark_ml_pipeline_spark.ml.pipelines import (
+        baseline_regression_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(g, cents / 100.0) for g, cents in rows], ["grp", "price"]
+    )
+    r = baseline_regression_metrics(df, "price", "grp").collect()[0]
+    assert r.n == len(rows)
+    assert r.mae >= 0 and r.rmse >= 0
+    assert r.rmse >= r.mae - 1e-12  # QM >= AM on |errors|
+    if r.r2 is not None:  # sst=0 (all values equal) -> null r2
+        assert r.r2 <= 1.0 + 1e-12
+
+
+@given(
+    left_keys=st.sets(st.integers(min_value=0, max_value=30), max_size=15),
+    right_keys=st.sets(st.integers(min_value=0, max_value=30), max_size=15),
+)
+@_SETTINGS
+def test_full_outer_reconcile_partitions_key_space(spark, left_keys, right_keys):
+    """Status counts partition |L ∪ R| exactly: both = |L ∩ R|,
+    left_only = |L \\ R|, right_only = |R \\ L|."""
+    from yellowrush_spark_ml_pipeline_spark.operators.joins import (
+        full_outer_reconcile,
+    )
+
+    if not left_keys and not right_keys:
+        return
+    left = spark.createDataFrame(
+        [(k, f"l{k}") for k in left_keys] or [(None, None)], "k long, lp string"
+    ).filter(F.col("k").isNotNull())
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in right_keys] or [(None, None)], "k long, rp long"
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r.status: r.n_keys
+        for r in full_outer_reconcile(left, right, "k", "lp", "rp").collect()
+    }
+    assert got.get("both", 0) == len(left_keys & right_keys)
+    assert got.get("left_only", 0) == len(left_keys - right_keys)
+    assert got.get("right_only", 0) == len(right_keys - left_keys)

@@ -384,7 +384,12 @@ def baseline_regression_metrics(
         n.cast("bigint").alias("n"),
         (F.sum(F.abs(err)).cast("double") / n / 100).alias("mae"),
         F.sqrt(sq(err).cast("double") / n).alias("rmse_cents"),
-        (F.lit(1.0) - sq(err).cast("double") / sq(dev).cast("double")).alias("r2"),
+        # try_divide: a constant label column has sst=0 — r2 is undefined
+        # (null), not a DIVIDE_BY_ZERO crash under ANSI (hypothesis-found)
+        (
+            F.lit(1.0)
+            - F.try_divide(sq(err).cast("double"), sq(dev).cast("double"))
+        ).alias("r2"),
     ).select(
         "n",
         "mae",
