@@ -1205,6 +1205,51 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_linenumber", z.alias("zval"))
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (l_partkey, l_suppkey), 8 bits
+    each: locality-superior alternative to the Morton zval (every curve
+    step is an adjacent cell — no quadrant teleports), same write-time
+    range-partition usage; pure integer bit arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber",
+                                              "l_partkey", "l_suppkey")
+    m = F.lit(1 << 8).cast("long")
+    keyed = layout.add_hilbert_key(
+        li,
+        F.pmod(F.col("l_partkey").cast("long"), m),
+        F.pmod(F.col("l_suppkey").cast("long"), m),
+        bits=8,
+    )
+    return keyed.select("l_orderkey", "l_linenumber", "hval")
+
+
+def _hilbert_oracle_sql(xexpr: str, yexpr: str, bits: int) -> str:
+    """DuckDB mirror of layout.hilbert_key: the same rotate-reflect
+    recursion unrolled as a CTE chain (level i consumes x{i+1}/y{i+1}/
+    d{i+1}, distinct names per level — no alias shadowing)."""
+    n = 1 << bits
+    sql = (
+        f"WITH h{bits} AS (SELECT l_orderkey, l_linenumber, "
+        f"CAST({xexpr} AS BIGINT) AS x{bits}, "
+        f"CAST({yexpr} AS BIGINT) AS y{bits}, "
+        f"CAST(0 AS BIGINT) AS d{bits} FROM lineitem)"
+    )
+    for i in range(bits - 1, -1, -1):
+        p = i + 1
+        s = 1 << i
+        sql += (
+            f", h{i} AS (SELECT l_orderkey, l_linenumber, "
+            f"CASE WHEN ((y{p} >> {i}) & 1) = 1 THEN x{p} "
+            f"     WHEN ((x{p} >> {i}) & 1) = 1 THEN {n - 1} - y{p} "
+            f"     ELSE y{p} END AS x{i}, "
+            f"CASE WHEN ((y{p} >> {i}) & 1) = 1 THEN y{p} "
+            f"     WHEN ((x{p} >> {i}) & 1) = 1 THEN {n - 1} - x{p} "
+            f"     ELSE x{p} END AS y{i}, "
+            f"d{p} + {s * s} * xor(((x{p} >> {i}) & 1) * 3, (y{p} >> {i}) & 1)"
+            f" AS d{i} FROM h{p})"
+        )
+    return sql + " SELECT l_orderkey, l_linenumber, d0 AS hval FROM h0"
+
+
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier volume (TPC-H Q5 shape): lineitem⋈orders is the one
     big shuffle; customer/supplier ride AQE broadcast, nation/region are
@@ -1645,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "bloom_join": q_bloom_join,
         "zorder_key": q_zorder_key,
+        "hilbert_key": q_hilbert_key,
         "regional_revenue": q_regional_revenue,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_centroids": q_embedding_centroids,
@@ -2863,6 +2909,9 @@ def oracle_sql() -> dict[str, str]:
             for b in range(16)
         )
         + " AS zval FROM lineitem",
+        "hilbert_key": _hilbert_oracle_sql(
+            "l_partkey % 256", "l_suppkey % 256", 8
+        ),
         "gap_fill": r"""
             WITH b AS (
                 SELECT user_id,

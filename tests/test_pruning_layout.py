@@ -93,3 +93,55 @@ def test_zorder_layout_improves_locality(spark, sf_oracle):
     zed = total_area(layout.zorder_layout(li, ["l_partkey", "l_suppkey"],
                                           bits=16, num_partitions=16))
     assert zed * 4 <= base, f"z-order area {zed} vs base {base}"
+
+
+def test_hilbert_key_matches_reference_and_curve_properties(spark):
+    """The full 32x32 grid: (1) equality with the scalar xy2d reference,
+    (2) bijection onto 0..n^2-1, (3) the defining Hilbert property —
+    every consecutive index is an ADJACENT cell (|dx|+|dy| == 1), which
+    Morton lacks (quadrant teleports). (3) is what buys the tighter
+    bounding boxes."""
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 5, 32
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], ["x", "y"]
+    )
+    keyed = layout.add_hilbert_key(grid, F.col("x"), F.col("y"), bits=bits)
+    got = {(r.x, r.y): r.hval for r in keyed.collect()}
+    assert got == {(x, y): xy2d(n, x, y) for x in range(n) for y in range(n)}
+    inv = {d: xy for xy, d in got.items()}
+    assert sorted(inv) == list(range(n * n))
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+
+
+def test_hilbert_plan_is_linear_project_chain(spark):
+    """The per-level Project emission must survive optimization WITHOUT
+    exponential re-inlining: the optimized plan for 16 bits is produced
+    quickly and contains no Exchange (narrow map) and no Python eval."""
+    import time
+
+    grid = spark.range(100).select(
+        (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    t0 = time.perf_counter()
+    keyed = layout.add_hilbert_key(grid, F.col("x"), F.col("y"), bits=16)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 30, f"planning took {elapsed:.1f}s — tree blow-up"
+    assert "Exchange" not in plan and "EvalPython" not in plan
