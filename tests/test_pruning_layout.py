@@ -145,3 +145,32 @@ def test_hilbert_plan_is_linear_project_chain(spark):
     elapsed = time.perf_counter() - t0
     assert elapsed < 30, f"planning took {elapsed:.1f}s — tree blow-up"
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_hilbert_layout_at_least_matches_zorder_locality(spark, sf_oracle):
+    """The payoff claim, measured: per-partition bounding-box area under
+    hilbert_layout must beat the incoming layout by >=4x (same gate as
+    z-order) and come in at or under z-order's area with 10% slack —
+    adjacent-cell steps can't be worse than quadrant teleports."""
+    li = load_table(spark, sf_oracle, "lineitem").select("l_partkey", "l_suppkey")
+
+    def total_area(df):
+        boxes = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("dx"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("dy"),
+            )
+        )
+        return boxes.agg(F.sum(F.col("dx") * F.col("dy"))).collect()[0][0]
+
+    base = total_area(li.repartition(16))
+    zed = total_area(
+        layout.zorder_layout(li, ["l_partkey", "l_suppkey"], bits=16, num_partitions=16)
+    )
+    hil = total_area(
+        layout.hilbert_layout(li, ["l_partkey", "l_suppkey"], bits=16, num_partitions=16)
+    )
+    assert hil * 4 <= base, f"hilbert area {hil} vs base {base}"
+    assert hil <= zed * 1.1, f"hilbert area {hil} vs z-order {zed}"

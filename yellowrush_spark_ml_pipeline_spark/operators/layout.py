@@ -63,6 +63,39 @@ def zorder_layout(
     return out.sortWithinPartitions(key_name)
 
 
+def hilbert_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    key_name: str = "_hilbert",
+) -> DataFrame:
+    """Cluster ``df`` for write by the Hilbert index over
+    ``pmod(col, 2^bits)`` normalizations of two columns — same contract
+    as `zorder_layout` (one write-time range shuffle + in-partition
+    sort), tighter resulting bounding boxes.
+
+    Keep ``2^bits`` ABOVE the key range: ``pmod`` folds larger keys onto
+    the grid, and folded cells are far apart in raw key space — locality
+    measured on the raw keys degrades even though the curve itself is
+    perfect (seen at 8 bits over ~2000-valued keys). 16 bits costs one
+    Project per level, nothing more."""
+    assert len(cols) == 2, "hilbert_layout is 2-D; use zorder_layout for more"
+    m = F.lit(1 << bits).cast("long")
+    out = add_hilbert_key(
+        df,
+        F.pmod(F.col(cols[0]).cast("long"), m),
+        F.pmod(F.col(cols[1]).cast("long"), m),
+        bits=bits,
+        key_name=key_name,
+    )
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, key_name)
+    else:
+        out = out.repartitionByRange(key_name)
+    return out.sortWithinPartitions(key_name)
+
+
 def add_hilbert_key(
     df: DataFrame,
     x: Column,
