@@ -1314,6 +1314,16 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.class_centroids(emb, group_col="label")
 
 
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-per-language document sample (balanced eval-pool
+    construction): Lehmer-hash ranking inside each group — engine- and
+    partitioning-independent, so the precise surviving row set has a
+    DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = cleaning.deterministic_k_per_group(docs, "lang", k=8)
+    return sampled.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER reconciliation audit (the CDC/migration parity check):
     customers vs per-customer high-value order totals, every key
@@ -1696,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "regression_metrics": q_regression_metrics,
         "full_outer_reconcile": q_full_outer_reconcile,
+        "sample_k_per_group": q_sample_k_per_group,
         "stratified_sample": q_stratified_sample,
         "date_range_stats": q_date_range_stats,
         "null_counts": q_null_counts,
@@ -2440,6 +2451,20 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(b.gram) * 100 >= COUNT(*) * 10) AS contaminated
             FROM doc_grams d LEFT JOIN bench b ON d.gram = b.gram
             GROUP BY d.doc_id
+        """,
+        "sample_k_per_group": """
+            WITH ranked AS (
+                SELECT doc_id, lang, source, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id % 2147483647) * 48271
+                                    % 2147483647 ASC,
+                                    doc_id ASC
+                       ) AS rk
+                FROM documents
+            )
+            SELECT doc_id, lang, source, n_chars
+            FROM ranked WHERE rk <= 8
         """,
         "full_outer_reconcile": """
             WITH o AS (

@@ -776,3 +776,27 @@ def test_simhash_candidates_find_exact_copies(spark, sf_small):
     found = {(r.id_a, r.id_b) for r in cands.collect()}
     expected = {(i, i + 5000) for i in range(100)}
     assert expected <= found, sorted(expected - found)[:5]
+
+
+def test_deterministic_k_per_group_contract(spark, sf_small):
+    """Exactly min(k, group size) rows per group, and the SAME row set
+    under a different input partitioning (the reproducibility contract
+    Bernoulli sampling can't give)."""
+    from yellowrush_spark_ml_pipeline_spark.operators.cleaning import (
+        deterministic_k_per_group,
+    )
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = deterministic_k_per_group(docs, "lang", k=5)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {g: min(5, n) for g, n in full.items()}
+    ids_a = {r.doc_id for r in out.select("doc_id").collect()}
+    ids_b = {
+        r.doc_id
+        for r in deterministic_k_per_group(docs.repartition(13), "lang", k=5)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_a == ids_b

@@ -101,3 +101,32 @@ def deterministic_stratified_sample(
     default_t = F.lit(int(default_fraction * modulus))
     threshold = default_t if threshold is None else threshold.otherwise(default_t)
     return df.filter(h < threshold)
+
+
+def deterministic_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact k-per-group sampling (the balanced eval-set / few-shot-pool
+    constructor): rank each group's rows by a Lehmer hash of their id and
+    keep the first ``k``. The companion to `deterministic_stratified_sample`
+    for when the contract is a COUNT per stratum, not a fraction.
+
+    Pure function of the data — the same k rows survive in any engine, at
+    any partitioning, on any rerun (hash order stands in for the random
+    order a true reservoir would draw; ``(hash, id)`` breaks ties so the
+    order is total). One shuffle on ``group_col`` for the window; no
+    driver state, group count never materializes anywhere.
+    """
+    from pyspark.sql import Window
+
+    p = 2_147_483_647
+    h = (F.col(id_col) % F.lit(p)) * F.lit(48271) % F.lit(p)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
