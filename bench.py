@@ -31,14 +31,26 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_suite(spark, entrymod, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+def run_suite(
+    spark, entrymod, sf_dir: str, retime_under: float = 2.0
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Time every registered query once; queries finishing under
+    ``retime_under`` seconds are re-run twice more and the MEDIAN is
+    reported, so sub-second plans aren't polluted by the ~1 s single-shot
+    noise floor (scheduler jitter, GC, page cache) and regressions stay
+    attributable to plan changes."""
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
         try:
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            samples: list[float] = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+                if samples[0] >= retime_under:
+                    break
+            timings[name] = round(sorted(samples)[len(samples) // 2], 2)
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
     return timings, failures
@@ -136,6 +148,22 @@ def main() -> int:
     if failures:
         out["failures"] = failures
     print(json.dumps(out), flush=True)
+    # The driver's capture window keeps the TAIL of stdout; the full line
+    # above can outgrow it (it did in round 3, losing the headline number).
+    # Emit a compact summary as the FINAL line so truncation always
+    # preserves the metrics that matter.
+    summary = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "rf_train_sec": baseline_cmp.get("rf_train_sec"),
+        "roc_auc": baseline_cmp.get("roc_auc"),
+        "superlinear": scaling["superlinear"] if scaling else [],
+        "n_failures": len(failures),
+    }
+    print(json.dumps(summary), flush=True)
     return 1 if failures else 0
 
 

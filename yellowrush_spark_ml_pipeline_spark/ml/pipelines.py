@@ -347,12 +347,20 @@ def baseline_regression_metrics(
 
     Everything runs in integer cents: the label is fixed to 2 decimals
     (lossless for money-style columns), the per-group and global means
-    are floor-divided (FLOOR has no tie-break mode, unlike ROUND — the
-    half-up-vs-half-even drift that bit ``embedding_dim_stats`` in round
-    2 cannot occur), and every per-row error term is an exact integer.
-    Sums of squares go through DECIMAL(38,0) (they exceed int64 at
-    15k+ rows); doubles appear only in the final metric expressions,
-    with identical operation order on the oracle side.
+    are floor-divided IN THE INTEGER/DECIMAL DOMAIN —
+    ``(s - pmod(s, n)) / n`` makes the numerator exactly divisible, so
+    the quotient is exact even when a group's cent-sum exceeds 2^53
+    (a double round-trip there would round the sum before dividing; the
+    oracle floor-divides identically). FLOOR-style division also has no
+    tie-break mode, so the half-up-vs-half-even drift that bit
+    ``embedding_dim_stats`` in round 2 cannot occur. Every per-row error
+    term is an exact integer; sums of squares go through DECIMAL(38,0)
+    (they exceed int64 at 15k+ rows); doubles appear only in the final
+    metric expressions, with identical operation order on the oracle side.
+
+    Engine note: at sst=0 (constant label) r2 is NULL here (try_divide)
+    and the oracle SQL uses NULLIF(sst, 0) to match; IEEE-default engines
+    would give -inf instead — the NULL is the deliberate contract.
 
     Plan: one window pass partitioned by ``group_col`` (decimal/long sum
     — order-independent), a broadcast 1-row cross join for the global
@@ -361,19 +369,21 @@ def baseline_regression_metrics(
     """
     from pyspark.sql import Window
 
+    def floor_div(s, n):
+        # exact floor division: numerator made divisible via pmod, then
+        # decimal division (integer quotient => exact at any magnitude)
+        s = s.cast("decimal(38,0)")
+        return ((s - F.pmod(s, n)) / n).cast("bigint")
+
     y = (F.col(label_col).cast("decimal(18,2)") * 100).cast("bigint")
     base = df.select(F.col(group_col).alias("_grp"), y.alias("_y"))
     w = Window.partitionBy("_grp")
     pred = base.withColumn(
         "_pred",
-        F.floor(
-            F.sum("_y").over(w).cast("double") / F.count(F.lit(1)).over(w)
-        ).cast("bigint"),
+        floor_div(F.sum("_y").over(w), F.count(F.lit(1)).over(w)),
     )
     g = base.agg(
-        F.floor(
-            F.sum("_y").cast("double") / F.count(F.lit(1))
-        ).cast("bigint").alias("_ybar")
+        floor_div(F.sum("_y"), F.count(F.lit(1))).alias("_ybar")
     )
     joined = pred.crossJoin(F.broadcast(g))
     err = F.col("_y") - F.col("_pred")

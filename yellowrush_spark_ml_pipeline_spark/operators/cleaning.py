@@ -91,8 +91,7 @@ def deterministic_stratified_sample(
     (p = 2^31-1): multiplicative mixing whose intermediate product stays
     < 2^47, overflow-free in strict/ANSI integer arithmetic in any engine.
     One narrow filter — no shuffle, no collect."""
-    p = 2_147_483_647
-    h = (F.col(id_col) % F.lit(p)) * F.lit(48271) % F.lit(p) % F.lit(modulus)
+    h = F.pmod(_lehmer_hash(df, id_col), F.lit(modulus))
     threshold = None
     for k, frac in fractions.items():
         t = F.lit(int(frac * modulus))
@@ -101,6 +100,26 @@ def deterministic_stratified_sample(
     default_t = F.lit(int(default_fraction * modulus))
     threshold = default_t if threshold is None else threshold.otherwise(default_t)
     return df.filter(h < threshold)
+
+
+def _lehmer_hash(df: DataFrame, id_col: str):
+    """MINSTD Lehmer step ``pmod(pmod(id, p) * 48271, p)`` (p = 2^31-1) as a
+    Column. ``pmod`` keeps the value in [0, p) for NEGATIVE ids too (plain
+    ``%`` carries the sign through and weakens the permutation), and the
+    intermediate product stays < 2^47 — overflow-free in strict/ANSI integer
+    arithmetic in any engine. Requires a NUMERIC id column: a string id
+    would make ``id % p`` resolve to NULL and silently degrade ordering to
+    plain id order, so that case raises instead (pre-hash string ids with
+    ``F.xxhash64`` — noting that leaves the cross-engine-exact contract,
+    since xxhash64 is Spark-specific)."""
+    field = df.schema[id_col].dataType.typeName()
+    if field in ("string", "binary", "boolean", "date", "timestamp"):
+        raise TypeError(
+            f"deterministic samplers need a numeric id column; {id_col!r} is "
+            f"{field}. Pre-hash non-numeric ids (e.g. F.xxhash64) first."
+        )
+    p = 2_147_483_647
+    return F.pmod(F.pmod(F.col(id_col), F.lit(p)) * F.lit(48271), F.lit(p))
 
 
 def deterministic_k_per_group(
@@ -122,8 +141,7 @@ def deterministic_k_per_group(
     """
     from pyspark.sql import Window
 
-    p = 2_147_483_647
-    h = (F.col(id_col) % F.lit(p)) * F.lit(48271) % F.lit(p)
+    h = _lehmer_hash(df, id_col)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("_rk", F.row_number().over(w))

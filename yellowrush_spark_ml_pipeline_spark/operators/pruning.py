@@ -47,7 +47,14 @@ def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(n_hashes)]
 
 
-_MASKS: Column | None = None
+# The 64 mask VALUES are process-constant; the Column handle is NOT — a
+# pyspark Column wraps a py4j JavaObject that goes stale if the JVM gateway
+# restarts and doesn't exist under Spark Connect. So memoize per active
+# session (keyed by session id), rebuilding the Column lazily.
+_MASK_VALUES: tuple[int, ...] = tuple(
+    (1 << i) if i < 63 else -(1 << 63) for i in range(64)
+)
+_MASKS_BY_SESSION: dict[int, Column] = {}
 
 
 def _mask(bit: Column) -> Column:
@@ -57,15 +64,16 @@ def _mask(bit: Column) -> Column:
     # The lookup array is a stateless plan fragment, memoized because
     # rebuilding it is 64 py4j round-trips per probe (k probes x 2 uses
     # per predicate made this the dominant driver-side cost).
-    global _MASKS
-    if _MASKS is None:
-        _MASKS = F.array(
-            *[
-                F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-                for i in range(64)
-            ]
-        )
-    return F.element_at(_MASKS, bit.cast("int") + 1)
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession()
+    key = id(session) if session is not None else 0
+    masks = _MASKS_BY_SESSION.get(key)
+    if masks is None:
+        masks = F.array(*[F.lit(v).cast("long") for v in _MASK_VALUES])
+        _MASKS_BY_SESSION.clear()  # drop handles from any dead session
+        _MASKS_BY_SESSION[key] = masks
+    return F.element_at(masks, bit.cast("int") + 1)
 
 
 def bloom_build(

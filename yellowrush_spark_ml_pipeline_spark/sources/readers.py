@@ -41,25 +41,38 @@ def read_parquet(
 
 
 def _parquet_ts_unit(path: str, col: str = "ts") -> str:
-    """Physical timestamp unit ('us'/'ms'/'ns') of one column, from the
-    parquet footer only — a driver-side metadata read, no data scan. Used
-    to keep ``events.ts`` loading correct across testdata generations
-    (round 2 shipped TIMESTAMP(NANOS); round 3 ships TIMESTAMP(MICROS) —
-    a silent 1000x corruption if the wrong decode path is assumed)."""
+    """Physical timestamp unit ('us'/'ms'/'ns') of one column, from parquet
+    footers only — a driver-side metadata read, no data scan. Used to keep
+    ``events.ts`` loading correct across testdata generations (round 2
+    shipped TIMESTAMP(NANOS); round 3 ships TIMESTAMP(MICROS) — a silent
+    1000x corruption if the wrong decode path is assumed).
+
+    For a directory, probes BOTH the lexicographic min and max part files
+    and raises on a unit mismatch: a mixed-unit directory has no single
+    correct decode path, and misreading half the files by 1000x must fail
+    loudly, not silently."""
     import glob as _glob
     import os as _os
 
     try:
         import pyarrow.parquet as _pq
 
-        target = path
+        targets = [path]
         if _os.path.isdir(path):
             inner = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
             if inner:
-                target = inner[0]
-        return getattr(_pq.read_schema(target).field(col).type, "unit", "us")
+                targets = [inner[0], inner[-1]] if len(inner) > 1 else [inner[0]]
+        units = {
+            getattr(_pq.read_schema(t).field(col).type, "unit", "us") for t in targets
+        }
     except Exception:
         return "us"
+    if len(units) > 1:
+        raise ValueError(
+            f"mixed parquet timestamp units {sorted(units)} across part files "
+            f"under {path!r} (column {col!r}); rewrite to a single unit"
+        )
+    return units.pop()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -73,8 +86,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and _parquet_ts_unit(path) == "ns":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = read_parquet(spark, path, EVENTS_NANOS_SCHEMA)
+        # The legacy conf is bound at DataFrame ANALYSIS time (the
+        # read.parquet call), so scoping it with try/finally keeps the
+        # returned lazy DataFrame valid while guaranteeing later reads of
+        # other TIMESTAMP(NANOS) parquet in the same session fail loudly
+        # instead of silently decoding as LongType.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = read_parquet(spark, path, EVENTS_NANOS_SCHEMA)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return read_parquet(spark, path, TESTDATA_SCHEMAS.get(name))
 

@@ -145,7 +145,25 @@ def compact_parquet(
     the driver already holds."""
     import math
     import os
+    import re
 
+    if os.path.abspath(dest_path) == os.path.abspath(src_path):
+        raise ValueError(
+            "compact_parquet: dest_path must differ from src_path — an "
+            "overwrite-in-place would delete the source mid-read; write to "
+            "a sibling path and rename."
+        )
+    scheme = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", src_path)
+    if scheme and scheme.group(1) != "file":
+        # os.walk on an hdfs:///s3a:// URI silently finds 0 bytes and the
+        # whole dataset would funnel through ONE task. Fail loudly; the
+        # remote-store implementation should size via the Hadoop
+        # FileSystem listing (spark._jvm...FileSystem.globStatus).
+        raise NotImplementedError(
+            f"compact_parquet sizes output via a local filesystem walk; got "
+            f"scheme {scheme.group(1)!r}. Use the Hadoop FileSystem listing "
+            f"for remote stores."
+        )
     total = 0
     for root, _, files in os.walk(src_path):
         for f in files:
