@@ -1042,6 +1042,15 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same funnel, single-shuffle physical strategy: per-user sorted
+    event array + JVM-side greedy frontier scan (aggregate HOF) instead
+    of one join+agg pass per stage. Oracle and result contract identical
+    to `funnel` — the point is the measured head-to-head."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.funnel_counts_window(ev, ["view", "click", "purchase"])
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events: distinct active users k weeks
     after their first-seen week, k=0..4."""
@@ -1702,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "corpus_stats": q_corpus_stats,
         "embedding_norms": q_embedding_norms,
+        # ---- new in round 4 (never driver-verified yet) ----
+        "funnel_window": q_funnel_window,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -1773,7 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     dec_sum = lambda c: f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"  # noqa: E731
-    return {
+    sqls = {
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    {dec_sum('l_quantity')} AS sum_qty,
@@ -3097,3 +3108,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.9
         """,
     }
+    # funnel_window is the same logical query as funnel under a different
+    # physical strategy — one oracle, two engine plans.
+    sqls["funnel_window"] = sqls["funnel"]
+    return sqls

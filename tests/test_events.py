@@ -61,6 +61,44 @@ def test_funnel_same_timestamp_not_counted(spark):
     assert got == {"view": 1, "click": 0}
 
 
+def test_funnel_window_equals_s_pass_on_edges(spark):
+    # The single-shuffle window variant must agree with the S-pass variant
+    # on every ordering edge case at once.
+    ev = _ev(
+        spark,
+        [
+            (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+            (2, "view", 0), (2, "purchase", 1), (2, "click", 2),
+            (3, "click", 0), (3, "view", 1),
+            (4, "click", 0), (4, "purchase", 1),
+            (5, "view", 0), (5, "click", 0),      # same-ts: strict > fails
+            (6, "view", 0), (6, "view", 3), (6, "click", 4),  # first-touch
+        ],
+    )
+    stages = ["view", "click", "purchase"]
+    a = {r.stage: r.n_users for r in events_ops.funnel_counts(ev, stages).collect()}
+    b = {
+        r.stage: r.n_users
+        for r in events_ops.funnel_counts_window(ev, stages).collect()
+    }
+    # view: u1 u2 u3 u5 u6; click: u1, u2 (click@2 > view@0), u6; purchase: u1
+    assert a == b == {"view": 5, "click": 3, "purchase": 1}
+
+
+def test_funnel_window_equals_s_pass_on_events_table(spark, sf_small):
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    stages = ["view", "click", "purchase"]
+    a = {r.stage: r.n_users for r in events_ops.funnel_counts(ev, stages).collect()}
+    b = {
+        r.stage: r.n_users
+        for r in events_ops.funnel_counts_window(ev, stages).collect()
+    }
+    assert a == b
+    assert a["view"] > 0
+
+
 def test_cohort_retention_counts(spark):
     # Two users cohorted in week of Jan 1 2024 (Mon); one returns in
     # week+1, both active week 0.
