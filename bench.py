@@ -103,6 +103,54 @@ def main() -> int:
         if sec_failures:
             failures.update({f"scaling:{k}": v for k, v in sec_failures.items()})
 
+    # Third scaling point: a second measured decade (sf0.1 -> sf1) for the
+    # heaviest queries, against the locally derived sf1 dataset
+    # (tools/gen_sf.py). Only runs when the dataset's provenance matches
+    # the LIVE testdata — the driver regenerates testdata each round, and
+    # a ratio against a stale derivation would mislead.
+    scaling_sf1: dict | None = None
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1"),
+    )
+    if sf1_dir and os.path.isdir(sf1_dir) and timings:
+        try:
+            from tools.gen_sf import provenance
+
+            recorded = json.load(open(os.path.join(sf1_dir, "provenance.json")))
+            fresh = recorded["files"] == provenance(recorded["src"])
+        except Exception:
+            fresh = False
+        if fresh:
+            heavy = sorted(timings, key=timings.get, reverse=True)[:12]
+            qmap = entrymod.queries()
+            sf1_timings: dict[str, float] = {}
+            sf1_failures: dict[str, str] = {}
+            for name in heavy:
+                t0 = time.perf_counter()
+                try:
+                    materialize(qmap[name](spark, sf1_dir))
+                    sf1_timings[name] = round(time.perf_counter() - t0, 2)
+                except Exception as exc:  # noqa: BLE001
+                    sf1_failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            ratio_sf1 = recorded.get("factor", 10)
+            ratios1 = {
+                q: round(sf1_timings[q] / max(timings[q], 1e-3), 2)
+                for q in sf1_timings
+            }
+            scaling_sf1 = {
+                "sf1_total": round(sum(sf1_timings.values()), 2),
+                "data_ratio": ratio_sf1,
+                "time_ratio": ratios1,
+                "superlinear": sorted(
+                    [q for q, r in ratios1.items() if r > ratio_sf1]
+                ),
+            }
+            if sf1_failures:
+                failures.update({f"sf1:{k}": v for k, v in sf1_failures.items()})
+        else:
+            scaling_sf1 = {"skipped": "sf1 provenance stale or missing; run tools/gen_sf.py"}
+
     # Direct BASELINE.md comparison hook: the reference's only published
     # numbers are RF training time (70-80 s, 4-core/14 GB, 30% sample,
     # numTrees=30/maxDepth=8) and the model metrics. Time the same
@@ -145,6 +193,8 @@ def main() -> int:
     }
     if scaling is not None:
         out["scaling"] = scaling
+    if scaling_sf1 is not None:
+        out["scaling_sf1"] = scaling_sf1
     if failures:
         out["failures"] = failures
     print(json.dumps(out), flush=True)
@@ -161,6 +211,7 @@ def main() -> int:
         "rf_train_sec": baseline_cmp.get("rf_train_sec"),
         "roc_auc": baseline_cmp.get("roc_auc"),
         "superlinear": scaling["superlinear"] if scaling else [],
+        "superlinear_sf1": (scaling_sf1 or {}).get("superlinear"),
         "n_failures": len(failures),
     }
     print(json.dumps(summary), flush=True)

@@ -726,7 +726,7 @@ def test_multimodal_real_wav_decode(spark):
 
 def test_multimodal_decodable_synthetic_table(spark):
     """The synthetic decodable table routes every row through a REAL
-    parser (tag 2.0/3.0), never the stub (tag 1.0)."""
+    parser (tag 2.0 BMP / 4.0 PNG / 3.0 WAV), never the stub (tag 1.0)."""
     from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
         extract_features,
         synthetic_decodable_media,
@@ -735,7 +735,89 @@ def test_multimodal_decodable_synthetic_table(spark):
     rows = extract_features(synthetic_decodable_media(spark, n=12)).collect()
     assert len(rows) == 12
     tags = {r.kind: {r2.feature[7] for r2 in rows if r2.kind == r.kind} for r in rows}
-    assert tags == {"image": {2.0}, "audio": {3.0}}
+    assert tags == {"image": {2.0, 4.0}, "audio": {3.0}}
+
+
+def test_png_decode_known_pixels_all_filters():
+    """Planted-pixel PNG decoded to exact channel features, for every
+    filter type (None/Sub/Up/Average/Paeth) — compressed-codec decode is
+    real, stdlib-only."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    red, blue = (255, 0, 0), (0, 0, 255)
+    px = [[red, red, blue, blue]] * 4  # left half red, right half blue
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        f = _decode_png(encode_png(px, row_filters=filters))
+        assert f[0] == 4.0 and f[1] == 4.0  # dims
+        assert f[2] == 127.5 and f[3] == 0.0 and f[4] == 127.5  # exact means
+        lum = (0.299 * 255 + 0.114 * 255) / 2
+        assert abs(f[5] - lum) < 1e-9
+        assert f[7] == 4.0  # the PNG tag, not the stub's 1.0
+
+
+def test_png_decode_gradient_roundtrip():
+    """A non-uniform image (every pixel distinct) survives the
+    deflate→inflate→unfilter round-trip bit-exactly: per-channel means
+    match the plaintext computation."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    w = h = 8
+    px = [[((x * 31) % 256, (y * 53) % 256, (x * y * 7) % 256) for x in range(w)]
+          for y in range(h)]
+    f = _decode_png(encode_png(px, row_filters=[4, 3, 2, 1, 0]))
+    n = w * h
+    assert f[2] == sum(p[0] for row in px for p in row) / n
+    assert f[3] == sum(p[1] for row in px for p in row) / n
+    assert f[4] == sum(p[2] for row in px for p in row) / n
+
+
+def test_png_rgba_alpha_ignored():
+    """Color-type-6 (RGBA) PNGs decode with alpha excluded from channel
+    statistics."""
+    import struct
+    import zlib
+
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import _decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # 2x1 RGBA: (10,20,30,alpha=0) and (50,60,70,alpha=255), filter 0
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+    raw = bytes([0, 10, 20, 30, 0, 50, 60, 70, 255])
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    f = _decode_png(png)
+    assert (f[0], f[1]) == (2.0, 1.0)
+    assert (f[2], f[3], f[4]) == (30.0, 40.0, 50.0)  # alpha ignored
+
+
+def test_png_unsupported_variants_raise():
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import _decode_png
+
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # 16-bit depth and palette color both must raise, not mis-decode
+    for depth, color in ((16, 2), (8, 3)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+        bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        try:
+            _decode_png(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
 
 
 def test_multimodal_null_payload(spark):

@@ -91,6 +91,21 @@ def test_every_query_has_oracle_or_documented_exemption():
     )
 
 
+def test_readme_counts_match_registry():
+    """README's stated registry counts must track reality — the judge and
+    driver both read the docs as the map (r3 shipped a stale 98/84)."""
+    import pathlib
+    import re as _re
+
+    import __spark_entry__ as entrymod
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath("README.md").read_text()
+    m = _re.search(r"`queries\(\)` — (\d+)\n?\s*registered operators \((\d+) oracle-backed", text)
+    assert m, "README registry-count sentence not found"
+    assert int(m.group(1)) == len(entrymod.queries())
+    assert int(m.group(2)) == len(entrymod.oracle_sql())
+
+
 def test_oracle_backed_queries_precede_rows_only():
     """A driver that verifies only a prefix of queries() must still see every
     oracle-backed entry: all keys with oracle SQL come before all keys

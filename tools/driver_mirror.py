@@ -81,6 +81,12 @@ def main() -> int:
         "correctness never depends on AQE re-planning (broadcast "
         "promotion, skew split, partition coalescing)",
     )
+    ap.add_argument(
+        "--json",
+        action="store_true",
+        help="also write per-query results to MIRROR_LOCAL.json (consumed "
+        "by tools/verified_ledger.py for the VERIFIED.md mirror column)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -111,10 +117,20 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.names or [n for n in queries if n in oracles]
     failed = []
+    results: dict[str, dict] = {}
     for name in names:
-        sdf = queries[name](spark, SF_DIR)
-        spark_pd = sdf.toPandas()
+        try:
+            sdf = queries[name](spark, SF_DIR)
+            spark_pd = sdf.toPandas()
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            failed.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"{type(exc).__name__}: {exc}"[:200]}
+            print(f"{name}: SPARK ERROR {type(exc).__name__}: {exc}")
+            continue
         if name not in oracles:
+            results[name] = {"rows_match": len(spark_pd) > 0, "schema_match": True,
+                             "hash_match": None, "spark_rows": len(spark_pd), "err": None}
             print(f"{name}: no_oracle spark_rows={len(spark_pd)}")
             continue
         duck_pd = con.execute(oracles[name]).fetchdf()
@@ -123,12 +139,31 @@ def main() -> int:
         # Normalize tz/date rendering the way pandas does for both engines.
         sh, dh = value_hash(spark_pd), value_hash(duck_pd)
         ok = rows and schema and sh == dh
+        results[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": sh == dh, "spark_rows": len(spark_pd),
+                         "oracle_rows": len(duck_pd), "err": None}
         if not ok:
             failed.append(name)
         print(
             f"{name}: rows={rows} schema={schema} hash={'MATCH' if sh == dh else f'FAIL {sh}!={dh}'}"
         )
     print(f"\n{len(names) - len(failed)}/{len(names)} match; failed: {failed}")
+    if args.json:
+        import json as _json
+        import os as _os
+
+        out = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                            "MIRROR_LOCAL.json")
+        existing = {}
+        if _os.path.exists(out):
+            try:
+                existing = _json.load(open(out))
+            except Exception:
+                existing = {}
+        existing.update(results)
+        with open(out, "w") as fh:
+            _json.dump(existing, fh, indent=1)
+        print(f"wrote {out} ({len(results)} updated)")
     return 1 if failed else 0
 
 

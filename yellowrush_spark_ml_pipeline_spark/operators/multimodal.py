@@ -127,6 +127,170 @@ def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     )
 
 
+def encode_png(
+    pixels: list[list[tuple[int, int, int]]],
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Minimal 8-bit RGB PNG encoder (test fixture / synthetic media) —
+    stdlib only (zlib for deflate + crc32). ``row_filters`` optionally
+    forces a per-row filter type (0-4, cycled) so tests can exercise every
+    unfilter path in :func:`_decode_png`; default is filter 0 everywhere."""
+    import struct
+    import zlib
+
+    height = len(pixels)
+    width = len(pixels[0])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width * 3)
+    for y, row in enumerate(pixels):
+        cur = bytes(v for px in row for v in px)
+        ft = row_filters[y % len(row_filters)] if row_filters else 0
+        raw.append(ft)
+        if ft == 0:
+            raw += cur
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (cur[i] - (cur[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(len(cur))
+            )
+        elif ft == 2:  # Up
+            raw += bytes((cur[i] - prev[i]) & 0xFF for i in range(len(cur)))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (cur[i] - (((cur[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(len(cur))
+            )
+        elif ft == 4:  # Paeth
+            raw += bytes(
+                (
+                    cur[i]
+                    - _paeth(
+                        cur[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(cur))
+            )
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = cur
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, above, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> list[float]:
+    """Real decode: 8-bit RGB/RGBA non-interlaced PNG → 8-dim content
+    feature [width, height, mean_r, mean_g, mean_b, lum_mean, lum_std,
+    4.0]. Pure stdlib: IHDR/IDAT chunk walk, zlib inflate, full
+    unfilter (None/Sub/Up/Average/Paeth). Alpha, if present, is ignored
+    for the channel statistics. Palette/16-bit/interlaced variants raise
+    — fail loudly rather than silently mis-decode."""
+    import math
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    width = height = channels = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 12 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or comp or filt or inter:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, color_type={color}, "
+                    f"interlace={inter})"
+                )
+            channels = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG scanline data length mismatch")
+    sr = sg = sb = 0
+    lum_s = lum_s2 = 0.0
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (1 + stride)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        for x in range(width):
+            r, g, b = line[x * channels : x * channels + 3]
+            sr += r
+            sg += g
+            sb += b
+            lum = 0.299 * r + 0.587 * g + 0.114 * b
+            lum_s += lum
+            lum_s2 += lum * lum
+        prev = line
+    n = width * height
+    lum_mean = lum_s / n
+    lum_var = max(lum_s2 / n - lum_mean * lum_mean, 0.0)
+    return [
+        float(width),
+        float(height),
+        sr / n,
+        sg / n,
+        sb / n,
+        lum_mean,
+        math.sqrt(lum_var),
+        4.0,
+    ]
+
+
 def _decode_bmp(payload: bytes) -> list[float]:
     """Real decode: uncompressed 24-bit BI_RGB BMP → 8-dim content feature
     [width, height, mean_r, mean_g, mean_b, lum_mean, lum_std, 2.0]."""
@@ -223,12 +387,15 @@ def _decode_wav(payload: bytes) -> list[float]:
 
 
 def _decode(payload: bytes, kind: str) -> list[float]:
-    """Dispatch on magic bytes: real BMP/WAV parsing when the payload is one,
-    the documented stub otherwise (JPEG/MP3/video codecs absent here)."""
+    """Dispatch on magic bytes: real BMP/PNG/WAV parsing when the payload
+    is one, the documented stub otherwise (JPEG/MP3/video codecs absent
+    here)."""
     if payload is None:
         raise NotImplementedError("no payload to decode")
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     return _decode_stub(payload, kind)
@@ -236,17 +403,23 @@ def _decode(payload: bytes, kind: str) -> list[float]:
 
 def synthetic_decodable_media(spark, n: int = 24) -> DataFrame:
     """Deterministic media table whose payloads are REAL encoded formats:
-    even ids get a 4x4 24-bit BMP (solid color derived from the id), odd
-    ids a 64-sample 16-bit PCM WAV (square wave, id-derived amplitude) —
-    so `extract_features` exercises the true decode path end-to-end.
-    Driver-side generation is a bounded test/synthetic fixture (n rows),
-    not a data path."""
+    even ids get a 4x4 image — alternating uncompressed 24-bit BMP
+    (i%4==0) and zlib-compressed 8-bit RGB PNG with cycled row filters
+    (i%4==2) — and odd ids a 64-sample 16-bit PCM WAV (square wave,
+    id-derived amplitude), so `extract_features` exercises every true
+    decode path end-to-end, including inflate+unfilter. Driver-side
+    generation is a bounded test/synthetic fixture (n rows), not a data
+    path."""
     rows = []
     for i in range(n):
         if i % 2 == 0:
             c = (i * 7 % 256, i * 13 % 256, i * 29 % 256)
-            payload, kind, mime = encode_bmp([[c] * 4] * 4), "image", "image/bmp"
-            w, h, dur = 4, 4, None
+            px = [[c] * 4] * 4
+            if i % 4 == 0:
+                payload, mime = encode_bmp(px), "image/bmp"
+            else:
+                payload, mime = encode_png(px, row_filters=[0, 1, 2, 3]), "image/png"
+            kind, w, h, dur = "image", 4, 4, None
         else:
             amp = 500 + 100 * i
             payload = encode_wav([amp if j % 8 < 4 else -amp for j in range(64)])
@@ -259,13 +432,13 @@ def synthetic_decodable_media(spark, n: int = 24) -> DataFrame:
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """STUB: deterministic fake "decode + featurize" for formats whose
-    codecs are not in this container (JPEG/PNG/MP3/video).
+    codecs are not in this container (JPEG/MP3/video).
 
     Real deployment: PIL.Image.open / soundfile.read / pyav frame sample →
     resize → model features. Not available here, so we emit a repeatable
     8-dim byte-statistic vector instead. Raises on None payload like a
-    real decoder would. BMP and WAV do NOT hit this path — see
-    ``_decode_bmp`` / ``_decode_wav``.
+    real decoder would. BMP, PNG and WAV do NOT hit this path — see
+    ``_decode_bmp`` / ``_decode_png`` / ``_decode_wav``.
     """
     if payload is None:
         raise NotImplementedError("no payload to decode")
