@@ -1386,6 +1386,36 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pack_sequences(docs, capacity=2048)
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language packing-efficiency audit over the pack_sequences
+    assignment: bin counts, token mass, max bin load, underfilled-bin
+    count and integer fill percentage — exact arithmetic end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    packed = textstats.pack_sequences(docs, capacity=2048)
+    return textstats.pack_efficiency(packed, capacity=2048)
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level zlib compressibility profile: per-language doc count
+    and average compression ratio in coarse buckets. Rows-only: zlib
+    byte-level compression has no oracle-SQL equivalent (no oracle);
+    correctness is pytest-planted (repetitive text compresses far below
+    prose, ratio ordering and bounds asserted)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = textstats.compression_ratio(docs)
+    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ratio"), 3).alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source training-token budget split by quality-weighted token
     mass — integer floor-division arithmetic throughout."""
@@ -1713,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         # ---- new in round 4 (never driver-verified yet) ----
         "funnel_window": q_funnel_window,
+        "pack_efficiency": q_pack_efficiency,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -1779,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "export_manifest": q_export_manifest,
         "ml_classifier_metrics": q_ml_classifier_metrics,
+        "compression_ratio": q_compression_ratio,
     }
 
 
@@ -2759,6 +2791,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
                    CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin_id
             FROM cum
+        """,
+        "pack_efficiency": r"""
+            WITH with_n AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(lower(text), '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS n_tokens
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, lang, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM with_n
+            ), packed AS (
+                SELECT lang, n_tokens,
+                       (cum_tokens - n_tokens) // 2048 AS bin_id
+                FROM cum
+            ), per_bin AS (
+                SELECT lang, bin_id,
+                       SUM(n_tokens) AS bin_tokens,
+                       COUNT(*) AS bin_docs
+                FROM packed GROUP BY lang, bin_id
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins,
+                   CAST(SUM(bin_docs) AS BIGINT) AS n_docs,
+                   CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+                   CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+                   CAST(SUM(CASE WHEN bin_tokens * 2 < 2048 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS underfilled_bins,
+                   CAST(SUM(bin_tokens) * 100 // (COUNT(*) * 2048) AS BIGINT)
+                       AS fill_pct
+            FROM per_bin GROUP BY lang ORDER BY lang
         """,
         "strip_html": r"""
             WITH aug AS (

@@ -315,6 +315,37 @@ def test_pack_sequences_bin_math(spark, lens, cap):
 
 
 @given(
+    lens=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    cap=st.integers(min_value=16, max_value=256),
+)
+@_SETTINGS
+def test_pack_efficiency_reconciles_with_assignment(spark, lens, cap):
+    """The efficiency audit's integer facts must reconcile exactly with a
+    plain-Python replay of the packing."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        pack_efficiency,
+        pack_sequences,
+    )
+
+    rows = [(i, "x", " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = pack_efficiency(pack_sequences(df, capacity=cap), capacity=cap).collect()
+    assert len(out) == 1
+    r = out[0]
+    bins: dict[int, int] = {}
+    run = 0
+    for n in lens:
+        bins[run // cap] = bins.get(run // cap, 0) + n
+        run += n
+    assert r.n_bins == len(bins)
+    assert r.n_docs == len(lens)
+    assert r.total_tokens == sum(lens)
+    assert r.max_bin_tokens == max(bins.values())
+    assert r.underfilled_bins == sum(1 for v in bins.values() if v * 2 < cap)
+    assert r.fill_pct == (sum(lens) * 100) // (len(bins) * cap)
+
+
+@given(
     docs=st.lists(
         st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 50)),
         min_size=1,

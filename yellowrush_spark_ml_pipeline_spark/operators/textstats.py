@@ -574,6 +574,99 @@ def pack_sequences(
     )
 
 
+def pack_efficiency(
+    packed: DataFrame,
+    capacity: int = 2048,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Packing-efficiency audit over a :func:`pack_sequences` assignment —
+    the feedback metric a batch-construction pipeline watches: how full
+    are the context windows actually getting, per group?
+
+    Per group, in EXACT integer arithmetic (cross-engine stable):
+    ``n_bins``, ``n_docs``, ``total_tokens``, ``max_bin_tokens`` (can
+    exceed capacity — overlong docs span bins but are assigned where they
+    start), ``underfilled_bins`` (strictly less than half full), and
+    ``fill_pct`` = ``(total_tokens * 100) div (n_bins * capacity)``.
+
+    Scale: two hash aggregations, (group, bin) then (group) — the first
+    reuses the pack window's hash partitioning on ``group_col`` when
+    composed directly, the second is on the tiny group key space."""
+    per_bin = packed.groupBy(group_col, "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("bin_docs"),
+    )
+    return (
+        per_bin.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("bin_docs").cast("bigint").alias("n_docs"),
+            F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+            F.max("bin_tokens").cast("bigint").alias("max_bin_tokens"),
+            F.sum(
+                F.when(F.col("bin_tokens") * 2 < capacity, 1).otherwise(0)
+            ).cast("bigint").alias("underfilled_bins"),
+            F.expr(f"sum(bin_tokens) * 100 div (count(1) * {capacity})")
+            .cast("bigint")
+            .alias("fill_pct"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    repetition/boilerplate signal (Gopher-style quality filtering drops
+    documents that compress too well: templated or looping text has
+    ratio << typical prose ~0.4-0.7).
+
+    This is a deliberate Arrow/pandas boundary (zlib needs bytes-level
+    Python; there is no built-in Spark expression) — batched via
+    mapInPandas like the multimodal featurizer, never row-at-a-time.
+    Output: (id, n_bytes, n_compressed, ratio rounded to 4)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+
+    def score(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf["_t"]]
+            n = [len(b) for b in raw]
+            c = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "n_compressed": c,
+                    "ratio": [
+                        round(ci / ni, 4) if ni else None for ci, ni in zip(c, n)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(score, schema)
+
+
 def strip_html(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Boilerplate HTML removal for web corpora: drop tags, decode the
     five core entities, collapse whitespace — the cheap regex tier of a
