@@ -315,6 +315,55 @@ def test_pack_sequences_bin_math(spark, lens, cap):
 
 
 @given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),      # user
+            st.sampled_from(["view", "click", "purchase", "other"]),
+            st.integers(min_value=0, max_value=20),     # minute (collisions likely)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_funnel_variants_agree_and_match_python_model(spark, events):
+    """Both funnel physical strategies must equal a plain-Python
+    first-touch model on arbitrary event logs — including same-timestamp
+    collisions and out-of-order stages."""
+    import datetime as dt
+
+    from yellowrush_spark_ml_pipeline_spark.operators import events as events_ops
+
+    stages = ["view", "click", "purchase"]
+    rows = [
+        (u, t, dt.datetime(2024, 1, 1, 0, m)) for u, t, m in events
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+    # Python reference: frontier[k] = min ts of stage-k events strictly
+    # after frontier[k-1].
+    expected = {s: 0 for s in stages}
+    for u in {r[0] for r in rows}:
+        mine = [(t, ty) for (uu, ty, t) in rows if uu == u]
+        prev = None
+        for k, s in enumerate(stages):
+            cand = [t for t, ty in mine if ty == s and (k == 0 or (prev is not None and t > prev))]
+            if k > 0 and prev is None:
+                break
+            if not cand:
+                break
+            prev = min(cand)
+            expected[s] += 1
+
+    a = {r.stage: r.n_users for r in events_ops.funnel_counts(df, stages).collect()}
+    b = {
+        r.stage: r.n_users
+        for r in events_ops.funnel_counts_window(df, stages).collect()
+    }
+    assert a == b == expected
+
+
+@given(
     lens=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
     cap=st.integers(min_value=16, max_value=256),
 )
