@@ -1402,10 +1402,9 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness is pytest-planted (repetitive text compresses far below
     prose, ratio ordering and bounds asserted)."""
     docs = _t(spark, sf_dir, "documents")
-    scored = textstats.compression_ratio(docs)
-    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    scored = textstats.compression_ratio(docs, passthrough=["lang"])
     return (
-        joined.groupBy("lang")
+        scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("ratio"), 3).alias("avg_ratio"),

@@ -618,6 +618,7 @@ def compression_ratio(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Per-document zlib compression ratio — the classic cheap
     repetition/boilerplate signal (Gopher-style quality filtering drops
@@ -627,7 +628,10 @@ def compression_ratio(
     This is a deliberate Arrow/pandas boundary (zlib needs bytes-level
     Python; there is no built-in Spark expression) — batched via
     mapInPandas like the multimodal featurizer, never row-at-a-time.
-    Output: (id, n_bytes, n_compressed, ratio rounded to 4)."""
+    ``passthrough`` columns ride the Arrow batch unchanged so downstream
+    group-bys (per-language profiles etc.) need NO re-join back to the
+    source — the scorer stays a narrow map, zero shuffles.
+    Output: (id, *passthrough, n_bytes, n_compressed, ratio to 4dp)."""
     import zlib
 
     import pandas as pd
@@ -638,31 +642,34 @@ def compression_ratio(
         StructType,
     )
 
+    passthrough = passthrough or []
     schema = StructType(
-        [
-            StructField("doc_id", LongType()),
+        [StructField("doc_id", LongType())]
+        + [df.schema[c] for c in passthrough]
+        + [
             StructField("n_bytes", LongType()),
             StructField("n_compressed", LongType()),
             StructField("ratio", DoubleType()),
         ]
     )
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    src = df.select(
+        F.col(id_col).alias("doc_id"), *passthrough, F.col(text_col).alias("_t")
+    )
 
     def score(batches):
         for pdf in batches:
             raw = [t.encode("utf-8") if t is not None else b"" for t in pdf["_t"]]
             n = [len(b) for b in raw]
             c = [len(zlib.compress(b, 6)) for b in raw]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n,
-                    "n_compressed": c,
-                    "ratio": [
-                        round(ci / ni, 4) if ni else None for ci, ni in zip(c, n)
-                    ],
-                }
-            )
+            out = {"doc_id": pdf["doc_id"]}
+            for col in passthrough:
+                out[col] = pdf[col]
+            out["n_bytes"] = n
+            out["n_compressed"] = c
+            out["ratio"] = [
+                round(ci / ni, 4) if ni else None for ci, ni in zip(c, n)
+            ]
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(score, schema)
 
