@@ -257,6 +257,41 @@ def test_funnel_reuses_user_partitioning(spark, sf_small):
         ), f"unexpected exchange: {kind}({args})"
 
 
+def test_funnel_window_scans_events_once(spark, sf_small):
+    """The single-shuffle funnel variant's contract: ONE scan of the
+    events relation (the S-pass form re-reads it per stage), and the only
+    fact-table exchange partitions by user."""
+    from yellowrush_spark_ml_pipeline_spark.operators import events as events_ops
+
+    ev = load_table(spark, sf_small, "events")
+    plan = explain_str(
+        events_ops.funnel_counts_window(ev, ["view", "click", "purchase"])
+    )
+    assert plan.count("events.parquet") == 1
+    assert "_u" in plan  # the per-user aggregation exists
+
+
+def test_compression_ratio_profile_has_no_join(spark, sf_small):
+    """Passthrough columns over the Arrow boundary must make the
+    per-language profile join-free: a narrow MapInPandas, one aggregation
+    exchange, no join operator anywhere."""
+    plan = explain_str(entrymod.q_compression_ratio(spark, sf_small))
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+    rep = plan_report(entrymod.q_compression_ratio(spark, sf_small))
+    assert rep["exchanges"] <= 2  # partial-agg exchange + result ordering
+
+
+def test_pack_efficiency_no_join_bounded_exchanges(spark, sf_small):
+    """The packing audit is window + two hash aggregations — no join, and
+    at most 3 exchanges (lang window, (lang,bin) agg, ordered result)."""
+    plan = explain_str(entrymod.q_pack_efficiency(spark, sf_small))
+    assert "Join" not in plan
+    rep = plan_report(entrymod.q_pack_efficiency(spark, sf_small))
+    assert rep["exchanges"] <= 3
+    assert not rep["python_udf"]
+
+
 def test_quantile_cutoff_windows_over_histogram_not_table(spark, sf_small):
     """The running-sum window must consume the aggregated per-value
     relation (HashAggregate below the Window), never the raw table."""
