@@ -1500,6 +1500,24 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries_df, k=10, n_lists=16, n_probe=4)
 
 
+def q_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF daily-ingest lifecycle: index built on 90% of the corpus, the
+    held-out 10% ingested with FROZEN centroids (ivf_assign — a narrow
+    argmin map, no KMeans refit), search over the grown index. Rows-only:
+    the quantizer is engine-internal (no oracle); argmin-assignment
+    exactness and recall vs brute force are asserted in
+    tests/test_extensions.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    assigned, centroids = similarity.ivf_build_index(base, n_lists=16)
+    grown = assigned.unionByName(similarity.ivf_assign(batch, centroids))
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_search_index(grown, centroids, queries_df, k=10, n_probe=4)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with exact Jaccard verify
     (rows-only: xxhash64 is engine-internal)."""
@@ -1802,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_pipeline": q_video_pipeline,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_incremental": q_similarity_incremental,
         "minhash_dedup": q_minhash_dedup,
         "incremental_dedup": q_incremental_dedup,
         "dedup_groups": q_dedup_groups,

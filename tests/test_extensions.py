@@ -85,6 +85,39 @@ def test_ivf_recall_of_true_neighbors(spark, planted_embeddings):
     assert recall >= 0.8, f"IVF recall {recall:.2f} < 0.8"
 
 
+def test_ivf_incremental_ingest_no_refit(spark, planted_embeddings):
+    """The IVF lifecycle split: build the index on a base corpus, ingest a
+    held-out batch with FROZEN centroids (ivf_assign — no KMeans, no
+    refit), and search the union. Assignments must be the true argmin
+    centroid, and recall on the grown index must clear the same bar as a
+    full build."""
+    import math as _math
+
+    k = len(JITTERS)
+    base = planted_embeddings.filter(F.col("vec_id") % 5 != 0)
+    batch = planted_embeddings.filter(F.col("vec_id") % 5 == 0)
+    assigned, centroids = similarity.ivf_build_index(base, n_lists=16)
+    grown = assigned.unionByName(similarity.ivf_assign(batch, centroids))
+
+    # argmin correctness of the model-free ingest path
+    got = {r.vec_id: (r._list, list(r._cv))
+           for r in similarity.ivf_assign(batch, centroids).collect()}
+    for vid, (lst, vec) in got.items():
+        dists = [
+            _math.sqrt(sum((a - b) ** 2 for a, b in zip(vec, ctr)))
+            for ctr in centroids
+        ]
+        assert dists[lst] == min(dists), f"vec {vid} not assigned to argmin list"
+
+    q = _queries(planted_embeddings)
+    exact = similarity.brute_force_topk(planted_embeddings, q, k=k)
+    approx = similarity.ivf_search_index(grown, centroids, q, k=k, n_probe=4)
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"incremental IVF recall {recall:.2f} < 0.8"
+
+
 def test_lsh_scores_match_exact_for_common_pairs(spark, planted_embeddings):
     """Approximation affects WHICH pairs are scored, never the score:
     cosines for pairs both paths return must be identical."""

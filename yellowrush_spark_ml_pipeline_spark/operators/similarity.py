@@ -189,25 +189,103 @@ def ivf_topk(
     hyperplanes, the quantizer adapts to the data distribution, which is
     what makes IVF the standard billion-scale layout (FAISS-style).
     """
+    assigned, centroids = ivf_build_index(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        seed=seed,
+        max_iter=max_iter,
+        fit_fraction=fit_fraction,
+    )
+    # Query-side probe assignment: distances to all centroids as a literal
+    # array (centroids are driver-small by construction), top-n_probe lists.
+    return ivf_search_index(
+        assigned,
+        centroids,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        n_probe=n_probe,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest IVF list given FROZEN centroids —
+    the incremental-ingest half of the IVF lifecycle. A daily batch joins
+    a persisted index WITHOUT refitting the quantizer: centroids are just
+    data (a driver-small literal), so ingest needs no KMeans model object,
+    no ML library at all — one narrow argmin map, zero shuffles.
+
+    Output: (id, _cv double-array, _list) rows, union-compatible with the
+    index built by :func:`ivf_build_index`."""
+    c = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv"))
+    dists = F.array(
+        *[
+            F.struct(
+                euclidean_distance(
+                    F.col("_cv"), F.array(*[F.lit(x) for x in ctr])
+                ).alias("d"),
+                F.lit(i).alias("l"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    return c.withColumn(
+        "_list", F.array_sort(dists)[0].getField("l")
+    ).select(id_col, "_cv", "_list")
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_fraction: float = 0.25,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit the coarse quantizer (on a seed-pinned sample — see
+    :func:`ivf_topk`) and assign the whole corpus. Returns the assigned
+    index DataFrame (persist it as parquet partitioned by ``_list``) and
+    the centroid list (persist as JSON next to it). Rebuilds are rare,
+    scheduled events; daily ingest goes through :func:`ivf_assign`."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv"))
     cv = c.withColumn("_features", array_to_vector("_cv"))
-    km = KMeans(
-        k=n_lists,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="_features",
-        predictionCol="_list",
-    )
     fit_df = cv if fit_fraction >= 1.0 else cv.sample(fraction=fit_fraction, seed=seed)
-    model = km.fit(fit_df)
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter,
+        featuresCol="_features", predictionCol="_list",
+    ).fit(fit_df)
     assigned = model.transform(cv).select(id_col, "_cv", "_list")
-
-    # Query-side probe assignment: distances to all centroids as a literal
-    # array (centroids are driver-small by construction), top-n_probe lists.
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search_index(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a (possibly reloaded / incrementally grown) IVF index: each
+    query probes its ``n_probe`` nearest lists, exact cosine runs only
+    inside probed lists. Same plan shape as the search half of
+    :func:`ivf_topk` — broadcast probe fan-out, one window top-k."""
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
     )
