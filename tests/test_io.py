@@ -288,6 +288,51 @@ def test_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
     assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]
 
 
+def test_bloom_filter_write_adds_filters_preserving_data(spark, sf_small, tmp_path):
+    """Bloom-filter sink contract: same data written with blooms on the
+    key column carries the filter bytes in the footer region (pyarrow
+    here doesn't expose bloom offsets, so presence is asserted as a
+    deterministic size delta vs a bloom-free write of the identical
+    single-partition layout), point lookups still answer exactly, and a
+    sorted-within-partition layout tightens min/max page stats."""
+    import glob
+    import os
+
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+    from yellowrush_spark_ml_pipeline_spark.sources.writers import (
+        write_parquet_with_bloom,
+    )
+
+    docs = load_table(spark, sf_small, "documents").coalesce(1)
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    docs.write.mode("overwrite").parquet(plain)
+    write_parquet_with_bloom(
+        docs, bloomed, "doc_id", ndv=10_000, sort_within_partitions="doc_id"
+    )
+
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(p) for p in glob.glob(f"{d}/*.parquet")
+    )
+    # ndv=10k bloom ≈ several KB minimum; identical data otherwise
+    assert size(bloomed) > size(plain) + 2048
+
+    back = spark.read.parquet(bloomed)
+    assert back.count() == docs.count()
+    probe = docs.select("doc_id").limit(3).collect()
+    for r in probe:
+        assert back.filter(F.col("doc_id") == r.doc_id).count() == 1
+    # sorted layout: row-group min/max on doc_id must cover exactly the
+    # sorted range (first file's min == global min)
+    import pyarrow.parquet as pq
+
+    f = sorted(glob.glob(f"{bloomed}/*.parquet"))[0]
+    md = pq.ParquetFile(f).metadata
+    idx = md.schema.names.index("doc_id")
+    stats = md.row_group(0).column(idx).statistics
+    assert stats.min == docs.agg(F.min("doc_id")).first()[0]
+
+
 def test_compact_parquet_reduces_file_count_preserving_data(spark, sf_small, tmp_path):
     """Compaction contract: a deliberately fragmented dataset (32 tiny
     files) rewrites to the byte-computed file count with identical

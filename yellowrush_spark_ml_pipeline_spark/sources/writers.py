@@ -40,6 +40,47 @@ def write_parquet(
     df.write.mode(mode).parquet(path)
 
 
+def write_parquet_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str] | str,
+    mode: str = "overwrite",
+    ndv: int | None = None,
+    sort_within_partitions: list[str] | str | None = None,
+) -> None:
+    """Parquet sink with per-column BLOOM FILTERS (and optionally
+    sorted-within-partition layout for tight min/max page statistics).
+
+    At 100 TB the cheapest predicate is the one that never reads data:
+    point lookups / IN-list probes on a high-cardinality key (doc_id,
+    user_id, url hash) can skip entire row groups when the footer carries
+    a bloom filter for that column — min/max stats alone are useless for
+    hash-distributed keys, which is exactly where blooms shine. ``ndv``
+    sizes the filter (expected distinct values per row group); leave None
+    for parquet-mr's default sizing. Sorting within partitions
+    additionally makes min/max page stats selective for range predicates
+    on the sort key — the two layouts compose.
+
+    Readers need nothing: Spark's vectorized parquet reader consults row-
+    group blooms automatically for `=` and `IN` predicates."""
+    cols = [bloom_cols] if isinstance(bloom_cols, str) else list(bloom_cols)
+    if sort_within_partitions:
+        s = (
+            [sort_within_partitions]
+            if isinstance(sort_within_partitions, str)
+            else list(sort_within_partitions)
+        )
+        df = df.sortWithinPartitions(*s)
+    writer = df.write.mode(mode)
+    for c in cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if ndv:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+            )
+    writer.parquet(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
