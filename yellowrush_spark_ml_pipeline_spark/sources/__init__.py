@@ -4,6 +4,7 @@ from .writers import (
     upsert_partitions,
     write_bucketed_table,
     write_parquet,
+    write_parquet_with_bloom,
     write_partitioned_parquet,
 )
 
@@ -15,6 +16,7 @@ __all__ = [
     "read_parquet",
     "write_bucketed_table",
     "write_parquet",
+    "write_parquet_with_bloom",
     "upsert_partitions",
     "write_partitioned_parquet",
 ]
