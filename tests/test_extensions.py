@@ -759,7 +759,8 @@ def test_multimodal_real_wav_decode(spark):
 
 def test_multimodal_decodable_synthetic_table(spark):
     """The synthetic decodable table routes every row through a REAL
-    parser (tag 2.0 BMP / 4.0 PNG / 3.0 WAV), never the stub (tag 1.0)."""
+    parser (tag 2.0 BMP / 4.0 PNG / 5.0 JPEG / 3.0 WAV), never the stub
+    (tag 1.0)."""
     from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
         extract_features,
         synthetic_decodable_media,
@@ -768,7 +769,7 @@ def test_multimodal_decodable_synthetic_table(spark):
     rows = extract_features(synthetic_decodable_media(spark, n=12)).collect()
     assert len(rows) == 12
     tags = {r.kind: {r2.feature[7] for r2 in rows if r2.kind == r.kind} for r in rows}
-    assert tags == {"image": {2.0, 4.0}, "audio": {3.0}}
+    assert tags == {"image": {2.0, 4.0, 5.0}, "audio": {3.0}}
 
 
 def test_compression_ratio_separates_repetition_from_prose(spark):
@@ -837,6 +838,92 @@ def test_png_decode_gradient_roundtrip():
     assert f[2] == sum(p[0] for row in px for p in row) / n
     assert f[3] == sum(p[1] for row in px for p in row) / n
     assert f[4] == sum(p[2] for row in px for p in row) / n
+
+
+def test_jpeg_solid_color_roundtrips_exactly():
+    """A solid-color block is pure DC energy — quantization cannot move
+    it, so decode must reproduce the color EXACTLY."""
+    from yellowrush_spark_ml_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    for color in ((200, 100, 50), (0, 0, 0), (255, 255, 255)):
+        w, h, rows = decode_jpeg_pixels(encode_jpeg([[color] * 8] * 8, quality=90))
+        assert (w, h) == (8, 8)
+        assert all(px == color for row in rows for px in row)
+
+
+def test_jpeg_two_tone_means_within_quantization_error():
+    """Half-red/half-blue: per-channel means from the real decode must sit
+    within a few units of the plaintext means (DCT ringing is local; the
+    mean is preserved), and interior pixels must be the exact tones."""
+    from yellowrush_spark_ml_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    red, blue = (255, 0, 0), (0, 0, 255)
+    px = [[red] * 8 + [blue] * 8] * 8
+    f = decode_jpeg(encode_jpeg(px, quality=95))
+    assert (f[0], f[1], f[7]) == (16.0, 8.0, 5.0)
+    assert abs(f[2] - 127.5) < 3 and abs(f[3] - 0.0) < 3 and abs(f[4] - 127.5) < 3
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    """10x6 exercises edge-replication padding at encode and cropping at
+    decode — output dims must be the TRUE dims, content near-exact."""
+    from yellowrush_spark_ml_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    c = (30, 180, 90)
+    w, h, rows = decode_jpeg_pixels(encode_jpeg([[c] * 10] * 6, quality=90))
+    assert (w, h) == (10, 6)
+    assert len(rows) == 6 and len(rows[0]) == 10
+    for row in rows:
+        for r, g, b in row:
+            assert abs(r - c[0]) <= 2 and abs(g - c[1]) <= 2 and abs(b - c[2]) <= 2
+
+
+def test_jpeg_gradient_means_accurate():
+    """Every pixel distinct: decoded channel means within 2 units of the
+    plaintext means at quality 90 (quantization moves pixels, barely the
+    mean)."""
+    from yellowrush_spark_ml_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w = h = 16
+    px = [
+        [((x * 16) % 256, (y * 16) % 256, (x * y) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    f = decode_jpeg(encode_jpeg(px, quality=90))
+    n = w * h
+    for ch, idx in ((0, 2), (1, 3), (2, 4)):
+        true_mean = sum(p[ch] for row in px for p in row) / n
+        assert abs(f[idx] - true_mean) < 2.0, (ch, f[idx], true_mean)
+
+
+def test_jpeg_unsupported_variants_raise():
+    from yellowrush_spark_ml_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    data = bytearray(encode_jpeg([[(1, 2, 3)] * 8] * 8))
+    # flip SOF0 (FFC0) to SOF2 (FFC2, progressive) — must raise, not
+    # mis-decode
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    try:
+        decode_jpeg_pixels(bytes(data))
+        raise AssertionError("expected ValueError for progressive JPEG")
+    except ValueError:
+        pass
 
 
 def test_png_rgba_alpha_ignored():

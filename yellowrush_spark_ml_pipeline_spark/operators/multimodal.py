@@ -387,15 +387,19 @@ def _decode_wav(payload: bytes) -> list[float]:
 
 
 def _decode(payload: bytes, kind: str) -> list[float]:
-    """Dispatch on magic bytes: real BMP/PNG/WAV parsing when the payload
-    is one, the documented stub otherwise (JPEG/MP3/video codecs absent
-    here)."""
+    """Dispatch on magic bytes: real BMP/PNG/JPEG/WAV parsing when the
+    payload is one, the documented stub otherwise (MP3/video codecs
+    absent here)."""
     if payload is None:
         raise NotImplementedError("no payload to decode")
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     return _decode_stub(payload, kind)
@@ -403,23 +407,33 @@ def _decode(payload: bytes, kind: str) -> list[float]:
 
 def synthetic_decodable_media(spark, n: int = 24) -> DataFrame:
     """Deterministic media table whose payloads are REAL encoded formats:
-    even ids get a 4x4 image — alternating uncompressed 24-bit BMP
-    (i%4==0) and zlib-compressed 8-bit RGB PNG with cycled row filters
-    (i%4==2) — and odd ids a 64-sample 16-bit PCM WAV (square wave,
-    id-derived amplitude), so `extract_features` exercises every true
-    decode path end-to-end, including inflate+unfilter. Driver-side
-    generation is a bounded test/synthetic fixture (n rows), not a data
-    path."""
+    even ids get an image cycling through uncompressed 24-bit BMP
+    (i%6==0), zlib-compressed 8-bit RGB PNG with cycled row filters
+    (i%6==2), and baseline-DCT JPEG (i%6==4, 8x8 so padding stays
+    exercised elsewhere); odd ids a 64-sample 16-bit PCM WAV (square
+    wave, id-derived amplitude). `extract_features` thus exercises every
+    true decode path end-to-end — inflate+unfilter AND
+    Huffman+dequant+IDCT. Driver-side generation is a bounded
+    test/synthetic fixture (n rows), not a data path."""
+    from .jpeg import encode_jpeg
+
     rows = []
     for i in range(n):
         if i % 2 == 0:
             c = (i * 7 % 256, i * 13 % 256, i * 29 % 256)
-            px = [[c] * 4] * 4
-            if i % 4 == 0:
+            if i % 6 == 0:
+                px = [[c] * 4] * 4
                 payload, mime = encode_bmp(px), "image/bmp"
-            else:
+                w = h = 4
+            elif i % 6 == 2:
+                px = [[c] * 4] * 4
                 payload, mime = encode_png(px, row_filters=[0, 1, 2, 3]), "image/png"
-            kind, w, h, dur = "image", 4, 4, None
+                w = h = 4
+            else:
+                px = [[c] * 8] * 8
+                payload, mime = encode_jpeg(px, quality=90), "image/jpeg"
+                w = h = 8
+            kind, dur = "image", None
         else:
             amp = 500 + 100 * i
             payload = encode_wav([amp if j % 8 < 4 else -amp for j in range(64)])
@@ -432,13 +446,14 @@ def synthetic_decodable_media(spark, n: int = 24) -> DataFrame:
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """STUB: deterministic fake "decode + featurize" for formats whose
-    codecs are not in this container (JPEG/MP3/video).
+    codecs are not in this container (MP3/video).
 
-    Real deployment: PIL.Image.open / soundfile.read / pyav frame sample →
-    resize → model features. Not available here, so we emit a repeatable
-    8-dim byte-statistic vector instead. Raises on None payload like a
-    real decoder would. BMP, PNG and WAV do NOT hit this path — see
-    ``_decode_bmp`` / ``_decode_png`` / ``_decode_wav``.
+    Real deployment: soundfile.read / pyav frame sample → resize → model
+    features. Not available here, so we emit a repeatable 8-dim
+    byte-statistic vector instead. Raises on None payload like a real
+    decoder would. Every IMAGE format the fixture emits is now a real
+    parser (BMP/PNG/JPEG — see ``_decode_bmp`` / ``_decode_png`` /
+    ``jpeg.decode_jpeg``), as is WAV audio (``_decode_wav``).
     """
     if payload is None:
         raise NotImplementedError("no payload to decode")
