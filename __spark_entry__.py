@@ -752,6 +752,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media triage (rows-only: binary payloads + mapInPandas
+    aren't SQL-expressible): format detection from magic bytes and
+    dims/sample facts from headers alone — the routing pass that runs
+    BEFORE any decode at 100 TB. Aggregated per detected format so the
+    output is a compact audit. sf-independent."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        probe_media,
+        synthetic_decodable_media,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=96).unionByName(
+        synthetic_decodable_media(spark, n=24).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+    )
+    return (
+        probe_media(media)
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("sample_rate").alias("max_sample_rate"),
+        )
+        .orderBy("format")
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex tokens per document."""
     docs = _t(spark, sf_dir, "documents")
@@ -1829,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_manifest": q_export_manifest,
         "ml_classifier_metrics": q_ml_classifier_metrics,
         "compression_ratio": q_compression_ratio,
+        "media_probe": q_media_probe,
     }
 
 

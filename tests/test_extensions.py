@@ -840,6 +840,53 @@ def test_png_decode_gradient_roundtrip():
     assert f[4] == sum(p[2] for row in px for p in row) / n
 
 
+def test_probe_media_headers_only_metadata(spark):
+    """probe_media must identify every real format from magic bytes and
+    read exact dims/sample facts from headers alone — including rows whose
+    `mime` column lies (routing must trust bytes, not labels)."""
+    from pyspark.sql import functions as F2
+
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        probe_media,
+        synthetic_decodable_media,
+    )
+
+    media = synthetic_decodable_media(spark, n=12).withColumn(
+        "mime", F2.lit("application/octet-stream")  # labels lie; bytes don't
+    )
+    rows = {r.media_id: r for r in probe_media(media).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        if i % 2 == 1:
+            assert r.format == "wav"
+            assert r.sample_rate == 8000 and r.n_samples == 64
+        elif i % 6 == 0:
+            assert r.format == "bmp" and (r.width, r.height) == (4, 4)
+        elif i % 6 == 2:
+            assert r.format == "png" and (r.width, r.height) == (4, 4)
+        else:
+            assert r.format == "jpeg" and (r.width, r.height) == (8, 8)
+        assert r.n_bytes > 0
+
+
+def test_probe_media_unknown_and_null_payloads(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        probe_media,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x00garbage-bytes-here"), None, None, None, None),
+            (2, "image", None, None, None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in probe_media(media).collect()}
+    assert rows[1].format == "unknown" and rows[1].n_bytes > 0
+    assert rows[2].format == "unknown" and rows[2].n_bytes == 0
+
+
 def test_jpeg_solid_color_roundtrips_exactly():
     """A solid-color block is pure DC energy — quantization cannot move
     it, so decode must reproduce the color EXACTLY."""

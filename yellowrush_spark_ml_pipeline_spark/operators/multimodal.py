@@ -470,6 +470,98 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     ]
 
 
+def _probe_one(payload: bytes) -> tuple[str, int | None, int | None, int | None, int | None]:
+    """(format, width, height, sample_rate, n_samples) from HEADERS ONLY —
+    no inflate, no entropy decode, no pixel loop. For JPEG this walks
+    markers to SOF0 and stops; for PNG it reads the 13 IHDR bytes; WAV
+    the fmt/data chunk sizes."""
+    import struct as _s
+
+    if payload is None or len(payload) < 8:
+        return ("unknown", None, None, None, None)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        _, w2, h2 = _s.unpack_from("<IiI", payload, 14)
+        return ("bmp", w2, abs(_s.unpack_from("<i", payload, 22)[0]), None, None)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w2, h2 = _s.unpack_from(">II", payload, 16)
+        return ("png", w2, h2, None, None)
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg = _s.unpack_from(">H", payload, pos + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h2, w2 = _s.unpack_from(">HH", payload, pos + 5)
+                return ("jpeg", w2, h2, None, None)
+            pos += 2 + seg
+        return ("jpeg", None, None, None, None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, rate, nsamp = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, size = _s.unpack_from("<4sI", payload, pos)
+            if cid == b"fmt " and pos + 16 <= len(payload):
+                rate = _s.unpack_from("<I", payload, pos + 12)[0]
+            elif cid == b"data":
+                nsamp = size // 2  # 16-bit mono
+            pos += 8 + size + (size & 1)
+        return ("wav", None, None, rate, nsamp)
+    return ("unknown", None, None, None, None)
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """ffprobe-style metadata triage over a media column: detect the real
+    container format from magic bytes and read dimensions/sample counts
+    from HEADERS ONLY (PNG IHDR, JPEG SOF marker walk, BMP/WAV headers) —
+    no decompression, no pixel/sample loop.
+
+    This is the pass a 100 TB media pipeline runs FIRST: it costs header
+    bytes per row (microseconds vs milliseconds for a decode), and its
+    output drives routing — undecodable/mislabeled rows quarantined,
+    oversized assets sent to a resize tier, the rest to the featurizer.
+    Same Arrow mapInPandas boundary as `extract_features`."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = [_probe_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "format": [p[0] for p in probed],
+                    "width": [p[1] for p in probed],
+                    "height": [p[2] for p in probed],
+                    "sample_rate": [p[3] for p in probed],
+                    "n_samples": [p[4] for p in probed],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        probe, PROBE_SCHEMA
+    )
+
+
 def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     """Decode/featurize media payloads via Arrow-batched mapInPandas.
 
