@@ -315,6 +315,42 @@ def test_pack_sequences_bin_math(spark, lens, cap):
 
 
 @given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    w=st.integers(min_value=1, max_value=14),
+    h=st.integers(min_value=1, max_value=14),
+)
+@_SETTINGS
+def test_jpeg_roundtrip_mean_accuracy(seed, w, h):
+    """Arbitrary small images (any dims, LCG-generated pixels) must
+    survive encode→decode with exact dims and channel means within a few
+    units — quantization moves pixels locally, never the mean far.
+    Pure-Python property, no Spark session needed."""
+    from yellowrush_spark_ml_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    state = seed or 1
+    px = []
+    for _ in range(h):
+        row = []
+        for _ in range(w):
+            vals = []
+            for _ in range(3):
+                state = (state * 1103515245 + 12345) % (1 << 31)
+                vals.append((state >> 16) % 256)
+            row.append(tuple(vals))
+        px.append(row)
+    w2, h2, rows = decode_jpeg_pixels(encode_jpeg(px, quality=90))
+    assert (w2, h2) == (w, h)
+    n = w * h
+    for ch in range(3):
+        true_mean = sum(p[ch] for row in px for p in row) / n
+        got_mean = sum(p[ch] for row in rows for p in row) / n
+        assert abs(got_mean - true_mean) < 6.0, (ch, true_mean, got_mean)
+
+
+@given(
     events=st.lists(
         st.tuples(
             st.integers(min_value=1, max_value=6),      # user
