@@ -1615,6 +1615,29 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_cosine_dedup(emb.unionByName(planted), threshold=0.9)
 
 
+def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over embedding near-dup pairs → (vec_id,
+    group_id): the keep/drop step at embedding level, and the first
+    ORACLE-BACKED components query — the DuckDB oracle replays min-label
+    transitivity with a recursive CTE over the exact all-pairs edge set,
+    so bucketing completeness AND grouping correctness are both
+    differentially checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    pairs = similarity.embedding_cosine_dedup(
+        emb.unionByName(planted), threshold=0.9
+    )
+    return dedup.dedup_groups(pairs).select(
+        F.col("doc_id").alias("vec_id"), "group_id"
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM training-data curation flow (rows-only: MinHash banding is
     engine-internal; planted-collapse and layout assertions live in
@@ -1791,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 4 (never driver-verified yet) ----
         "funnel_window": q_funnel_window,
         "pack_efficiency": q_pack_efficiency,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -3218,6 +3242,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_dot_product(a.v, b.v), 6) AS cosine
             FROM normed a JOIN normed b ON a.vec_id < b.vec_id
             WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.9
+        """,
+        "embedding_dedup_groups": """
+            WITH RECURSIVE all_vecs AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+                FROM embeddings WHERE vec_id < 10
+            ), normed AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                          embedding::DOUBLE[]))) AS v
+                FROM all_vecs
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+                WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.9
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(node, label) AS (
+                -- transitive min-label: node can "reach" every id in its
+                -- component; MIN over reachable ids = the component min,
+                -- exactly dedup_groups' group_id contract
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+            )
+            SELECT CAST(node AS BIGINT) AS vec_id,
+                   CAST(MIN(label) AS BIGINT) AS group_id
+            FROM reach GROUP BY node
         """,
     }
     # funnel_window is the same logical query as funnel under a different
