@@ -1510,8 +1510,11 @@ def q_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via sign-random-projection buckets (rows-only:
-    the SRP hyperplanes aren't SQL-expressible)."""
+    """Approximate top-10 via sign-random-projection buckets. Oracle-
+    backed since round 4: the deterministic hyperplanes embed as SQL
+    double literals, so DuckDB replays bucketing + radius-1 multiprobe +
+    in-bucket exact scoring — the whole approximate path is
+    differentially checked, not just its recall bound."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1815,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_window": q_funnel_window,
         "pack_efficiency": q_pack_efficiency,
         "embedding_dedup_groups": q_embedding_dedup_groups,
+        "similarity_lsh": q_similarity_lsh,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -1872,7 +1876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "multimodal_features": q_multimodal_features,
         "video_pipeline": q_video_pipeline,
-        "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "similarity_incremental": q_similarity_incremental,
         "minhash_dedup": q_minhash_dedup,
@@ -3280,4 +3283,57 @@ def oracle_sql() -> dict[str, str]:
     # funnel_window is the same logical query as funnel under a different
     # physical strategy — one oracle, two engine plans.
     sqls["funnel_window"] = sqls["funnel"]
+
+    # similarity_lsh oracle: the SRP hyperplanes are deterministic Python
+    # floats, so they embed as SQL literals (repr round-trips exactly to
+    # the same double) — the oracle replays bucketing, radius-1 multiprobe
+    # and in-bucket exact scoring, making the WHOLE approximate path
+    # differentially checked, not just its recall.
+    from yellowrush_spark_ml_pipeline_spark.operators.similarity import (
+        _srp_hyperplanes,
+    )
+
+    planes = _srp_hyperplanes(64, 6, 42)  # q_similarity_lsh: bucket_bits=6
+
+    def _plane(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bucket = lambda v: (  # noqa: E731
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_dot_product({v}, {_plane(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        + ")"
+    )
+    masks = ", ".join(f"({m})" for m in [0] + [1 << i for i in range(6)])
+    sqls["similarity_lsh"] = f"""
+        WITH c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   {bucket("embedding::DOUBLE[]")} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, bucket AS b0
+            FROM c WHERE vec_id < 5
+        ), probes AS (
+            SELECT query_id, qv, xor(b0, m.m) AS bucket
+            FROM q CROSS JOIN (VALUES {masks}) m(m)
+        ), scored AS (
+            SELECT p.query_id, c.vec_id,
+                   ROUND(list_dot_product(p.qv, c.v)
+                         / (sqrt(list_dot_product(p.qv, p.qv))
+                            * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+            FROM c JOIN probes p USING (bucket)
+        )
+        SELECT query_id, vec_id, rank, cosine FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC
+                   ) AS rank,
+                   cosine
+            FROM scored
+        ) WHERE rank <= 10
+    """
     return sqls
