@@ -717,12 +717,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit rolling-fingerprint dedup (rows-only: xxhash64 is
-    engine-internal). Planted whitespace/case variants of 50 docs prove the
-    normalize-fingerprint path collapses groups (dup_count=2)."""
+    """64-bit document-fingerprint dedup, oracle-backed since round 4 via
+    the cross-engine md5_hash60 fingerprint (functions/hashing.py): the
+    exact fingerprint VALUES are differentially checked, not just the
+    grouping. Planted whitespace/case variants of 50 docs prove the
+    normalize-fingerprint path collapses groups (dup_count=2). Production
+    default stays xxhash64 (pytest-covered)."""
     docs = _t(spark, sf_dir, "documents")
     planted = _plant_docs(docs, 50, 1000000, _case_ws_variant())
-    return dedup.fingerprint_dedup(docs.unionByName(planted))
+    return dedup.fingerprint_dedup(docs.unionByName(planted), hash_fn="md5")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1552,10 +1555,23 @@ def q_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs with exact Jaccard verify
-    (rows-only: xxhash64 is engine-internal)."""
+    """MinHash+LSH near-dup pairs, oracle-backed since round 4: in
+    ``hash_fn="md5"`` mode the signature hashes are the cross-engine
+    universal family over md5_hash60 and band buckets key on the EXACT
+    signature slice, so the DuckDB oracle replays shingling → 32
+    signature mins → 8-band bucketing → candidate self-join → exact
+    Jaccard verify bit-identically. Tail-suffix twins of 40 docs are
+    planted so the accept path is non-vacuous (the fixtures themselves
+    contain zero near-dups). Production default stays xxhash64 banding
+    (pytest recall/skew coverage)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(docs, jaccard_threshold=0.4)
+    planted = _plant_docs(
+        docs, 40, 800000, F.concat(F.col("text"), F.lit(" near duplicate suffix"))
+    )
+    return dedup.minhash_dedup_pairs(
+        docs.unionByName(planted), jaccard_threshold=0.4,
+        hash_fn="md5", round_digits=None,
+    )
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,23 +1594,30 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → connected components → (doc_id, group_id): the keep/drop
-    decision step of the dedup pipeline (rows-only: pairs come from
-    xxhash-banded MinHash; transitivity and planted-group assertions live
-    in tests/test_extensions.py)."""
+    decision step of the dedup pipeline. Oracle-backed since round 4: the
+    pairs come from the cross-engine md5-mode MinHash path (see
+    q_minhash_dedup) and the DuckDB oracle replays the full chain plus
+    min-label transitivity with a recursive CTE — candidate generation
+    AND grouping correctness differentially checked end to end."""
     docs = _t(spark, sf_dir, "documents")
     planted = _plant_docs(
         docs, 30, 500000, F.concat(F.col("text"), F.lit(" near duplicate suffix"))
     )
     pairs = dedup.minhash_dedup_pairs(
-        docs.unionByName(planted), jaccard_threshold=0.4
+        docs.unionByName(planted), jaccard_threshold=0.4, hash_fn="md5"
     )
     return dedup.dedup_groups(pairs)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: xxhash64 is engine-internal)."""
+    """SimHash fingerprints, oracle-backed since round 4: md5 mode hashes
+    each token with the cross-engine md5_hash60 (60 vote bits — the
+    fingerprint stays a positive BIGINT in every engine), and the DuckDB
+    oracle reproduces every per-bit frequency-weighted majority vote, so
+    the fingerprint is checked bit-for-bit. Production default stays
+    xxhash64/64-bit (pytest bit-separation coverage)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash(docs)
+    return dedup.simhash(docs, hash_fn="md5")
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,6 +1842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": q_pack_efficiency,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "similarity_lsh": q_similarity_lsh,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "dedup_groups": q_dedup_groups,
+        "simhash": q_simhash,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -1873,15 +1900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows-only entries (documented no_oracle rationale each) ----
         "language_id_model": q_language_id_model,
         "sketch_stats": q_sketch_stats,
-        "fingerprint_dedup": q_fingerprint_dedup,
         "multimodal_features": q_multimodal_features,
         "video_pipeline": q_video_pipeline,
         "similarity_ivf": q_similarity_ivf,
         "similarity_incremental": q_similarity_incremental,
-        "minhash_dedup": q_minhash_dedup,
         "incremental_dedup": q_incremental_dedup,
-        "dedup_groups": q_dedup_groups,
-        "simhash": q_simhash,
         "curate_corpus": q_curate_corpus,
         "export_manifest": q_export_manifest,
         "ml_classifier_metrics": q_ml_classifier_metrics,
@@ -3336,4 +3359,141 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 10
     """
+
+    # ---- md5-mode dedup-tier oracles (round 4): the minhash permutation
+    # coefficients are deterministic integers (functions/hashing.py), so
+    # they embed as SQL literals and DuckDB replays the FULL pipeline —
+    # shingling → signatures → exact-key banding → candidate self-join →
+    # Jaccard verify (→ recursive-CTE components for dedup_groups).
+    from yellowrush_spark_ml_pipeline_spark.functions.hashing import (
+        minhash_coefficients,
+    )
+
+    h60 = lambda x: f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"  # noqa: E731
+    tokclass = r"'[^\p{L}\p{N}]+'"
+    coefs = minhash_coefficients(32)
+
+    def _minhash_ctes(src_sql: str, threshold: float) -> str:
+        """CTE chain src→tok→sh→hx→sig→banded→cand→verified, mirroring
+        minhash_dedup_pairs(hash_fn="md5") exactly."""
+        mins = ",\n                   ".join(
+            f"MIN(({a} * x + {b}) % 2147483647) AS h{i}"
+            for i, (a, b) in enumerate(coefs)
+        )
+        whens = " ".join(
+            f"WHEN {b} THEN concat_ws(',', h{4*b}, h{4*b+1}, h{4*b+2}, h{4*b+3})"
+            for b in range(8)
+        )
+        bvals = ", ".join(f"({b})" for b in range(8))
+        return f"""src AS ({src_sql}
+            ), tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), {tokclass}),
+                                   x -> x <> '') AS t
+                FROM src
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(t) >= 3 THEN
+                                    list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                                WHEN len(t) = 0 THEN []
+                                ELSE [array_to_string(t, ' ')] END
+                       ) AS s
+                FROM tok
+            ), hx AS (
+                SELECT doc_id, {h60('g')} % 2147483647 AS x
+                FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+            ), sig AS (
+                SELECT doc_id, {mins}
+                FROM hx GROUP BY doc_id
+            ), banded AS (
+                SELECT doc_id, band_id, CASE band_id {whens} END AS band_key
+                FROM sig CROSS JOIN (VALUES {bvals}) AS bands(band_id)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            ), verified AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                           / len(list_distinct(list_cat(sa.s, sb.s))) AS jaccard
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b
+                WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                           / len(list_distinct(list_cat(sa.s, sb.s))) >= {threshold}
+            )"""
+
+    minhash_src = """
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 800000, text || ' near duplicate suffix'
+                FROM documents WHERE doc_id < 40"""
+    sqls["minhash_dedup"] = (
+        "WITH " + _minhash_ctes(minhash_src, 0.4)
+        + "\n            SELECT id_a, id_b, jaccard FROM verified"
+    )
+
+    groups_src = """
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 500000, text || ' near duplicate suffix'
+                FROM documents WHERE doc_id < 30"""
+    sqls["dedup_groups"] = (
+        "WITH RECURSIVE " + _minhash_ctes(groups_src, 0.4)
+        + """, edges AS (
+                SELECT id_a AS u, id_b AS v FROM verified
+                UNION
+                SELECT id_b, id_a FROM verified
+            ), reach(node, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(MIN(label) AS BIGINT) AS group_id
+            FROM reach GROUP BY node"""
+    )
+
+    norm_text = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
+    sqls["fingerprint_dedup"] = f"""
+            SELECT {h60(norm_text)}
+                       AS fingerprint,
+                   MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, upper(replace(text, ' ', '  '))
+                FROM documents WHERE doc_id < 50
+            )
+            GROUP BY 1
+        """
+
+    simhash_bits = "\n                       ".join(
+        f"SUM((h >> {i}) & 1) AS b{i}," for i in range(60)
+    )
+    simhash_terms = "\n                 + ".join(
+        f"(CASE WHEN 2 * b{i} > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)
+    )
+    sqls["simhash"] = f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(
+                    list_filter(regexp_split_to_array(lower(text), {tokclass}),
+                                x -> x <> '')) AS t
+                FROM documents
+            ), hx AS (
+                SELECT doc_id, {h60('t')} AS h FROM tok
+            ), votes AS (
+                SELECT doc_id,
+                       {simhash_bits}
+                       COUNT(*) AS n
+                FROM hx GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   {simhash_terms} AS simhash
+            FROM votes
+        """
     return sqls

@@ -30,6 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import (
+    MINHASH_P,
+    md5_hash60,
+    minhash_coefficients,
+    minhash_value,
+)
 from ..functions.text import char_ngrams, rolling_fingerprint, shingles, tokens
 
 
@@ -62,12 +68,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def fingerprint_dedup(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Document-fingerprint dedup: 64-bit rolling fingerprint per doc,
-    min-id representative per fingerprint."""
+                      id_col: str = "doc_id",
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """Document-fingerprint dedup: 64-bit fingerprint per doc, min-id
+    representative per fingerprint. ``hash_fn="md5"`` swaps the xxhash64
+    fingerprint for the cross-engine `md5_hash60` of the same normalized
+    text, so the exact fingerprint VALUES (not just the grouping) have a
+    DuckDB oracle."""
+    fp = (
+        md5_hash60(_norm_text(F.col(text_col)))
+        if hash_fn == "md5"
+        else rolling_fingerprint(F.col(text_col))
+    )
     return (
         df.select(
-            rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
+            fp.alias("fingerprint"),
             F.col(id_col),
         )
         .groupBy("fingerprint")
@@ -82,8 +97,14 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
     basis: str = "word",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """K minhash values per doc: min over shingles of xxhash64(shingle, seed_i).
+    """K minhash values per doc: min over shingles of hash_i(shingle).
+
+    ``hash_fn="xxhash64"`` (production): xxhash64(shingle, seed_i) — fast,
+    JVM-internal. ``hash_fn="md5"`` (verification): the cross-engine
+    universal-hash family over `md5_hash60` (functions/hashing.py), which
+    a DuckDB oracle replays bit-identically — same shingles, same K mins.
 
     Shape: explode shingles → K hash columns → groupBy(id).agg(K mins).
     A doc's shingles are co-located in its input partition, so map-side
@@ -94,35 +115,43 @@ def minhash_signatures(
     arrays per document inside one giant codegen expression."""
     sh = _shingle_expr(text_col, shingle_n, basis)
     exploded = df.select(F.col(id_col), F.explode(sh).alias("_s"))
-    return exploded.groupBy(id_col).agg(
-        F.array(
-            *[F.min(F.xxhash64("_s", F.lit(i))) for i in range(num_hashes)]
-        ).alias("signature")
-    )
+    if hash_fn == "md5":
+        base = md5_hash60(F.col("_s")) % F.lit(MINHASH_P)
+        exploded = exploded.select(F.col(id_col), base.alias("_x"))
+        mins = [
+            F.min(minhash_value(F.col("_x"), a, b))
+            for a, b in minhash_coefficients(num_hashes)
+        ]
+    else:
+        mins = [F.min(F.xxhash64("_s", F.lit(i))) for i in range(num_hashes)]
+    return exploded.groupBy(id_col).agg(F.array(*mins).alias("signature"))
 
 
 def _band_signatures(
-    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int,
+    exact_keys: bool = False,
 ) -> DataFrame:
     """(id, band_id, band_hash) rows: one xxhash64 per band over its
-    signature slice."""
+    signature slice. ``exact_keys=True`` keeps the slice itself (a
+    comma-joined string) as the bucket key instead of hashing it —
+    collision-free, so the candidate set is a pure function of signature
+    values and a DuckDB oracle reproduces it exactly (the verification
+    configuration; the 8-byte hashed key is the production default
+    because it shuffles less)."""
+    def band_key(b: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col("signature")[b * rows_per_band + r]
+                for r in range(rows_per_band)
+            ],
+        )
+        return joined if exact_keys else F.xxhash64(joined)
+
     return sigs.select(
         F.col(id_col),
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("band_id", "band_hash"),
     )
 
@@ -145,6 +174,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    exact_keys: bool = False,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_id, band_hash) to emit
     candidate pairs (a < b). Only rows sharing a band bucket are compared —
@@ -160,7 +190,7 @@ def minhash_lsh_candidates(
     first at 100 TB) or share only ubiquitous boilerplate (not meaningful
     near-dup evidence). The cap is computed with one extra aggregation on
     the bucket key — no window, no second shuffle of the full banded set."""
-    banded = _band_signatures(sigs, id_col, bands, rows_per_band)
+    banded = _band_signatures(sigs, id_col, bands, rows_per_band, exact_keys)
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
@@ -190,18 +220,27 @@ def minhash_dedup_pairs(
     jaccard_threshold: float = 0.7,
     basis: str = "word",
     max_bucket_size: int | None = None,
+    hash_fn: str = "xxhash64",
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
     exact n-gram Jaccard verify on the candidates only. ``basis="char"``
     switches the shingle alphabet for CJK/mixed corpora (use shingle_n≈5);
     ``max_bucket_size`` caps boilerplate-skewed band buckets (see
-    ``minhash_lsh_candidates``)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, basis)
+    ``minhash_lsh_candidates``). ``hash_fn="md5"`` switches the whole
+    path onto the cross-engine hash (functions/hashing.py) with exact
+    (unhashed) band-bucket keys — deterministic across engines, so a
+    DuckDB oracle replays signatures AND candidates AND verify."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, basis, hash_fn
+    )
     cands = minhash_lsh_candidates(
-        sigs, id_col, bands, num_hashes // bands, max_bucket_size
+        sigs, id_col, bands, num_hashes // bands, max_bucket_size,
+        exact_keys=(hash_fn == "md5"),
     )
     return ngram_jaccard_verify(
-        cands, df, text_col, id_col, shingle_n, jaccard_threshold, basis
+        cands, df, text_col, id_col, shingle_n, jaccard_threshold, basis,
+        round_digits,
     )
 
 
@@ -436,26 +475,34 @@ def _dedup_groups_star(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document.
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            hash_fn: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash per document (60-bit in ``hash_fn="md5"`` mode).
 
     Each token hashes to 64 bits; each bit votes +1/-1 weighted by token
     frequency; the sign vector is the fingerprint. Near-identical docs
     differ in a handful of bits (compare with `bit_count(a ^ b)`).
 
+    ``hash_fn="md5"`` uses the cross-engine `md5_hash60` token hash — 60
+    vote bits instead of 64 (the fingerprint stays a positive BIGINT in
+    every engine), and a DuckDB oracle reproduces the fingerprint
+    bit-for-bit. Production default stays xxhash64/64-bit.
+
     Implemented as explode → branch-free per-bit ones-counts + row count →
     re-assemble (bit i is set iff 2·Σbit_i > n, identical to the ±1 vote
     sign but without 64 when/otherwise branches per row — measured ~30%
     faster). One shuffle on doc_id — no Python, no O(64) joins."""
+    width = 60 if hash_fn == "md5" else 64
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
-    hashed = tok.select(id_col, F.xxhash64("_t").alias("_h"))
+    h = md5_hash60(F.col("_t")) if hash_fn == "md5" else F.xxhash64("_t")
+    hashed = tok.select(id_col, h.alias("_h"))
     bit_ones = [
         F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(width)
     ]
     votes = hashed.groupBy(id_col).agg(*bit_ones, F.count(F.lit(1)).alias("_n"))
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(width):
         sim = sim.bitwiseOR(
             F.when(
                 F.col(f"_b{i}") * 2 > F.col("_n"),
