@@ -1575,20 +1575,22 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-increment dedup (rows-only: MinHash signatures are
-    engine-internal xxhash64, not SQL-replicable; planted-copy recall is
-    pytest-asserted): a synthetic "new batch" (mutated copies of the
-    first 20 docs) banded-joined against the persisted corpus signature
-    table — |new| x bucket-density cost, no corpus self-join."""
+    """Daily-increment dedup, oracle-backed since round 4 via the
+    cross-engine md5-mode MinHash path: a synthetic "new batch" (mutated
+    copies of the first 20 docs) banded-joined against the persisted
+    corpus signature table — |new| x bucket-density cost, no corpus
+    self-join — and the DuckDB oracle replays both sides' signatures,
+    the new-vs-corpus band join, and the Jaccard verify exactly."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus_sigs = dedup.minhash_signatures(docs)
+    corpus_sigs = dedup.minhash_signatures(docs, hash_fn="md5")
     new_batch = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 900000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" incremental tail")).alias("text"),
     )
     all_docs = docs.unionByName(new_batch)
     return dedup.minhash_incremental_pairs(
-        new_batch, corpus_sigs, all_docs, jaccard_threshold=0.4
+        new_batch, corpus_sigs, all_docs, jaccard_threshold=0.4,
+        hash_fn="md5", round_digits=None,
     )
 
 
@@ -1665,10 +1667,14 @@ def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LLM training-data curation flow (rows-only: MinHash banding is
-    engine-internal; planted-collapse and layout assertions live in
-    tests/test_flows.py): quality filter → language ID → near-dup
-    components → one representative per group."""
+    """The LLM training-data curation flow end to end — quality filter →
+    language ID → near-dup components → one representative per group —
+    oracle-backed since round 4: with the cross-engine md5-mode dedup
+    tier, the DuckDB oracle replays the ENTIRE composed flow (quality
+    formula, lang-ID heuristic, MinHash signatures/banding/verify,
+    recursive-CTE components, min-id canonical filter) and must agree on
+    the precise surviving row set. Planted near-dup copies of 25 docs
+    prove the collapse is non-vacuous."""
     from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -1676,7 +1682,8 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, 25, 700000, F.concat(F.col("text"), F.lit(" tiny suffix"))
     )
     return curate_corpus(
-        docs.unionByName(planted), min_quality=0.5, jaccard_threshold=0.5
+        docs.unionByName(planted), min_quality=0.5, jaccard_threshold=0.5,
+        hash_fn="md5",
     )
 
 
@@ -1846,6 +1853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
+        "incremental_dedup": q_incremental_dedup,
+        "curate_corpus": q_curate_corpus,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -1904,8 +1913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_pipeline": q_video_pipeline,
         "similarity_ivf": q_similarity_ivf,
         "similarity_incremental": q_similarity_incremental,
-        "incremental_dedup": q_incremental_dedup,
-        "curate_corpus": q_curate_corpus,
         "export_manifest": q_export_manifest,
         "ml_classifier_metrics": q_ml_classifier_metrics,
         "compression_ratio": q_compression_ratio,
@@ -3373,9 +3380,15 @@ def oracle_sql() -> dict[str, str]:
     tokclass = r"'[^\p{L}\p{N}]+'"
     coefs = minhash_coefficients(32)
 
-    def _minhash_ctes(src_sql: str, threshold: float) -> str:
+    def _minhash_ctes(
+        src_sql: str,
+        threshold: float,
+        cand_on: str = "a.doc_id < b.doc_id",
+    ) -> str:
         """CTE chain src→tok→sh→hx→sig→banded→cand→verified, mirroring
-        minhash_dedup_pairs(hash_fn="md5") exactly."""
+        minhash_dedup_pairs(hash_fn="md5") exactly. ``cand_on`` is the
+        extra join predicate of the candidate band join (self-join a<b by
+        default; the incremental variant joins new×corpus sides)."""
         mins = ",\n                   ".join(
             f"MIN(({a} * x + {b}) % 2147483647) AS h{i}"
             for i, (a, b) in enumerate(coefs)
@@ -3414,7 +3427,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM banded a JOIN banded b
                   ON a.band_id = b.band_id AND a.band_key = b.band_key
-                 AND a.doc_id < b.doc_id
+                 AND {cand_on}
             ), verified AS (
                 SELECT c.id_a, c.id_b,
                        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
@@ -3455,6 +3468,114 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS doc_id,
                    CAST(MIN(label) AS BIGINT) AS group_id
             FROM reach GROUP BY node"""
+    )
+
+    incr_src = """
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 900000, text || ' incremental tail'
+                FROM documents WHERE doc_id < 20"""
+    sqls["incremental_dedup"] = (
+        "WITH " + _minhash_ctes(
+            incr_src, 0.4,
+            cand_on="a.doc_id >= 900000 AND b.doc_id < 900000",
+        )
+        + "\n            SELECT id_a, id_b, jaccard FROM verified"
+    )
+
+    # curate_corpus oracle: the ENTIRE composed flow — quality formula →
+    # threshold filter → lang-ID heuristic → md5-mode MinHash dedup →
+    # recursive-CTE components → min-id canonical filter. The quality and
+    # lang-ID sub-SQL are verbatim from the text_quality / language_id
+    # oracles (each independently hash-proven); the dedup chain is the
+    # shared _minhash_ctes generator running over the KEPT set.
+    curate_quality = r"""
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   ROUND(
+                       (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(punct / greatest(n_chars_c, 1), 6) <= 0.2 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(stop_hits / greatest(len(toks), 1), 6) >= 0.01 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(CASE WHEN len(toks) > 0
+                                  THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                                  ELSE 0.0 END, 6) BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END),
+                   2) AS quality_score
+            FROM (
+                SELECT doc_id,
+                       length(text) AS n_chars_c,
+                       length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+                       list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks,
+                       len(list_filter(
+                           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> ''),
+                           t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS stop_hits
+                FROM corpus
+            )"""
+    curate_lang = r"""
+            SELECT doc_id,
+                   CASE
+                     WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+                     WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                     WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                     WHEN s_en >= s_de THEN 'en'
+                     ELSE 'de'
+                   END AS lang_pred
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t))) AS s_de,
+                       len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS s_en,
+                       len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) AS s_es,
+                       len(list_filter(toks, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) AS s_fr,
+                         (length(text) - length(regexp_replace(text, '的', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '是', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '了', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '在', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '我', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '有', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '和', '', 'g')))
+                       + (length(text) - length(regexp_replace(text, '不', '', 'g'))) AS s_zh
+                FROM (
+                    SELECT doc_id, text,
+                           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks
+                    FROM kept
+                )
+            )"""
+    sqls["curate_corpus"] = (
+        """WITH RECURSIVE corpus AS (
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 700000, text || ' tiny suffix', lang, source, n_chars
+                FROM documents WHERE doc_id < 25
+            ), qual AS ("""
+        + curate_quality
+        + """
+            ), kept AS (
+                SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars,
+                       q.n_tokens, q.quality_score
+                FROM corpus c JOIN qual q USING (doc_id)
+                WHERE q.quality_score >= 0.5
+            ), langp AS ("""
+        + curate_lang
+        + """
+            ), """
+        + _minhash_ctes("SELECT doc_id, text FROM kept", 0.5)
+        + """, edges AS (
+                SELECT id_a AS u, id_b AS v FROM verified
+                UNION
+                SELECT id_b, id_a FROM verified
+            ), reach(node, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+            ), grp AS (
+                SELECT node AS doc_id, MIN(label) AS group_id
+                FROM reach GROUP BY node
+            )
+            SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars,
+                   l.lang_pred, k.n_tokens, k.quality_score
+            FROM kept k
+            JOIN langp l USING (doc_id)
+            LEFT JOIN grp g ON g.doc_id = k.doc_id
+            WHERE g.doc_id IS NULL OR g.group_id = k.doc_id"""
     )
 
     norm_text = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"

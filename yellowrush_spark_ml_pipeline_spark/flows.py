@@ -173,6 +173,7 @@ def curate_corpus(
     lang_scorer=None,
     max_bucket_size: int | None = None,
     canonical: str = "min_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
@@ -203,8 +204,11 @@ def curate_corpus(
         )
     kept = quality_score(docs).filter(F.col("quality_score") >= min_quality)
     kept = language_id(kept, scorer=lang_scorer)
+    # hash_fn="md5" switches the dedup tier onto the cross-engine hash
+    # (functions/hashing.py) so the WHOLE flow is DuckDB-replayable.
     pairs = minhash_dedup_pairs(
-        kept, jaccard_threshold=jaccard_threshold, max_bucket_size=max_bucket_size
+        kept, jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size, hash_fn=hash_fn,
     )
     groups = dedup_groups(pairs)
     # Schema-agnostic output: whatever columns the corpus came with, plus

@@ -256,6 +256,8 @@ def minhash_incremental_pairs(
     jaccard_threshold: float = 0.7,
     basis: str = "word",
     max_bucket_size: int | None = None,
+    hash_fn: str = "xxhash64",
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Incremental near-dup detection: a NEW batch against an EXISTING
     corpus — the shape a production pipeline actually runs daily. The
@@ -269,11 +271,18 @@ def minhash_incremental_pairs(
     Output: (id_a=new doc, id_b=corpus doc, jaccard) for verified pairs.
     New-batch-internal duplicates are the ordinary self-join
     (``minhash_dedup_pairs`` on the batch); run both for a full daily
-    merge."""
-    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n, basis)
+    merge.
+
+    ``hash_fn="md5"`` is the cross-engine verification mode (see
+    ``minhash_dedup_pairs``) — ``corpus_sigs`` must then have been built
+    with the same mode."""
+    exact = hash_fn == "md5"
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n, basis, hash_fn
+    )
     rows_per_band = num_hashes // bands
-    banded_new = _band_signatures(new_sigs, id_col, bands, rows_per_band)
-    banded_corpus = _band_signatures(corpus_sigs, id_col, bands, rows_per_band)
+    banded_new = _band_signatures(new_sigs, id_col, bands, rows_per_band, exact)
+    banded_corpus = _band_signatures(corpus_sigs, id_col, bands, rows_per_band, exact)
     if max_bucket_size is not None:
         banded_corpus = _cap_buckets(banded_corpus, max_bucket_size)
     cands = (
@@ -291,7 +300,8 @@ def minhash_incremental_pairs(
         .distinct()
     )
     return ngram_jaccard_verify(
-        cands, docs, text_col, id_col, shingle_n, jaccard_threshold, basis
+        cands, docs, text_col, id_col, shingle_n, jaccard_threshold, basis,
+        round_digits,
     )
 
 
