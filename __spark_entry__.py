@@ -1757,6 +1757,101 @@ def q_ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transitions between consecutive event types per user: one
+    lag-window pass (deterministic (ts, event_id) sort) + one aggregation
+    on the (type x type) key space; p_next is an int/int division."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.event_transitions(ev)
+
+
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch revenue attribution: each user's purchase value
+    credited to the event type that first touched them — argmin window +
+    DECIMAL-cent conversion sums, grouped on the channel key."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.first_touch_attribution(ev, convert_type="purchase")
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day exponentially-weighted moving average of daily mean event
+    value per event type. The smoothing is a fixed lag-expression tree
+    (not a frame SUM), so float addition order — and therefore the exact
+    double — is engine-independent."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.ewma(ev, key_col="event_type", alpha=0.8, span=7)
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day z-score anomaly flags over the daily series per
+    event type — trailing mean/variance from exact DECIMAL sums, fixed
+    expression shape, |z| > 2 flags."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.rolling_zscore(ev, key_col="event_type", window_days=7)
+
+
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-8-gram spans (exact-substring duplication
+    signal, Lee et al. style): planted full copies of 20 docs make every
+    gram of those docs ubiquitous — the islands pass must merge them into
+    single whole-doc spans; natural text contributes any real repeats.
+    All-integer output under a full DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = _plant_docs(
+        docs, 20, 400000, F.concat(F.col("text"), F.lit(" copied tail"))
+    )
+    return dedup.duplicate_ngram_spans(
+        docs.unionByName(planted), ngram_n=8, min_docs=2
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of a per-flag aggregate: the reshape
+    primitive (pivot's inverse, SURVEY §2.7-adjacent). Aggregates are
+    DECIMAL-exact before the cast to the shared double value column."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_lines"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE): per (flag, status),
+    per flag, and grand total in ONE pass, with GROUPING() flags
+    disambiguating aggregation level from genuine NULLs — the remaining
+    multi-level-aggregation surface after rollup_revenue. Uses the SQL
+    entry point (spark.sql over a temp view), exercising the parser path
+    the DataFrame queries skip."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001 — the SURVEY.md §7 minimum
     slice: scan → clean → date parts → grouped ratio-of-sums → join-back
@@ -1855,6 +1950,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "incremental_dedup": q_incremental_dedup,
         "curate_corpus": q_curate_corpus,
+        "event_transitions": q_event_transitions,
+        "first_touch_attribution": q_first_touch_attribution,
+        "ewma": q_ewma,
+        "rolling_zscore": q_rolling_zscore,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "unpivot_metrics": q_unpivot_metrics,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -3577,6 +3679,198 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN grp g ON g.doc_id = k.doc_id
             WHERE g.doc_id IS NULL OR g.group_id = k.doc_id"""
     )
+
+    # dup_ngram_spans oracle: positioned 8-gram shingles (zipped unnest →
+    # 0-based positions, matching posexplode), md5_hash60 gram keys,
+    # >=2-distinct-doc ubiquity filter, islands merge via pos - row_number.
+    gram8 = " || ' ' || ".join(f"t[i+{k}]" for k in range(8))
+    sqls["dup_ngram_spans"] = f"""
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 400000, text || ' copied tail'
+                FROM documents WHERE doc_id < 20
+            ), tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), {tokclass}),
+                                   x -> x <> '') AS t
+                FROM src
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 8 THEN
+                                list_transform(range(1, len(t) - 6),
+                                    i -> {gram8})
+                            WHEN len(t) = 0 THEN []
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM tok
+            ), posed AS (
+                SELECT doc_id, unnest(s) AS g, unnest(range(0, len(s))) AS pos
+                FROM sh
+            ), hx AS (
+                SELECT doc_id, pos, {h60('g')} AS h FROM posed
+            ), ubiq AS (
+                SELECT h FROM hx GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+            ), dup AS (
+                SELECT doc_id, pos FROM hx WHERE h IN (SELECT h FROM ubiq)
+            ), isl AS (
+                SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+                FROM dup
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) AS INT) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+            FROM isl GROUP BY doc_id, grp
+        """
+
+    sqls["event_transitions"] = """
+            WITH steps AS (
+                SELECT user_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type,
+                       event_type AS next_type
+                FROM events
+            ), c AS (
+                SELECT prev_type, next_type, COUNT(*) AS n
+                FROM steps WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, next_type
+            )
+            SELECT prev_type, next_type,
+                   CAST(n AS BIGINT) AS n_transitions,
+                   CAST(n AS DOUBLE)
+                       / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+                       AS p_next
+            FROM c
+        """
+
+    sqls["first_touch_attribution"] = """
+            WITH firstt AS (
+                SELECT user_id, event_type AS first_touch
+                FROM (
+                    SELECT user_id, event_type,
+                           ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS rn
+                    FROM events
+                ) WHERE rn = 1
+            ), conv AS (
+                SELECT user_id,
+                       SUM(CAST(value AS DECIMAL(12,2))) AS cents,
+                       COUNT(*) AS n_conv
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id
+            )
+            SELECT first_touch,
+                   CAST(COUNT(*) AS BIGINT) AS n_converted_users,
+                   CAST(SUM(n_conv) AS BIGINT) AS n_conversions,
+                   CAST(CAST(SUM(cents) AS DECIMAL(18,2)) AS DOUBLE)
+                       AS attributed_value
+            FROM firstt JOIN conv USING (user_id)
+            GROUP BY first_touch
+        """
+
+    # ewma / rolling_zscore oracles: the daily grid is DECIMAL-exact; the
+    # smoothing terms are generated with the SAME left-folded addition
+    # order and the SAME Python-float weight literals as the Spark
+    # expression tree, so the doubles match bit-for-bit.
+    daily_cte = """
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                       AS day_mean
+            FROM events GROUP BY 1, 2"""
+    lag_cols = ",\n                       ".join(
+        f"lag(day_mean, {j}) OVER (PARTITION BY event_type ORDER BY day) AS l{j}"
+        for j in range(7)
+    )
+    ewma_num = "\n                 + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN l{j} * {0.8**j!r} ELSE 0.0 END)"
+        for j in range(7)
+    )
+    ewma_den = "\n                 + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN {0.8**j!r} ELSE 0.0 END)"
+        for j in range(7)
+    )
+    sqls["ewma"] = f"""
+            WITH daily AS ({daily_cte}
+            ), lagged AS (
+                SELECT event_type, day, day_mean,
+                       {lag_cols}
+                FROM daily
+            )
+            SELECT event_type, day, day_mean,
+                   ROUND(({ewma_num})
+                       / ({ewma_den}), 6) AS ewma
+            FROM lagged
+        """
+
+    z_s = "\n                 + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN l{j} ELSE 0.0 END)" for j in range(7)
+    )
+    z_s2 = "\n                 + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN l{j} * l{j} ELSE 0.0 END)"
+        for j in range(7)
+    )
+    z_n = "\n                 + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN 1 ELSE 0 END)" for j in range(7)
+    )
+    sqls["rolling_zscore"] = f"""
+            WITH daily AS ({daily_cte}
+            ), lagged AS (
+                SELECT event_type, day, day_mean,
+                       {lag_cols}
+                FROM daily
+            ), stats AS (
+                SELECT event_type, day, day_mean,
+                       ({z_s}) AS s,
+                       ({z_s2}) AS s2,
+                       ({z_n}) AS n
+                FROM lagged
+            ), scored AS (
+                SELECT event_type, day, day_mean,
+                       s / n AS m,
+                       s2 / n - (s / n) * (s / n) AS var
+                FROM stats
+            )
+            SELECT event_type, day, day_mean,
+                   ROUND(m, 6) AS roll_mean,
+                   ROUND(CASE WHEN var > 0
+                              THEN (day_mean - m) / sqrt(var) END, 6) AS zscore,
+                   COALESCE(abs(CASE WHEN var > 0
+                                     THEN (day_mean - m) / sqrt(var) END) > 2.0,
+                            FALSE) AS anomaly
+            FROM scored
+        """
+
+    sqls["unpivot_metrics"] = """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                           AS sum_qty,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                           AS sum_price,
+                       CAST(COUNT(*) AS DOUBLE) AS n_lines
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'n_lines', n_lines FROM wide
+        """
+
+    sqls["grouping_sets_revenue"] = """
+            SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                   COALESCE(l_linestatus, 'ALL') AS status,
+                   CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+                   CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """
 
     norm_text = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
     sqls["fingerprint_dedup"] = f"""

@@ -606,3 +606,51 @@ def select_canonical(
         .select(id_col)
     )
     return df.join(winners, id_col, "left_semi")
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-n-gram spans — the exact-substring
+    duplication signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): for every document, the maximal runs of
+    consecutive token positions whose ``ngram_n``-grams each appear in at
+    least ``min_docs`` distinct documents. Downstream curation either
+    drops the spans or down-weights the docs.
+
+    Output: (doc_id, span_start, span_end, n_dup_grams) — gram-position
+    indices (0-based), all exact integers.
+
+    Scale shape: positions come from ONE posexplode of the ordered
+    shingle array; only (doc_id, pos, hash64) triples shuffle — grams
+    travel as 8-byte `md5_hash60` keys, never as text. The ubiquity
+    count is a combinable count-distinct per gram hash; qualifying grams
+    semi-join back; the span merge is the classic islands trick (pos -
+    row_number per doc) — one window pass on the doc key, no
+    self-joins, nothing quadratic. Cross-engine exact by construction
+    (integer positions + md5 hash), hence oracle-backed."""
+    from pyspark.sql import Window
+
+    sh = shingles(tokens(F.col(text_col)), ngram_n)
+    pos = df.select(F.col(id_col), F.posexplode(sh).alias("pos", "_g"))
+    hashed = pos.select(F.col(id_col), "pos", md5_hash60(F.col("_g")).alias("_h"))
+    ubiquitous = (
+        hashed.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    dup = hashed.join(ubiquitous, "_h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w)
+    )
+    return islands.groupBy(F.col(id_col), F.col("_grp")).agg(
+        F.min("pos").alias("span_start"),
+        F.max("pos").alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    ).drop("_grp")

@@ -185,3 +185,91 @@ def cohort_retention(
         .groupBy("cohort_week", F.col("weeks_after").cast("int").alias("weeks_after"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition counts between consecutive event types per user:
+    (prev_type, next_type, n_transitions, p_next) — the session-flow /
+    next-action model behind recommendation and anomaly baselines.
+
+    One window pass (lag over the per-user ordered stream — the sort key
+    is (ts, event_id) so ties are deterministic in any engine) and one
+    combinable aggregation on the tiny (type x type) key space; events
+    shuffle exactly once on ``user_col``. ``p_next`` is the row-normalized
+    probability computed from exact integer counts, so the double is a
+    single int/int division — cross-engine exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = df.select(
+        F.col(user_col),
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_prev)
+        ).alias("p_next"),
+    )
+
+
+def first_touch_attribution(
+    df: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-touch revenue attribution: every user's conversion value is
+    credited to the event type that FIRST touched them. Output per
+    first-touch channel: converted-user count and attributed revenue.
+
+    Shape: per-user argmin over (ts, event_id) via one window pass (rank
+    not min-struct, so tie behavior is the deterministic sort order), a
+    per-user conversion aggregate in exact DECIMAL cents, and a final
+    group-by on the tiny channel key space — events shuffle once on
+    ``user_col`` and only (user, channel, cents) triples travel after.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    first = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(user_col), F.col(type_col).alias("first_touch"))
+    )
+    conv = (
+        df.filter(F.col(type_col) == convert_type)
+        .groupBy(user_col)
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(12,2)")).alias("_cents"),
+            F.count(F.lit(1)).alias("_n_conv"),
+        )
+    )
+    return (
+        first.join(conv, user_col, "inner")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted_users"),
+            F.sum("_n_conv").alias("n_conversions"),
+            F.sum("_cents").cast("decimal(18,2)").cast("double").alias(
+                "attributed_value"
+            ),
+        )
+    )

