@@ -240,31 +240,29 @@ def first_touch_attribution(
     credited to the event type that FIRST touched them. Output per
     first-touch channel: converted-user count and attributed revenue.
 
-    Shape: per-user argmin over (ts, event_id) via one window pass (rank
-    not min-struct, so tie behavior is the deterministic sort order), a
-    per-user conversion aggregate in exact DECIMAL cents, and a final
-    group-by on the tiny channel key space — events shuffle once on
-    ``user_col`` and only (user, channel, cents) triples travel after.
-    """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    first = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(user_col), F.col(type_col).alias("first_touch"))
-    )
-    conv = (
-        df.filter(F.col(type_col) == convert_type)
-        .groupBy(user_col)
-        .agg(
-            F.sum(F.col(value_col).cast("decimal(12,2)")).alias("_cents"),
-            F.count(F.lit(1)).alias("_n_conv"),
-        )
+    Shape: ONE scan and ONE events shuffle — the per-user first touch is
+    ``min(struct(ts, event_id, type))`` (lexicographic argmin; event_id
+    makes ties deterministic) computed in the SAME aggregation as the
+    DECIMAL-cent conversion sums, with map-side partial agg collapsing
+    each user before the exchange. A window-rank formulation would scan
+    events twice (rank pass + conversion pass) and join the halves —
+    two extra exchanges for identical semantics. The final group-by runs
+    on the tiny channel key space."""
+    per_user = df.groupBy(user_col).agg(
+        F.min(F.struct(ts_col, id_col, type_col)).alias("_first"),
+        F.sum(
+            F.when(
+                F.col(type_col) == convert_type,
+                F.col(value_col).cast("decimal(12,2)"),
+            )
+        ).alias("_cents"),
+        F.sum(
+            F.when(F.col(type_col) == convert_type, 1).otherwise(0)
+        ).alias("_n_conv"),
     )
     return (
-        first.join(conv, user_col, "inner")
-        .groupBy("first_touch")
+        per_user.filter(F.col("_n_conv") > 0)
+        .groupBy(F.col("_first")[type_col].alias("first_touch"))
         .agg(
             F.count(F.lit(1)).alias("n_converted_users"),
             F.sum("_n_conv").alias("n_conversions"),
