@@ -1688,14 +1688,16 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final-mile export flow (rows-only: composes the non-SQL curation
-    stages; exact accounting asserted in tests/test_flows.py): curation →
-    seeded hash-mod train/val split → per-(split, lang) packing →
-    manifest of docs/tokens/bins per cell."""
+    """Final-mile export flow, oracle-backed since round 4 via the
+    md5-mode curation tier plus a cross-engine seeded split hash: the
+    DuckDB oracle replays curation → hash-mod train/val split →
+    per-(split, lang) packing → the per-cell docs/tokens/bins manifest,
+    so the whole export accounting is differentially checked (row-level
+    packing assertions stay in tests/test_flows.py)."""
     from yellowrush_spark_ml_pipeline_spark.flows import export_training_set
 
     docs = _t(spark, sf_dir, "documents")
-    _, manifest = export_training_set(docs)
+    _, manifest = export_training_set(docs, hash_fn="md5")
     return manifest
 
 
@@ -1957,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": q_dup_ngram_spans,
         "unpivot_metrics": q_unpivot_metrics,
         "grouping_sets_revenue": q_grouping_sets_revenue,
+        "export_manifest": q_export_manifest,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -2015,7 +2018,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_pipeline": q_video_pipeline,
         "similarity_ivf": q_similarity_ivf,
         "similarity_incremental": q_similarity_incremental,
-        "export_manifest": q_export_manifest,
         "ml_classifier_metrics": q_ml_classifier_metrics,
         "compression_ratio": q_compression_ratio,
         "media_probe": q_media_probe,
@@ -3641,26 +3643,25 @@ def oracle_sql() -> dict[str, str]:
                     FROM kept
                 )
             )"""
-    sqls["curate_corpus"] = (
-        """WITH RECURSIVE corpus AS (
-                SELECT doc_id, text, lang, source, n_chars FROM documents
-                UNION ALL
-                SELECT doc_id + 700000, text || ' tiny suffix', lang, source, n_chars
-                FROM documents WHERE doc_id < 25
+    def _curate_chain(src_sql: str, threshold: float) -> str:
+        """CTE chain corpus→qual→kept→langp→(minhash)→grp mirroring
+        curate_corpus(hash_fn="md5") up to the canonical filter."""
+        return (
+            f"""corpus AS ({src_sql}
             ), qual AS ("""
-        + curate_quality
-        + """
+            + curate_quality
+            + """
             ), kept AS (
                 SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars,
                        q.n_tokens, q.quality_score
                 FROM corpus c JOIN qual q USING (doc_id)
                 WHERE q.quality_score >= 0.5
             ), langp AS ("""
-        + curate_lang
-        + """
+            + curate_lang
+            + """
             ), """
-        + _minhash_ctes("SELECT doc_id, text FROM kept", 0.5)
-        + """, edges AS (
+            + _minhash_ctes("SELECT doc_id, text FROM kept", threshold)
+            + """, edges AS (
                 SELECT id_a AS u, id_b AS v FROM verified
                 UNION
                 SELECT id_b, id_a FROM verified
@@ -3671,13 +3672,59 @@ def oracle_sql() -> dict[str, str]:
             ), grp AS (
                 SELECT node AS doc_id, MIN(label) AS group_id
                 FROM reach GROUP BY node
-            )
+            )"""
+        )
+
+    curate_select = """
             SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars,
                    l.lang_pred, k.n_tokens, k.quality_score
             FROM kept k
             JOIN langp l USING (doc_id)
             LEFT JOIN grp g ON g.doc_id = k.doc_id
             WHERE g.doc_id IS NULL OR g.group_id = k.doc_id"""
+
+    curate_src = """
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 700000, text || ' tiny suffix', lang, source, n_chars
+                FROM documents WHERE doc_id < 25"""
+    sqls["curate_corpus"] = (
+        "WITH RECURSIVE " + _curate_chain(curate_src, 0.5) + curate_select
+    )
+
+    # export_manifest: curation (defaults: threshold 0.7, no planting) →
+    # seeded md5 hash-mod split → per-(split, lang) packing (the
+    # pack_sequences contract, already independently oracle-proven) →
+    # per-cell manifest. The whole final-mile flow differentially checked.
+    sqls["export_manifest"] = (
+        "WITH RECURSIVE "
+        + _curate_chain("SELECT doc_id, text, lang, source, n_chars FROM documents", 0.7)
+        + ", curated AS ("
+        + curate_select
+        + r"""
+            ), tagged AS (
+                SELECT doc_id, lang,
+                       CASE WHEN """
+        + h60("(doc_id::VARCHAR || ':42')")
+        + r""" % 10 = 0
+                            THEN 'val' ELSE 'train' END AS split,
+                       len(regexp_extract_all(lower(text),
+                           '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS pack_tokens
+                FROM curated
+            ), cum AS (
+                SELECT split, lang, pack_tokens,
+                       SUM(pack_tokens) OVER (PARTITION BY split, lang
+                                              ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS cum_tokens
+                FROM tagged
+            )
+            SELECT split, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(pack_tokens) AS BIGINT) AS n_tokens,
+                   CAST(MAX((cum_tokens - pack_tokens) // 2048) + 1 AS BIGINT)
+                       AS n_bins
+            FROM cum GROUP BY split, lang"""
     )
 
     # dup_ngram_spans oracle: positioned 8-gram shingles (zipped unnest →

@@ -241,6 +241,7 @@ def export_training_set(
     capacity: int = 2048,
     val_mod: int = 10,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
     **curate_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """The final mile of the corpus pipeline: curation → deterministic
@@ -260,13 +261,25 @@ def export_training_set(
     assignment joins back on ``doc_id`` (same key the dedup stages
     already hash by). The manifest aggregates to (splits x langs) rows.
     """
+    from .functions.hashing import md5_hash60
     from .operators.textstats import pack_sequences
 
-    curated = curate_corpus(docs, min_quality=min_quality, **curate_kwargs)
+    curated = curate_corpus(
+        docs, min_quality=min_quality, hash_fn=hash_fn, **curate_kwargs
+    )
+    # hash_fn="md5": seed folds into the hashed string, keeping the split
+    # cross-engine replayable (the xxhash64 default takes the seed natively)
+    split_hash = (
+        md5_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}"))
+        )
+        if hash_fn == "md5"
+        else F.xxhash64(F.col("doc_id"), F.lit(seed))
+    )
     tagged = curated.withColumn(
         "split",
         F.when(
-            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(val_mod)) == 0,
+            F.pmod(split_hash, F.lit(val_mod)) == 0,
             F.lit("val"),
         ).otherwise(F.lit("train")),
     )
