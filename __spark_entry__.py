@@ -1807,6 +1807,15 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: per-doc mean negative log-likelihood
+    under the corpus's own MLE unigram distribution (CCNet-style signal).
+    Fixed-point ln rounding + DECIMAL accumulation make the float path
+    order- and engine-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.unigram_nll(docs)
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot (melt) of a per-flag aggregate: the reshape
     primitive (pivot's inverse, SURVEY §2.7-adjacent). Aggregates are
@@ -1960,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "export_manifest": q_export_manifest,
+        "unigram_nll": q_unigram_nll,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -3770,6 +3780,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) AS INT) AS span_end,
                    CAST(COUNT(*) AS BIGINT) AS n_dup_grams
             FROM isl GROUP BY doc_id, grp
+        """
+
+    sqls["unigram_nll"] = f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(
+                    list_filter(regexp_split_to_array(lower(text), {tokclass}),
+                                x -> x <> '')) AS t
+                FROM documents
+            ), doc_tok AS (
+                SELECT doc_id, t, COUNT(*) AS n_dt
+                FROM tok GROUP BY doc_id, t
+            ), vocab AS (
+                SELECT t, SUM(n_dt) AS c FROM doc_tok GROUP BY t
+            ), total AS (
+                SELECT SUM(c) AS n FROM vocab
+            ), scored AS (
+                SELECT d.doc_id, d.n_dt,
+                       d.n_dt * CAST(ROUND(-ln(CAST(v.c AS DOUBLE)
+                                                / CAST(tot.n AS DOUBLE))
+                                           * 1e9, 0)
+                                     AS BIGINT) AS nanonats
+                FROM doc_tok d JOIN vocab v USING (t) CROSS JOIN total tot
+            )
+            SELECT doc_id,
+                   CAST(SUM(n_dt) AS BIGINT) AS n_tokens,
+                   (CAST(SUM(nanonats) AS BIGINT) // CAST(SUM(n_dt) AS BIGINT))
+                       / 1e9 AS avg_nll
+            FROM scored GROUP BY doc_id
         """
 
     sqls["event_transitions"] = """

@@ -174,3 +174,28 @@ def test_daily_series_plan_has_no_python(spark, sf_oracle):
         assert "EvalPython" not in plan
         # one exchange to the (key, day) grid + one for the key window
         assert plan.count("Exchange") <= 2
+
+
+def test_unigram_nll_rare_tokens_score_higher(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        unigram_nll,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common common common"),
+            (2, "common common common common rare1 rare2"),
+            (3, "rare3 rare4 rare5 rare6 rare7 rare8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_nll(docs).collect()}
+    # corpus: 'common' 10/18, each rare 1/18
+    import math
+
+    p_common = 10 / 18
+    exp1 = -math.log(p_common)
+    assert abs(out[1].avg_nll - exp1) < 1e-6
+    assert out[1].avg_nll < out[2].avg_nll < out[3].avg_nll
+    assert out[3].avg_nll - (-math.log(1 / 18)) < 1e-6
+    assert out[1].n_tokens == 6
