@@ -1910,47 +1910,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): every oracle-backed entry
     # precedes every rows-only entry. Within the oracle block, the driver
-    # checks a 50-entry PREFIX each round, so we rotate: the 35 entries
-    # whose latest driver-verified row is round 2 (everything the r3 run
-    # did not re-check) come first, guaranteeing every oracle-backed query
-    # gets a driver row on post-r2 regenerated testdata in round 4.
+    # checks a 50-entry PREFIX each round, so priority order is: (1) the
+    # 19 round-4 queries with NO driver row yet, (2) the 18 whose only
+    # driver green is round 2 on since-regenerated data, (3) the r1+r2
+    # doubly-verified entries (the 4 of these past position 50 are the
+    # lowest-risk omissions — every query is still re-proven on current
+    # testdata every round by the local mirror / test_oracle_parity).
     return {
-        "hist_avg_global_fill": q_hist_avg_global_fill,
-        "star_join": q_star_join,
-        "dim_join_null_fill": q_dim_join_null_fill,
-        "top_per_group": q_top_per_group,
-        "moving_average": q_moving_average,
-        "null_safe_join": q_null_safe_join,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "top_orders": q_top_orders,
-        "label_flags": q_label_flags,
-        "validate_lineitem": q_validate_lineitem,
-        "pivot_revenue": q_pivot_revenue,
-        "edit_distance": q_edit_distance,
-        "rollup_revenue": q_rollup_revenue,
-        "set_ops": q_set_ops,
-        "summary_stats": q_summary_stats,
-        "window_enrich": q_window_enrich,
-        "tumbling_windows": q_tumbling_windows,
-        "hypertable_rollup": q_hypertable_rollup,
-        "sliding_windows": q_sliding_windows,
-        "session_windows": q_session_windows,
-        "sessionize": q_sessionize,
-        "json_extract": q_json_extract,
-        "json_struct_agg": q_json_struct_agg,
-        "histogram": q_histogram,
-        "dedup_exact": q_dedup_exact,
-        "token_counts": q_token_counts,
-        "text_quality": q_text_quality,
-        "lang_scores": q_lang_scores,
-        "language_id": q_language_id,
-        "pii_redaction": q_pii_redaction,
-        "corpus_stats": q_corpus_stats,
-        "embedding_norms": q_embedding_norms,
-        # ---- new in round 4 (never driver-verified yet) ----
+        # ---- (1) new in round 4: never driver-verified ----
         "funnel_window": q_funnel_window,
         "pack_efficiency": q_pack_efficiency,
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -1970,6 +1937,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "export_manifest": q_export_manifest,
         "unigram_nll": q_unigram_nll,
+        # ---- (2) latest driver green is r2 ----
+        "top_per_group": q_top_per_group,
+        "moving_average": q_moving_average,
+        "null_safe_join": q_null_safe_join,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "pivot_revenue": q_pivot_revenue,
+        "edit_distance": q_edit_distance,
+        "rollup_revenue": q_rollup_revenue,
+        "set_ops": q_set_ops,
+        "hypertable_rollup": q_hypertable_rollup,
+        "sliding_windows": q_sliding_windows,
+        "session_windows": q_session_windows,
+        "json_struct_agg": q_json_struct_agg,
+        "histogram": q_histogram,
+        "pii_redaction": q_pii_redaction,
+        "corpus_stats": q_corpus_stats,
+        # ---- (3) r1+r2 doubly-verified ----
+        "hist_avg_global_fill": q_hist_avg_global_fill,
+        "star_join": q_star_join,
+        "dim_join_null_fill": q_dim_join_null_fill,
+        "top_orders": q_top_orders,
+        "label_flags": q_label_flags,
+        "validate_lineitem": q_validate_lineitem,
+        "summary_stats": q_summary_stats,
+        "window_enrich": q_window_enrich,
+        "tumbling_windows": q_tumbling_windows,
+        "sessionize": q_sessionize,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_scores": q_lang_scores,
+        "language_id": q_language_id,
+        "embedding_norms": q_embedding_norms,
         # ---- driver-verified green in round 3 (re-checked locally) ----
         "pricing_summary": q_pricing_summary,
         "embedding_dim_stats": q_embedding_dim_stats,
