@@ -174,6 +174,7 @@ def curate_corpus(
     max_bucket_size: int | None = None,
     canonical: str = "min_id",
     hash_fn: str = "xxhash64",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
@@ -204,6 +205,18 @@ def curate_corpus(
         )
     kept = quality_score(docs).filter(F.col("quality_score") >= min_quality)
     kept = language_id(kept, scorer=lang_scorer)
+    # `kept` feeds THREE consumers (signature build, Jaccard-verify join,
+    # canonical join-back), and its quality/lang-ID stage is regex-heavy;
+    # persisting it runs that stage once instead of per consumer
+    # (measured ~2.5 s of a 7 s flow at sf0.1). MEMORY_AND_DISK: at
+    # cluster scale the block store spills rather than OOMs; for corpora
+    # where even spill space is precious, persist_intermediate=False
+    # recomputes — the scan+regex stage is narrow and embarrassingly
+    # parallel, so recompute is the safe (slower) default at 100 TB.
+    if persist_intermediate:
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     # hash_fn="md5" switches the dedup tier onto the cross-engine hash
     # (functions/hashing.py) so the WHOLE flow is DuckDB-replayable.
     pairs = minhash_dedup_pairs(
