@@ -315,3 +315,49 @@ def test_corr_moments_single_pass(spark, sf_small):
     assert "Join" not in plan
     rep = plan_report(df)
     assert rep["exchanges"] == 1  # the single-row final reduce only
+
+
+def test_event_transitions_bounded_exchanges(spark, sf_small):
+    """One user-key window exchange over events + two tiny aggregation/
+    window exchanges on the (type x type) relation; no joins."""
+    df = entrymod.queries()["event_transitions"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 3
+    assert not rep["python_udf"]
+
+
+def test_first_touch_attribution_one_scan_one_events_exchange(spark, sf_small):
+    """The min-struct argmin folds first-touch into the conversion
+    aggregation: ONE parquet scan, user-key exchange + channel-key
+    exchange only."""
+    df = entrymod.queries()["first_touch_attribution"](spark, sf_small)
+    plan = explain_str(df)
+    # one "Location:" detail block == one parquet scan (the tree and the
+    # detail section each print the scan node's name, so count Location)
+    assert plan.count("Location:") == 1
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 2
+    assert "Join" not in plan
+
+
+def test_dup_ngram_spans_no_cartesian_hash_keys_only(spark, sf_small):
+    """Gram text must never shuffle: the ubiquity semi-join keys on the
+    md5 hash; the span merge is one doc-key window. No cartesian, no
+    Python."""
+    df = entrymod.queries()["dup_ngram_spans"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+
+
+def test_unigram_nll_broadcasts_total_no_python(spark, sf_small):
+    """The corpus total must enter as a broadcast (1-row relation), not a
+    shuffled join side; all arithmetic JVM-side."""
+    df = entrymod.queries()["unigram_nll"](spark, sf_small)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
