@@ -518,3 +518,106 @@ def test_full_outer_reconcile_partitions_key_space(spark, left_keys, right_keys)
     assert got.get("both", 0) == len(left_keys & right_keys)
     assert got.get("left_only", 0) == len(left_keys - right_keys)
     assert got.get("right_only", 0) == len(right_keys - left_keys)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=0, max_value=3),   # type index
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_event_transitions_matches_python_pairwise_model(spark, events):
+    """Transition counts must equal the plain-Python pairwise model over
+    each user's (ts, event_id)-ordered stream, for arbitrary event logs
+    (including same-timestamp runs, which order by event_id)."""
+    import datetime as dt
+
+    from yellowrush_spark_ml_pipeline_spark.operators.events import (
+        event_transitions,
+    )
+
+    types = ["a", "b", "c", "d"]
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i // 2), u, types[t], 0.0)
+        for i, (u, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in event_transitions(df).collect()
+    }
+    model: dict = {}
+    per_user: dict = {}
+    for i, (u, t) in enumerate(events):
+        per_user.setdefault(u, []).append((rows[i][1], i, types[t]))
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            model[(a, b)] = model.get((a, b), 0) + 1
+    assert got == model
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=6), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_dup_ngram_spans_matches_python_model(spark, docs):
+    """Span output must equal the brute-force Python model (positions of
+    n-grams shared by >=2 docs, merged into maximal runs) on arbitrary
+    token lists — including short docs (< n tokens -> one truncated
+    shingle) and empty docs."""
+    from yellowrush_spark_ml_pipeline_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    n = 3
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in duplicate_ngram_spans(df, ngram_n=n, min_docs=2).collect()
+    }
+
+    def grams(toks):
+        if not toks:
+            return []
+        words = [f"w{t}" for t in toks]
+        if len(words) >= n:
+            return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+        return [" ".join(words)]
+
+    per_doc = [grams(t) for t in docs]
+    from collections import Counter
+
+    doc_freq = Counter()
+    for gs in per_doc:
+        for g in set(gs):
+            doc_freq[g] += 1
+    expected = set()
+    for d, gs in enumerate(per_doc):
+        dup_pos = [i for i, g in enumerate(gs) if doc_freq[g] >= 2]
+        run: list = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                expected.add((d, run[0], run[-1], len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    assert got == expected
