@@ -448,3 +448,68 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     # the final sentinel's window never crossed the watermark -> unflushed
     assert ("2024-01-01 16:00:00", "sent") not in got
     assert os.path.isdir(ckpt)
+
+
+def test_streaming_transitions_match_batch_lag(spark, sf_small, tmp_path):
+    """streaming_transitions must reproduce the batch lag-window
+    transition multiset exactly, with the file source split on event time
+    so cross-batch boundary transitions are stitched from state (ordered
+    arrival per user — the operator's documented contract)."""
+    from yellowrush_spark_ml_pipeline_spark.operators.events import (
+        event_transitions,
+    )
+    from yellowrush_spark_ml_pipeline_spark.streaming.stateful import (
+        streaming_transitions,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cut = events.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("m")
+    ).collect()[0].m
+    src = str(tmp_path / "events_time_split")
+    events.filter(F.col("ts") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    events.filter(F.col("ts") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream_df = streaming_transitions(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    assert stream_df.isStreaming
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("transitions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            "SELECT prev_type, next_type, COUNT(*) AS n"
+            " FROM transitions_test GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in event_transitions(events).collect()
+    }
+    assert got == want
+    # boundary stitching actually happened: at least one user has events
+    # on both sides of the cut
+    both = (
+        events.filter(F.col("ts") <= cut)
+        .select("user_id")
+        .intersect(events.filter(F.col("ts") > cut).select("user_id"))
+        .count()
+    )
+    assert both > 0

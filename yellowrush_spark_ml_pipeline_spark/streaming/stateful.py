@@ -206,3 +206,92 @@ def streaming_user_totals(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_transitions(
+    spark,
+    source_path: str,
+    schema: StructType,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming Markov transitions: the batch `event_transitions` lifted
+    to a stream. Per-user state remembers the LAST event (ts, id, type);
+    each micro-batch sorts the user's new rows by (ts, id), stitches the
+    cross-batch boundary transition from state, and emits one row per
+    consecutive pair. Downstream, a streaming groupBy(prev, next) count
+    in update mode yields the live transition matrix.
+
+    Ordering contract: within a batch, rows are sorted; ACROSS batches the
+    operator assumes per-user event-time-ordered arrival (true for CDC /
+    log-shipped sources — the same assumption as every lag-based CDC
+    consumer). Out-of-order arrivals across batches would need a
+    watermark-deep reorder buffer in state, which trades memory for
+    disorder tolerance; at 100 TB/day you fix ordering in the bus, not in
+    O(disorder-window) per-key buffers.
+
+    State is 3 scalars per user — O(active users), the state-store shape
+    that survives any stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StringType, TimestampType
+
+    out_schema = StructType(
+        [
+            StructField(user_col, schema[user_col].dataType),
+            StructField("prev_type", StringType()),
+            StructField("next_type", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", TimestampType()),
+            StructField("last_id", LongType()),
+            StructField("last_type", StringType()),
+        ]
+    )
+
+    def emit_transitions(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values([ts_col, id_col], ignore_index=True)
+        types = batch[type_col].tolist()
+        prevs: list[str] = []
+        nexts: list[str] = []
+        if state.exists:
+            prevs.append(state.get[2])
+            nexts.append(types[0])
+        prevs.extend(types[:-1])
+        nexts.extend(types[1:])
+        last = batch.iloc[-1]
+        state.update(
+            (last[ts_col].to_pydatetime(), int(last[id_col]), str(last[type_col]))
+        )
+        if prevs:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]] * len(prevs),
+                    "prev_type": prevs,
+                    "next_type": nexts,
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    return stream.groupBy(user_col).applyInPandasWithState(
+        emit_transitions,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
