@@ -1816,6 +1816,38 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_nll(docs)
 
 
+def q_text_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality classifier (FineWeb-edu / fastText pattern):
+    RegexTokenizer → HashingTF (stateless feature hashing — no
+    vocabulary fit) → IDF → LogisticRegression, trained on a
+    deterministic labeled seed set (natural docs = clean vs planted
+    token-soup spam variants) and evaluated on the held-out split — one
+    metrics row. Rows-only: models/vectors aren't SQL-expressible;
+    seed-pinned metric bands are asserted in tests/test_ml.py."""
+    from yellowrush_spark_ml_pipeline_spark.ml import (
+        evaluate_binary,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clean = docs.withColumn("label", F.lit(0.0))
+    # token-soup spam: one vocabulary word repeated — linearly separable
+    # from prose in tf-idf space, so the pipeline must reach high AUC
+    spam = docs.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.concat(F.lit("buy"), F.col("doc_id") % 7), 40)
+        ).alias("text"),
+        F.lit(1.0).alias("label"),
+    )
+    model, _, test_df = train_quality_classifier(clean.unionByName(spam))
+    metrics = evaluate_binary(model, test_df, "label")
+    return spark.createDataFrame(
+        [tuple(round(v, 4) for v in metrics.values())],
+        list(metrics.keys()),
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot (melt) of a per-flag aggregate: the reshape
     primitive (pivot's inverse, SURVEY §2.7-adjacent). Aggregates are
@@ -2033,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "similarity_incremental": q_similarity_incremental,
         "ml_classifier_metrics": q_ml_classifier_metrics,
+        "text_classifier_metrics": q_text_classifier_metrics,
         "compression_ratio": q_compression_ratio,
         "media_probe": q_media_probe,
     }

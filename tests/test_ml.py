@@ -178,3 +178,36 @@ def test_tune_classifier_grid_search(spark, labeled_orders):
     assert results[0]["avg_auc"] >= 0.95
     preds = model.transform(labeled_orders)
     assert preds.select("prediction").distinct().count() <= 2
+
+
+def test_text_quality_classifier_separates_planted_spam(spark, sf_oracle):
+    """HashingTF+IDF+LogReg must separate token-soup spam from prose with
+    near-perfect held-out AUC, deterministically (seed-pinned split)."""
+    from pyspark.sql import functions as F
+
+    from yellowrush_spark_ml_pipeline_spark.ml import (
+        evaluate_binary,
+        train_quality_classifier,
+    )
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    clean = docs.withColumn("label", F.lit(0.0))
+    spam = docs.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.concat(F.lit("buy"), F.col("doc_id") % 7), 40)
+        ).alias("text"),
+        F.lit(1.0).alias("label"),
+    )
+    model, _, test_df = train_quality_classifier(clean.unionByName(spam))
+    m1 = evaluate_binary(model, test_df, "label")
+    assert m1["roc_auc"] > 0.99, m1
+    assert m1["accuracy"] > 0.97, m1
+    # deterministic: second fit reproduces identical metrics
+    model2, _, test2 = train_quality_classifier(clean.unionByName(spam))
+    m2 = evaluate_binary(model2, test2, "label")
+    assert m1 == m2
+    # corpus-scale scoring is a transform (narrow map) over unlabeled text
+    scored = model.transform(docs.withColumn("label", F.lit(0.0)))
+    assert scored.count() == docs.count()

@@ -1,6 +1,7 @@
 from .pipelines import (
     baseline_regression_metrics,
     build_rf_pipeline,
+    build_text_classifier_pipeline,
     encode_categorical,
     evaluate_binary,
     feature_importances,
@@ -8,12 +9,14 @@ from .pipelines import (
     save_model,
     timestamped_model_path,
     train_classifier,
+    train_quality_classifier,
     tune_classifier,
 )
 
 __all__ = [
     "baseline_regression_metrics",
     "build_rf_pipeline",
+    "build_text_classifier_pipeline",
     "encode_categorical",
     "evaluate_binary",
     "feature_importances",
@@ -21,5 +24,6 @@ __all__ = [
     "save_model",
     "timestamped_model_path",
     "train_classifier",
+    "train_quality_classifier",
     "tune_classifier",
 ]

@@ -426,3 +426,72 @@ def timestamped_model_path(base: str, name: str = "model", now=None) -> str:
 
 def load_model(path: str) -> PipelineModel:
     return PipelineModel.load(path)
+
+
+def build_text_classifier_pipeline(
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 14,
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+    seed: int = 42,
+) -> Pipeline:
+    """Text quality/domain classifier pipeline (the FineWeb-edu /
+    fastText-shaped pattern a curation stack trains on a small labeled
+    seed set and scores the whole corpus with): RegexTokenizer →
+    HashingTF (feature hashing — no vocabulary fit, so the transform is
+    stateless and scales to any corpus) → IDF → LogisticRegression.
+
+    Feature hashing is THE scale choice here: a CountVectorizer fits a
+    driver-side vocabulary over the corpus (O(vocab) driver memory, one
+    extra full pass); hashing maps tokens straight to a fixed-width
+    sparse vector in the executors. IDF is the one fitted stats pass,
+    over the tiny labeled set only.
+
+    At 100 TB the trained model broadcasts to executors and scoring is a
+    narrow map — the exact deployment shape of a production quality
+    gate."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol=text_col,
+        outputCol="_words",
+        pattern=r"[^\p{L}\p{N}]+",
+        gaps=True,
+        toLowercase=True,
+    )
+    tf = HashingTF(
+        inputCol="_words", outputCol="_tf", numFeatures=num_features
+    )
+    idf = IDF(inputCol="_tf", outputCol="_tfidf")
+    lr = LogisticRegression(
+        featuresCol="_tfidf",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+        standardization=False,
+    )
+    return Pipeline(stages=[tok, tf, idf, lr])
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    train_fraction: float = 0.8,
+    seed: int = 42,
+    **pipeline_kwargs,
+):
+    """Fit the text classifier on a labeled seed set and return
+    (model, train_df, test_df) — the `train_classifier` contract for the
+    text modality. The split is seeded randomSplit (the seed set is small
+    and driver-adjacent; corpus-scale scoring happens at transform
+    time)."""
+    pipe = build_text_classifier_pipeline(
+        text_col=text_col, label_col=label_col, seed=seed, **pipeline_kwargs
+    )
+    train_df, test_df = labeled.randomSplit(
+        [train_fraction, 1 - train_fraction], seed=seed
+    )
+    return pipe.fit(train_df), train_df, test_df
