@@ -181,12 +181,12 @@ def compact_parquet(
     Scale: one repartition round-trip (all data moves exactly once —
     schedule off-peak, or per-partition for hive layouts); writing to a
     sibling path + atomic rename keeps readers on a consistent layout
-    throughout. The byte walk uses the local filesystem here; on an
-    object store the same numbers come from the FileSystem listing API
-    the driver already holds."""
+    throughout. Sizing goes through the Hadoop FileSystem API, so the
+    byte walk works identically for file://, hdfs://, s3a://, or any
+    configured scheme (a plain os.walk would silently find 0 bytes on a
+    remote URI and funnel the whole dataset through one task)."""
     import math
     import os
-    import re
 
     if os.path.abspath(dest_path) == os.path.abspath(src_path):
         raise ValueError(
@@ -194,22 +194,18 @@ def compact_parquet(
             "overwrite-in-place would delete the source mid-read; write to "
             "a sibling path and rename."
         )
-    scheme = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", src_path)
-    if scheme and scheme.group(1) != "file":
-        # os.walk on an hdfs:///s3a:// URI silently finds 0 bytes and the
-        # whole dataset would funnel through ONE task. Fail loudly; the
-        # remote-store implementation should size via the Hadoop
-        # FileSystem listing (spark._jvm...FileSystem.globStatus).
-        raise NotImplementedError(
-            f"compact_parquet sizes output via a local filesystem walk; got "
-            f"scheme {scheme.group(1)!r}. Use the Hadoop FileSystem listing "
-            f"for remote stores."
-        )
+    # Hadoop FileSystem metadata walk — driver-side, no data read, and
+    # scheme-agnostic (resolves file:// vs hdfs:// vs s3a:// from the
+    # session's Hadoop conf exactly like the reader will).
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = 0
-    for root, _, files in os.walk(src_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(hpath, True)  # recursive
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total += status.getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src_path).repartition(n_files).write.mode(
         "overwrite"
