@@ -174,7 +174,7 @@ def curate_corpus(
     max_bucket_size: int | None = None,
     canonical: str = "min_id",
     hash_fn: str = "xxhash64",
-    persist_intermediate: bool = True,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
@@ -208,11 +208,12 @@ def curate_corpus(
     # `kept` feeds THREE consumers (signature build, Jaccard-verify join,
     # canonical join-back), and its quality/lang-ID stage is regex-heavy;
     # persisting it runs that stage once instead of per consumer
-    # (measured ~2.5 s of a 7 s flow at sf0.1). MEMORY_AND_DISK: at
-    # cluster scale the block store spills rather than OOMs; for corpora
-    # where even spill space is precious, persist_intermediate=False
-    # recomputes — the scan+regex stage is narrow and embarrassingly
-    # parallel, so recompute is the safe (slower) default at 100 TB.
+    # (measured ~20% off the warm flow at sf0.1). Default OFF, by
+    # measurement: at 10x data the cached corpus-bearing relation's
+    # statistics steered the planner into broadcasting it and the
+    # broadcast build OOM'd — recompute of a narrow scan+regex stage is
+    # the shape that survives scale-up; opt in only for corpora known to
+    # fit comfortably in cluster storage memory.
     if persist_intermediate:
         from pyspark import StorageLevel
 
