@@ -513,3 +513,51 @@ def test_streaming_transitions_match_batch_lag(spark, sf_small, tmp_path):
         .count()
     )
     assert both > 0
+
+
+def test_streaming_near_dup_candidates_across_batches(spark, sf_small, tmp_path):
+    """The state-held LSH buckets must pair a near-duplicate arriving in a
+    LATER micro-batch with its original from an EARLIER one — the
+    incremental-dedup contract, streaming. Planted tail-suffix copies of
+    the first 10 docs arrive in batch 2."""
+    from yellowrush_spark_ml_pipeline_spark.streaming.stateful import (
+        streaming_near_dup_candidates,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    src = str(tmp_path / "docs_two_batches")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    copies.coalesce(1).write.mode("append").parquet(src)
+
+    stream_df = streaming_near_dup_candidates(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    assert stream_df.isStreaming
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("near_dup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(180)
+    finally:
+        query.stop()
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM near_dup_test"
+        ).collect()
+    }
+    # every planted copy must be paired with its original (same minhash
+    # band with overwhelming probability at jaccard ~0.97)
+    found = sum((d, d + 900000) in pairs for d in range(10))
+    assert found >= 9, f"only {found}/10 planted cross-batch pairs found"
+    # and unrelated docs must NOT be wholesale paired (banding prunes)
+    assert len(pairs) < 200, len(pairs)

@@ -295,3 +295,120 @@ def streaming_transitions(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_near_dup_candidates(
+    spark,
+    source_path: str,
+    schema: StructType,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 50,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates: the incremental
+    dedup shape (new batch vs everything already seen) as a continuous
+    stream. Emits (id_a, id_b, band_id) candidate pairs the moment the
+    later document arrives — verify with the exact Jaccard join
+    downstream (batch or foreachBatch).
+
+    Plan shape: signatures are computed PER ROW with the narrow
+    ``array_min(transform(...))`` formulation — deliberately the
+    no-shuffle variant (its batch cousin uses explode + groupBy partial
+    aggregation, which on a stream would be a SECOND stateful operator;
+    chaining stateful ops is where streaming plans go to die). Banding
+    explodes each doc to its ``bands`` bucket rows, and the ONLY
+    stateful hop keys the state store by (band_id, band_hash): state is
+    the bucket's member id list, capped at ``max_bucket_size`` — the
+    same boilerplate-skew guard as the batch tier, which here also
+    bounds per-key state memory. Total state is O(docs x bands) ids —
+    at 100 TB/day you add a TTL (GroupStateTimeout) so buckets idle past
+    the dedup horizon evict.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..functions.text import shingles, tokens
+
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    mins = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    rows_per_band = num_hashes // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[mins[b * rows_per_band + r] for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("band_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("members", ArrayType(LongType()))]
+    )
+
+    def emit_candidates(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        members: list[int] = list(state.get[0]) if state.exists else []
+        ids_a: list[int] = []
+        ids_b: list[int] = []
+        for pdf in pdfs:
+            for doc in sorted(int(x) for x in pdf[id_col]):
+                if doc in members:
+                    continue
+                if len(members) < max_bucket_size:
+                    for m in members:
+                        a, b = (m, doc) if m < doc else (doc, m)
+                        ids_a.append(a)
+                        ids_b.append(b)
+                    members.append(doc)
+                # capped-out buckets stop emitting (boilerplate guard)
+        state.update((members,))
+        if ids_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a,
+                    "id_b": ids_b,
+                    "band_id": [key[0]] * len(ids_a),
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    banded = stream.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_hash")
+    )
+    cands = banded.groupBy("band_id", "band_hash").applyInPandasWithState(
+        emit_candidates,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    # a pair sharing several bands appears once per band; distinct-per-
+    # batch dedup is the consumer's verify join's job (state cannot span
+    # buckets without a second shuffle)
+    return cands
