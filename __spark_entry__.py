@@ -1816,6 +1816,36 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_nll(docs)
 
 
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining §2.5 window-rank family in one query — rank,
+    dense_rank, percent_rank, cume_dist, and lead — over the per-(flag,
+    month) decimal-exact revenue relation (windows run on the aggregate,
+    never the fact table; the rank input is |flags x months| rows).
+    percent_rank/cume_dist are int/int ratios on identical inputs —
+    cross-engine exact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag", F.month("l_shipdate").alias("ship_month")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("revenue", "ship_month")
+    return monthly.select(
+        "l_returnflag",
+        "ship_month",
+        "revenue",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("revenue").over(w).alias("next_revenue"),
+    )
+
+
 def q_text_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality classifier (FineWeb-edu / fastText pattern):
     RegexTokenizer → HashingTF (stateless feature hashing — no
@@ -1969,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "export_manifest": q_export_manifest,
         "unigram_nll": q_unigram_nll,
+        "window_ranks": q_window_ranks,
         # ---- (2) latest driver green is r2 ----
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,
@@ -3845,6 +3876,25 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(SUM(nanonats) AS BIGINT) // CAST(SUM(n_dt) AS BIGINT))
                        / 1e9 AS avg_nll
             FROM scored GROUP BY doc_id
+        """
+
+    sqls["window_ranks"] = """
+            WITH monthly AS (
+                SELECT l_returnflag,
+                       CAST(month(l_shipdate) AS INT) AS ship_month,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                            AS DOUBLE) AS revenue
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_returnflag, ship_month, revenue,
+                   CAST(RANK() OVER w AS INT) AS rnk,
+                   CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume,
+                   LEAD(revenue) OVER w AS next_revenue
+            FROM monthly
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY revenue, ship_month)
         """
 
     sqls["event_transitions"] = """
