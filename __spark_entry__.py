@@ -1816,6 +1816,41 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_nll(docs)
 
 
+def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup consensus: MinHash-LSH pairs UNION SimHash
+    block pairs → connected components. The belt-and-suspenders pattern
+    real curation stacks run, because the signals have disjoint blind
+    spots — planted proof: token-SORTED twins (same token multiset,
+    different order) are invisible to shingle MinHash but hamming-0 for
+    order-free SimHash; tail-suffix twins are the reverse bias. Both
+    signal paths run the cross-engine md5 mode, so the DuckDB oracle
+    replays the ENTIRE consensus (both candidate generators, the union,
+    and the recursive-CTE components) exactly."""
+    from yellowrush_spark_ml_pipeline_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sorted_twins = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.array_sort(tokens(F.col("text"))), " ").alias("text"),
+    )
+    suffix_twins = docs.filter(
+        (F.col("doc_id") >= 15) & (F.col("doc_id") < 30)
+    ).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+    )
+    aug = docs.unionByName(sorted_twins).unionByName(suffix_twins)
+    mh = dedup.minhash_dedup_pairs(
+        aug, jaccard_threshold=0.4, hash_fn="md5", round_digits=None
+    ).select("id_a", "id_b")
+    sims = dedup.simhash(aug, hash_fn="md5")
+    sh = dedup.simhash_candidates(
+        sims, max_hamming=3, blocks=4, bits=60
+    ).select("id_a", "id_b")
+    pairs = mh.unionByName(sh).distinct()
+    return dedup.dedup_groups(pairs)
+
+
 def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining §2.5 window-rank family in one query — rank,
     dense_rank, percent_rank, cume_dist, and lead — over the per-(flag,
@@ -2000,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_manifest": q_export_manifest,
         "unigram_nll": q_unigram_nll,
         "window_ranks": q_window_ranks,
+        "dedup_consensus": q_dedup_consensus,
         # ---- (2) latest driver green is r2 ----
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,
@@ -4083,4 +4119,60 @@ def oracle_sql() -> dict[str, str]:
                    {simhash_terms} AS simhash
             FROM votes
         """
+
+    # dedup_consensus: both md5-mode signal paths + union + components,
+    # replayed end to end. The minhash chain comes from _minhash_ctes
+    # (its `tok` CTE is reused as the simhash token source); the simhash
+    # vote columns reuse the generated 60-bit expressions above.
+    consensus_src = f"""
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 300000,
+                       array_to_string(list_sort(
+                           list_filter(regexp_split_to_array(lower(text), {tokclass}),
+                                       x -> x <> '')), ' ')
+                FROM documents WHERE doc_id < 15
+                UNION ALL
+                SELECT doc_id + 300000, text || ' near duplicate suffix'
+                FROM documents WHERE doc_id >= 15 AND doc_id < 30"""
+    sqls["dedup_consensus"] = (
+        "WITH RECURSIVE " + _minhash_ctes(consensus_src, 0.4)
+        + f""", shx AS (
+                SELECT doc_id, {h60('tt')} AS h
+                FROM (SELECT doc_id, unnest(t) AS tt FROM tok)
+            ), svotes AS (
+                SELECT doc_id,
+                       {simhash_bits}
+                       COUNT(*) AS n
+                FROM shx GROUP BY doc_id
+            ), simfp AS (
+                SELECT doc_id,
+                       {simhash_terms} AS simhash
+                FROM svotes
+            ), sblocks AS (
+                SELECT doc_id, simhash, bl.b,
+                       (simhash >> (15 * bl.b)) & 32767 AS val
+                FROM simfp CROSS JOIN (VALUES (0), (1), (2), (3)) bl(b)
+            ), simc AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sblocks a JOIN sblocks b
+                  ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ), allp AS (
+                SELECT id_a, id_b FROM verified
+                UNION
+                SELECT id_a, id_b FROM simc
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM allp
+                UNION
+                SELECT id_b, id_a FROM allp
+            ), reach(node, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(MIN(label) AS BIGINT) AS group_id
+            FROM reach GROUP BY node"""
+    )
     return sqls

@@ -199,3 +199,32 @@ def test_unigram_nll_rare_tokens_score_higher(spark):
     assert out[1].avg_nll < out[2].avg_nll < out[3].avg_nll
     assert out[3].avg_nll - (-math.log(1 / 18)) < 1e-6
     assert out[1].n_tokens == 6
+
+
+def test_dedup_consensus_signals_have_complementary_blind_spots(spark, sf_oracle):
+    """The consensus claim, proven: token-SORTED twins must be invisible
+    to shingle MinHash (word order destroyed) but hamming-0 for SimHash;
+    the union must group both twin classes."""
+    from yellowrush_spark_ml_pipeline_spark.functions.text import tokens as tok_fn
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    sorted_twins = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.array_sort(tok_fn(F.col("text"))), " ").alias("text"),
+    )
+    aug = docs.unionByName(sorted_twins)
+    mh = dedup.minhash_dedup_pairs(
+        aug, jaccard_threshold=0.4, hash_fn="md5"
+    )
+    mh_pairs = {(r.id_a, r.id_b) for r in mh.collect()}
+    sims = dedup.simhash(aug, hash_fn="md5")
+    sh_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_candidates(
+            sims, max_hamming=3, blocks=4, bits=60
+        ).collect()
+    }
+    twin_pairs = {(d, d + 300000) for d in range(15)}
+    assert not (twin_pairs & mh_pairs), "shingle MinHash should miss sorted twins"
+    assert twin_pairs <= sh_pairs, "order-free SimHash must catch every sorted twin"

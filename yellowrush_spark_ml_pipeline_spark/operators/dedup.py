@@ -523,13 +523,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_candidates(
-    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4,
+    bits: int = 64,
 ) -> DataFrame:
     """Near-dup candidates from simhash via block-permuted exact match: split
-    the 64-bit hash into `blocks` chunks; any pair within `max_hamming < blocks`
-    bits shares at least one identical chunk (pigeonhole), so a self-join per
-    chunk finds all of them without O(n²)."""
-    width = 64 // blocks
+    the ``bits``-wide hash into `blocks` chunks; any pair within `max_hamming <
+    blocks` bits shares at least one identical chunk (pigeonhole), so a
+    self-join per chunk finds all of them without O(n²). ``bits=60`` for
+    fingerprints from the md5 verification mode."""
+    width = bits // blocks
     chunked = sims.select(
         F.col(id_col),
         F.col("simhash"),
