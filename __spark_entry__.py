@@ -1960,6 +1960,151 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity-resolution join (edit distance <= 1) of the
+    corpus's normalized 64-char keys against a perturbed probe set (every
+    third doc, one char substituted mid-key). Blocking is the two-ended
+    pigeonhole (prefix-8 UNION suffix-8 blocks — complete for one edit on
+    keys > 16 chars); verify is Spark's bounded levenshtein. The oracle
+    is the UNBLOCKED quadratic join, so the hash match differentially
+    proves blocking completeness, not just arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, 64
+    )
+    base = docs.select(F.col("doc_id"), key.alias("key")).filter(
+        F.length("key") > 16
+    )
+    left = base.select(F.col("doc_id").alias("id_a"), "key")
+    right = base.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id_b"),
+        F.concat(
+            F.substring("key", 1, 31),
+            F.lit("~"),
+            F.substring(F.col("key"), 33, 64),
+        ).alias("key"),
+    )
+    return dedup.fuzzy_pairs(
+        left, right, key_col="key", left_id="id_a", right_id="id_b",
+        max_dist=1, end_len=8,
+    )
+
+
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type over half-open 10-minute activity
+    intervals — sweep-line (+1/-1 deltas, running sum) in one shuffle;
+    ties collapse under the ANSI RANGE frame identically in any engine."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.interval_concurrency(
+        ev, key_col="event_type", ts_col="ts", duration_minutes=10
+    )
+
+
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: two disjoint halves of events
+    (even/odd event_id — 'yesterday's rollup' and 'today's batch') each
+    collapse to mergeable per-(type, day) state, the states MERGE, and
+    the finalized result must equal a from-scratch aggregation of all
+    rows — which is exactly what the oracle computes. Every state field
+    is a commutative monoid (decimal sums, so merge order can't change a
+    bit); mean is derived only at finalize."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "value",
+        "event_id",
+    )
+    old = base.filter(F.col("event_id") % 2 == 0)
+    new = base.filter(F.col("event_id") % 2 == 1)
+    s_old = aggregates.partial_agg_state(old, ["event_type", "day"], "value")
+    s_new = aggregates.partial_agg_state(new, ["event_type", "day"], "value")
+    return aggregates.finalize_agg_state(
+        aggregates.merge_agg_states(s_old, s_new)
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsetting: top-100 docs by deterministic
+    priority n_chars / u(id) (Duffield priority sampling with a Lehmer-
+    hash uniform) — selection odds scale with weight, yet the surviving
+    row set is engine/partitioning/rerun-invariant and exactly oracled.
+    Plans as TakeOrderedAndProject: no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return cleaning.weighted_priority_sample(
+        docs.select("doc_id", "n_chars"), weight_col="n_chars", k=100
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): customer segment filter rides
+    an AQE broadcast into orders, the orders⋈lineitem equi-join is the
+    one big shuffle, revenue is an exact decimal sum per open order, and
+    the top-10 head is TakeOrderedAndProject — no global sort."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            decimal_sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session engagement metrics (count / exact epoch-second
+    duration / distinct types / bounce flag) over gap-based sessions —
+    sessionize windows + aggregation all keyed on user_id: one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.session_stats(ev, gap_minutes=30)
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: cosine top-20 and L2 top-20 (which rank
+    DIFFERENTLY on unnormalized embeddings) fused by reciprocal-rank
+    fusion into a top-10 — integer-rank arithmetic, fixed-order double
+    adds, no rounding needed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.brute_force_topk(emb, queries_df, k=20)
+    b = similarity.brute_force_topk_l2(emb, queries_df, k=20)
+    return similarity.rrf_fuse(a, b, k=10)
+
+
+_BM25_TERMS = ["hash", "join", "vector"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Lucene idf variant) for a fixed 3-term
+    query: per-term partial scores pivoted to columns and added in
+    literal order (never a row SUM), head via TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bm25_topk(docs, _BM25_TERMS, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001 — the SURVEY.md §7 minimum
     slice: scan → clean → date parts → grouped ratio-of-sums → join-back
@@ -2015,6 +2160,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # testdata every round by the local mirror / test_oracle_parity).
     return {
         # ---- (1) new in round 4: never driver-verified ----
+        "fuzzy_join": q_fuzzy_join,
+        "session_stats": q_session_stats,
+        "rrf_fusion": q_rrf_fusion,
+        "bm25_topk": q_bm25_topk,
+        "max_concurrency": q_max_concurrency,
+        "rollup_merge": q_rollup_merge,
+        "weighted_sample": q_weighted_sample,
+        "shipping_priority": q_shipping_priority,
         "funnel_window": q_funnel_window,
         "pack_efficiency": q_pack_efficiency,
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -4175,4 +4328,233 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(label) AS BIGINT) AS group_id
             FROM reach GROUP BY node"""
     )
+
+    # fuzzy_join: the oracle is the UNBLOCKED quadratic edit-distance
+    # join (length band is a pure optimization — levenshtein <= 1 implies
+    # |len diff| <= 1), so the hash match proves the two-ended blocking
+    # found EVERY pair, not merely that the arithmetic agrees.
+    sqls["fuzzy_join"] = r"""
+            WITH k AS (
+                SELECT doc_id,
+                       substr(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                              1, 64) AS key
+                FROM documents
+            ), base AS (
+                SELECT * FROM k WHERE length(key) > 16
+            ), l AS (
+                SELECT doc_id AS id_a, key FROM base
+            ), r AS (
+                SELECT doc_id AS id_b,
+                       substr(key, 1, 31) || '~' || substr(key, 33) AS key
+                FROM base WHERE doc_id % 3 = 0
+            )
+            SELECT id_a, id_b,
+                   CAST(levenshtein(l.key, r.key) AS INT) AS edit_distance
+            FROM l, r
+            WHERE abs(length(l.key) - length(r.key)) <= 1
+              AND levenshtein(l.key, r.key) <= 1
+        """
+
+    sqls["max_concurrency"] = """
+            WITH deltas AS (
+                SELECT event_type, ts AS t, 1 AS delta FROM events
+                UNION ALL
+                SELECT event_type, ts + INTERVAL 10 MINUTE, -1 FROM events
+            ), cum AS (
+                SELECT event_type, t,
+                       CAST(SUM(delta) OVER (PARTITION BY event_type
+                                             ORDER BY t, delta) AS BIGINT)
+                           AS open_now
+                FROM deltas
+            ), peaked AS (
+                SELECT *, MAX(open_now) OVER (PARTITION BY event_type)
+                              AS peak
+                FROM cum
+            )
+            SELECT event_type,
+                   CAST(MAX(peak) AS BIGINT) AS peak_concurrency,
+                   MIN(t) AS peak_at
+            FROM peaked WHERE open_now = peak
+            GROUP BY event_type
+        """
+
+    # rollup_merge: the oracle recomputes the rollup FROM SCRATCH over
+    # all rows — the hash match proves merge(state(old), state(new)) ==
+    # aggregate(old ∪ new), i.e. the incremental-maintenance contract.
+    sqls["rollup_merge"] = """
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n_rows,
+                   COUNT(value) AS n_vals,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                             AS DECIMAL(38,2)) AS DOUBLE) AS sum_val,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                             AS DECIMAL(38,2)) AS DOUBLE) / COUNT(value)
+                       AS mean_val,
+                   MIN(value) AS min_val,
+                   MAX(value) AS max_val
+            FROM events
+            GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        """
+
+    # weighted_sample: priority = w / u, u = (lehmer(id)+1) / 2^31 —
+    # two IEEE divisions of exactly-representable integers, identical in
+    # any engine; top-k is totally ordered by (priority, id).
+    sqls["weighted_sample"] = """
+            WITH pri AS (
+                SELECT doc_id, n_chars,
+                       CAST(n_chars AS DOUBLE)
+                       / (CAST(((doc_id % 2147483647) * 48271) % 2147483647
+                               + 1 AS DOUBLE) / 2147483648.0) AS priority
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars, priority
+            FROM pri ORDER BY priority DESC, doc_id LIMIT 100
+        """
+
+    sqls["session_stats"] = """
+            WITH s AS (
+                SELECT event_id, user_id, event_type, ts,
+                       CAST(SUM(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
+                FROM (
+                    SELECT event_id, user_id, event_type, ts,
+                           CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                     IS NULL
+                                     OR floor(epoch(ts))
+                                        - floor(epoch(LAG(ts) OVER (
+                                            PARTITION BY user_id
+                                            ORDER BY ts, event_id))) > 1800
+                                THEN 1 ELSE 0 END AS brk
+                    FROM events
+                )
+            )
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts)))
+                        AS BIGINT) AS duration_sec,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(CASE WHEN COUNT(*) = 1 THEN 1 ELSE 0 END AS INT)
+                       AS is_bounce
+            FROM s GROUP BY user_id, session_id
+        """
+
+    _cos = (
+        "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(q.embedding::DOUBLE[],"
+        " q.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(c.embedding::DOUBLE[],"
+        " c.embedding::DOUBLE[])))"
+    )
+    sqls["rrf_fusion"] = f"""
+            WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+            ra AS (
+                SELECT query_id, vec_id, rank FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY ROUND({_cos}, 6) DESC, c.vec_id ASC
+                           ) AS rank
+                    FROM embeddings c CROSS JOIN q
+                ) WHERE rank <= 20
+            ),
+            rb AS (
+                SELECT query_id, vec_id, rank FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY ROUND(list_distance(
+                                   q.embedding::DOUBLE[],
+                                   c.embedding::DOUBLE[]), 6) ASC,
+                                   c.vec_id ASC
+                           ) AS rank
+                    FROM embeddings c CROSS JOIN q
+                ) WHERE rank <= 20
+            ),
+            fused AS (
+                SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+                       COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+                       COALESCE(CAST(1 AS DOUBLE) / (60 + ra.rank),
+                                CAST(0 AS DOUBLE))
+                       + COALESCE(CAST(1 AS DOUBLE) / (60 + rb.rank),
+                                  CAST(0 AS DOUBLE)) AS rrf_score
+                FROM ra FULL OUTER JOIN rb
+                  ON ra.query_id = rb.query_id AND ra.vec_id = rb.vec_id
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank, rrf_score
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY rrf_score DESC, vec_id ASC) AS rank
+                FROM fused
+            ) WHERE rank <= 10
+        """
+
+    _terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    _k1, _b = 1.2, 0.75
+    _sum_terms = " + ".join(f"s{i}" for i in range(len(_BM25_TERMS)))
+    _pivots = ",\n                       ".join(
+        f"COALESCE(SUM(CASE WHEN t = '{t}' THEN s END),"
+        f" CAST(0 AS DOUBLE)) AS s{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    sqls["bm25_topk"] = f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^\\p{{L}}\\p{{N}}]+'), t -> t <> '') AS toks
+                FROM documents
+            ), lens AS (
+                SELECT doc_id, len(toks) AS dl FROM toks
+            ), gstats AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM lens
+            ), tf AS (
+                SELECT doc_id, t, COUNT(*) AS tf FROM (
+                    SELECT doc_id, unnest(toks) AS t FROM toks
+                ) WHERE t IN ({_terms_in}) GROUP BY doc_id, t
+            ), dfreq AS (
+                SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+            ), per_term AS (
+                SELECT tf.doc_id, tf.t,
+                       ln(CAST(1 AS DOUBLE)
+                          + (n - df + CAST(0.5 AS DOUBLE))
+                            / (df + CAST(0.5 AS DOUBLE)))
+                       * ((tf * CAST({_k1 + 1.0!r} AS DOUBLE))
+                          / (tf + CAST({_k1!r} AS DOUBLE)
+                                  * (CAST({1.0 - _b!r} AS DOUBLE)
+                                     + CAST({_b!r} AS DOUBLE)
+                                       * (dl / avgdl)))) AS s
+                FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id)
+                CROSS JOIN gstats
+            ), pivoted AS (
+                SELECT doc_id, COUNT(*) AS n_terms_matched,
+                       {_pivots}
+                FROM per_term GROUP BY doc_id
+            )
+            SELECT doc_id, n_terms_matched,
+                   ROUND({_sum_terms}, 6) AS score
+            FROM pivoted
+            ORDER BY score DESC, doc_id LIMIT 20
+        """
+
+    sqls["shipping_priority"] = """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-07-01'
+              AND l_shipdate > TIMESTAMP '1998-07-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """
     return sqls

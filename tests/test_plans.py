@@ -361,3 +361,92 @@ def test_unigram_nll_broadcasts_total_no_python(spark, sf_small):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     rep = plan_report(df)
     assert not rep["python_udf"]
+
+
+def test_fuzzy_join_no_cartesian_bounded_verify(spark, sf_small):
+    """The ER join must run on block keys (hash join on 8-char blocks),
+    never as a quadratic nested loop; the levenshtein verify stays in
+    codegen (no Python)."""
+    df = entrymod.queries()["fuzzy_join"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+
+
+def test_max_concurrency_single_events_exchange(spark, sf_small):
+    """All three windows (running sum, per-key max, argmin group-by)
+    share the event_type key — Catalyst must plan ONE exchange for the
+    delta relation, plus nothing else."""
+    df = entrymod.queries()["max_concurrency"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 2  # union-delta exchange (+ final tiny agg)
+    assert not rep["python_udf"]
+
+
+def test_rollup_merge_partial_states_then_one_merge(spark, sf_small):
+    """Each half aggregates with map-side combine, the merge re-groups on
+    the same key: bounded exchanges, no joins, no Python."""
+    df = entrymod.queries()["rollup_merge"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 3
+    assert not rep["python_udf"]
+
+
+def test_weighted_sample_takeordered_no_global_sort(spark, sf_small):
+    """Top-k by priority must plan as TakeOrderedAndProject — a global
+    Sort of the corpus would be the 100 TB scale-killer here."""
+    df = entrymod.queries()["weighted_sample"](spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] == 0
+    assert not rep["python_udf"]
+
+
+def test_shipping_priority_pushdown_and_topk(spark, sf_small):
+    """Q3 shape: segment/date filters reach the scans, the head is
+    TakeOrderedAndProject, revenue aggregation is partial+final."""
+    df = entrymod.queries()["shipping_priority"](spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    rep = plan_report(df)
+    assert rep["pushed_filters"]
+    assert not rep["python_udf"]
+
+
+def test_rrf_fusion_joins_only_topk_lists(spark, sf_small):
+    """The fusion join runs on per-query-bounded top-N lists; the only
+    corpus-wide work is the two broadcast-query scoring passes."""
+    df = entrymod.queries()["rrf_fusion"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+
+
+def test_bm25_broadcasts_stats_takeordered_head(spark, sf_small):
+    """df/avgdl enter as broadcasts; the head is TakeOrderedAndProject;
+    no Python anywhere."""
+    df = entrymod.queries()["bm25_topk"](spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+
+
+def test_session_stats_single_user_exchange(spark, sf_small):
+    """Sessionize windows + the session aggregation all key on user_id:
+    ONE events exchange, no joins."""
+    df = entrymod.queries()["session_stats"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 1
+    assert not rep["python_udf"]

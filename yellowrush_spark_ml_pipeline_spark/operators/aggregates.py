@@ -365,3 +365,78 @@ def winsorize_summary(
             F.sum(clipped).cast("decimal(38,8)").cast("double").alias("sum_winsorized"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable partial-aggregate state — incremental rollup maintenance.
+#
+# At 100 TB you do not recompute yesterday's rollup when today's batch
+# lands: you keep an ALGEBRAIC state per group — every field a
+# commutative monoid (sum, count, min, max) — merge the new batch's
+# state into it, and derive the non-mergeable metrics (mean) only at
+# read time. This is the same decomposition Spark itself uses for
+# partial/final hash aggregation, lifted to a persisted table so the
+# merge can happen across days/runs instead of across partitions.
+# ---------------------------------------------------------------------------
+
+
+def partial_agg_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    val_col: str,
+) -> DataFrame:
+    """Collapse rows to per-key mergeable state:
+    (keys..., n_rows, n_vals, sum_val DECIMAL(38,2), min_val, max_val).
+
+    ``sum_val`` is a DECIMAL sum of 2-decimal-quantized values, so merge
+    order can never change the total (float sums are order-dependent;
+    decimal sums are exact integers underneath). One shuffle on ``keys``
+    with map-side combine. AVG is deliberately absent — it is NOT
+    mergeable; derive it in :func:`finalize_agg_state`."""
+    v = F.col(val_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(v).alias("n_vals"),
+        F.sum(v.cast("decimal(12,2)")).cast("decimal(38,2)").alias("sum_val"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of compatible state tables (yesterday's rollup +
+    today's batch + a backfill, ...) into one: union + re-aggregate with
+    each field's own monoid (counts and sums add; min/max take
+    extremes). Idempotent in shape: the output schema equals the input
+    schema, so states chain across arbitrarily many days."""
+    if not states:
+        raise ValueError("merge_agg_states needs at least one state")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns
+            if c not in ("n_rows", "n_vals", "sum_val", "min_val", "max_val")]
+    return merged.groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_vals").alias("n_vals"),
+        F.sum("sum_val").cast("decimal(38,2)").alias("sum_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+
+
+def finalize_agg_state(state: DataFrame) -> DataFrame:
+    """Derive the read-time metrics from mergeable state: mean as ONE
+    exact-decimal-over-int division (cross-engine bit-identical), plus
+    the passthrough monoid fields."""
+    keys = [c for c in state.columns
+            if c not in ("n_rows", "n_vals", "sum_val", "min_val", "max_val")]
+    return state.select(
+        *keys,
+        "n_rows",
+        "n_vals",
+        F.col("sum_val").cast("double").alias("sum_val"),
+        (F.col("sum_val").cast("double") / F.col("n_vals")).alias("mean_val"),
+        "min_val",
+        "max_val",
+    )

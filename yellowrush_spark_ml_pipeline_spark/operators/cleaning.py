@@ -148,3 +148,40 @@ def deterministic_k_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the k
+    rows with the highest priority ``w / u``, where ``u`` is the row's
+    Lehmer-hash uniform in (0, 1] (Duffield et al.'s priority sampling,
+    with the hash standing in for the RNG). A row's selection odds scale
+    with its weight — the quality-weighted corpus subsetting step of a
+    training-data pipeline — yet the surviving row SET is a pure
+    function of the data: engine-, partitioning- and rerun-invariant,
+    hence exactly DuckDB-checkable.
+
+    Arithmetic contract: ``u = (h + 1) / (p + 1)`` and ``w / u`` are two
+    IEEE double divisions of exactly-representable integers — correctly
+    rounded, bit-identical in any engine; ordering ties break on id, so
+    the top-k set is total-ordered. Rows with non-positive or NULL
+    weight are excluded (they'd sort above everything on NULL/inf
+    semantics differences otherwise — the one cross-engine trap here).
+
+    Scale shape: a narrow priority projection + global top-k, which
+    Spark plans as TakeOrderedAndProject (per-partition heaps + one
+    k-row merge at the driver stage) — no global sort of the table."""
+    p = 2_147_483_647
+    h = _lehmer_hash(df, id_col)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(p + 1))
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

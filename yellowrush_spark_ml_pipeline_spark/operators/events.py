@@ -227,6 +227,59 @@ def event_transitions(
     )
 
 
+def interval_concurrency(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    duration_minutes: int = 10,
+) -> DataFrame:
+    """Peak concurrency per key over half-open activity intervals
+    [ts, ts + duration): the classic capacity-planning query (max
+    simultaneously-open sessions / connections / jobs).
+
+    Sweep-line as a window aggregation: each event contributes a +1
+    delta at its start and a -1 delta at its end; the running sum
+    ordered by (time, delta) is the number of open intervals, and its
+    maximum is the peak. Ordering deltas ascending puts -1 closes
+    before +1 opens at the same instant — half-open semantics, so
+    back-to-back intervals never double-count. The default RANGE frame
+    makes simultaneous rows peers sharing one cumulative value, which
+    is both the correct "all open at this instant" reading and
+    engine-order-independent (ties collapse identically in any engine —
+    no row-order nondeterminism to leak into the result).
+
+    Output: (key, peak_concurrency, peak_at = earliest instant the peak
+    is reached). Scale shape: the delta relation is 2x events but only
+    (key, t, delta) wide; ONE shuffle on ``key_col`` covers the running
+    sum, the per-key max, and the argmin — all three windows share the
+    partition key, so Catalyst plans a single exchange."""
+    from pyspark.sql import Window
+
+    start = df.select(
+        F.col(key_col), F.col(ts_col).alias("t"), F.lit(1).alias("delta")
+    )
+    end = df.select(
+        F.col(key_col),
+        (F.col(ts_col) + F.expr(f"INTERVAL {duration_minutes} MINUTES")).alias(
+            "t"
+        ),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = start.unionByName(end)
+    w_run = Window.partitionBy(key_col).orderBy("t", "delta")
+    w_key = Window.partitionBy(key_col)
+    cum = deltas.withColumn("open_now", F.sum("delta").over(w_run))
+    peaked = cum.withColumn("peak", F.max("open_now").over(w_key))
+    return (
+        peaked.filter(F.col("open_now") == F.col("peak"))
+        .groupBy(key_col)
+        .agg(
+            F.max("peak").alias("peak_concurrency"),
+            F.min("t").alias("peak_at"),
+        )
+    )
+
+
 def first_touch_attribution(
     df: DataFrame,
     convert_type: str = "purchase",
@@ -270,4 +323,41 @@ def first_touch_attribution(
                 "attributed_value"
             ),
         )
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-session engagement metrics over gap-based sessions: event
+    count, wall duration, distinct event types, and the bounce flag
+    (single-event session) — the session-quality relation feeding
+    engagement dashboards and on-policy data filtering.
+
+    Composes :func:`streaming.windows.sessionize` (lag + running-sum
+    break detection) with one session-key aggregation. Both the
+    sessionizing windows and the aggregation key on ``user_col`` first,
+    so events shuffle ONCE; duration is an exact epoch-second integer
+    (no float time math)."""
+    from ..streaming.windows import sessionize
+
+    s = sessionize(
+        df,
+        ts_col=ts_col,
+        user_col=user_col,
+        gap_minutes=gap_minutes,
+        tiebreak_col=tiebreak_col,
+    )
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_sec"),
+        F.count_distinct(F.col(type_col)).alias("n_types"),
+        (F.count(F.lit(1)) == 1).cast("int").alias("is_bounce"),
     )

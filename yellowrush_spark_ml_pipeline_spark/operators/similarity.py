@@ -63,6 +63,82 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact Euclidean top-k — the L2 sibling of :func:`brute_force_topk`
+    (nearest = smallest distance, ascending window).
+
+    On unnormalized embeddings L2 and cosine genuinely rank differently
+    (cosine ignores magnitude), which is what makes fusing the two lists
+    (:func:`rrf_fuse`) meaningful. Distance is the sequential-fold
+    ``sqrt(sum((x-y)^2))`` from ``functions.vector`` — order-fixed, so
+    the DuckDB ``list_distance`` oracle reproduces it bit-for-bit."""
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(
+            euclidean_distance(F.col("_qv"), F.col("_cv")), 6
+        ).alias("distance"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "distance")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers' candidate lists — the
+    standard hybrid-retrieval combiner (Cormack et al.): score(d) =
+    Σ_systems 1/(rrf_k + rank_s(d)), robust to incomparable raw scores
+    (cosine vs L2 vs BM25) because only RANKS enter.
+
+    Inputs are (query_id, id, rank) relations (e.g. two ``*_topk``
+    outputs). A candidate missing from one list contributes 0 from it.
+    Determinism: each term is one double division of exact integers and
+    the two terms add in fixed left-to-right order — bit-identical in any
+    engine, no rounding needed; ties break on id.
+
+    Scale shape: one full-outer join on (query, id) — both sides are
+    already tiny top-N lists, per-query-bounded — then a per-query
+    window; the corpus itself never enters."""
+    a = ranked_a.select(query_id_col, id_col, F.col("rank").alias("_ra"))
+    b = ranked_b.select(query_id_col, id_col, F.col("rank").alias("_rb"))
+    joined = a.join(b, [query_id_col, id_col], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("_ra")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("_rb")), F.lit(0.0))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "rrf_score")
+    )
+
+
 def _srp_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
     splitmix-style counter) — reproducible across runs/executors with no

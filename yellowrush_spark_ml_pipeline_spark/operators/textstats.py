@@ -772,3 +772,88 @@ def unigram_nll(
         "n_tokens",
         (F.expr("_su div n_tokens") / F.lit(1e9)).alias("avg_nll"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: top-``k`` docs for a fixed
+    term list, Lucene's non-negative idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Output: (id, n_terms_matched, score) — score rounded to 6 digits
+    (the ln() is the one cross-engine last-ulp risk; every other step is
+    exact-int or fixed-order IEEE arithmetic).
+
+    Determinism of the term SUM: per-term partial scores are pivoted into
+    per-term columns (conditional aggregation over the literal term
+    list) and added LEFT-TO-RIGHT — never F.sum over rows, whose
+    combine order varies with partitioning.
+
+    Scale shape: tokens explode once, filter to the query terms BEFORE
+    the shuffle (the relation shrinks from corpus-tokens to
+    matching-tokens); df/avgdl are tiny broadcast relations; the head is
+    TakeOrderedAndProject. This is the retrieval half of hybrid search —
+    fuse with embedding top-k via ``similarity.rrf_fuse``."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("_toks"))
+    lens = docs.select(F.col(id_col), F.size("_toks").alias("_dl"))
+    # global stats: one 1-row broadcast relation (N, avgdl)
+    glob = lens.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode("_toks").alias("_t"))
+        .filter(F.col("_t").isin(list(query_terms)))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(glob))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    tf_part = (F.col("_tf") * F.lit(k1 + 1.0)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / F.col("_avgdl")))
+    )
+    per_term = scored.select(
+        F.col(id_col), F.col("_t"), (idf * tf_part).alias("_s")
+    )
+    # pivot the literal term list into columns, then fixed-order addition
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("_t") == t, F.col("_s"))), F.lit(0.0)
+        ).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    pivoted = per_term.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"), *aggs
+    )
+    total = F.col("_s0")
+    for i in range(1, len(query_terms)):
+        total = total + F.col(f"_s{i}")
+    return (
+        pivoted.select(
+            F.col(id_col),
+            "n_terms_matched",
+            F.round(total, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -38,8 +38,14 @@ def get_spark(
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local-mode driver == all executors: the 1g JVM default is the
+    # hidden scale ceiling (the sf1 bench pass OOM-killed the gateway on
+    # it). Sized well under the box; on a real cluster the submitter's
+    # --driver-memory/--executor-memory win because the JVM is already up.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
