@@ -2105,6 +2105,64 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_topk(docs, _BM25_TERMS, k=20)
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: word-3-gram Jaccard between
+    source pairs — the corpus diagnostic that decides which feeds need
+    pairwise dedup. Work unit is the distinct (source, gram) relation;
+    the pair aggregation lands on the |sources|^2 key space."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.source_ngram_overlap(docs, ngram_n=3)
+
+
+def q_order_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders maximizing (o_totalprice, o_orderdate):
+    two-level distributed skyline — parallel per-bucket local skylines,
+    then the global pass over the tiny survivor union. The bucket hash
+    prunes but never changes the result, so the single-pass oracle
+    checks the distribution strategy differentially."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.skyline_2d(orders, "o_totalprice", "o_orderdate")
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returned lineitems per customer over one order-date year, top 20 —
+    flag/date filters pushed to the scans, nation pinned broadcast,
+    decimal-exact revenue, TakeOrderedAndProject head."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            decimal_sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001 — the SURVEY.md §7 minimum
     slice: scan → clean → date parts → grouped ratio-of-sums → join-back
@@ -2161,6 +2219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- (1) new in round 4: never driver-verified ----
         "fuzzy_join": q_fuzzy_join,
+        "source_overlap": q_source_overlap,
+        "order_skyline": q_order_skyline,
+        "returned_customers": q_returned_customers,
         "session_stats": q_session_stats,
         "rrf_fusion": q_rrf_fusion,
         "bm25_topk": q_bm25_topk,
@@ -4541,6 +4602,81 @@ def oracle_sql() -> dict[str, str]:
                    ROUND({_sum_terms}, 6) AS score
             FROM pivoted
             ORDER BY score DESC, doc_id LIMIT 20
+        """
+
+    sqls["source_overlap"] = r"""
+            WITH sh AS (
+                SELECT DISTINCT src, g FROM (
+                    SELECT source AS src,
+                           unnest(list_distinct(
+                               CASE WHEN len(t) >= 3 THEN
+                                    list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' '
+                                             || t[i+2])
+                                WHEN len(t) = 0 THEN []
+                                ELSE [array_to_string(t, ' ')] END
+                           )) AS g
+                    FROM (
+                        SELECT source,
+                               list_filter(
+                                   regexp_split_to_array(lower(text),
+                                       '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS t
+                        FROM documents
+                    )
+                )
+            ), totals AS (
+                SELECT src, COUNT(*) AS n FROM sh GROUP BY src
+            ), common AS (
+                SELECT a.src AS source_a, b.src AS source_b,
+                       COUNT(*) AS n_common
+                FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_common,
+                   ta.n AS n_a, tb.n AS n_b,
+                   CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common)
+                       AS jaccard
+            FROM common
+            JOIN totals ta ON ta.src = source_a
+            JOIN totals tb ON tb.src = source_b
+        """
+
+    # order_skyline: the oracle is the direct single-pass skyline over
+    # the distinct point set — bucketing in the engine prunes but can
+    # never change the frontier, so the hash match checks the
+    # distributed strategy, not just the arithmetic.
+    sqls["order_skyline"] = """
+            WITH pts AS (
+                SELECT o_totalprice, o_orderdate, COUNT(*) AS n_rows
+                FROM orders GROUP BY 1, 2
+            ), marked AS (
+                SELECT *,
+                       MAX(o_orderdate) OVER (
+                           ORDER BY o_totalprice DESC, o_orderdate DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS cm
+                FROM pts
+            )
+            SELECT o_totalprice, o_orderdate, n_rows
+            FROM marked WHERE cm IS NULL OR cm < o_orderdate
+        """
+
+    sqls["returned_customers"] = """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """
 
     sqls["shipping_priority"] = """

@@ -450,3 +450,38 @@ def test_session_stats_single_user_exchange(spark, sf_small):
     rep = plan_report(df)
     assert rep["exchanges"] <= 1
     assert not rep["python_udf"]
+
+
+def test_source_overlap_broadcast_totals_no_doc_quadratic(spark, sf_small):
+    """The gram self-join must be an equi-join on the gram key (hash
+    join), totals enter broadcast; nothing quadratic in documents."""
+    df = entrymod.queries()["source_overlap"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+
+
+def test_order_skyline_global_window_after_local_prune(spark, sf_small):
+    """Two-level skyline: the parallel bucket window precedes the
+    single-partition global window, so the global exchange only ever
+    carries local-skyline survivors."""
+    df = entrymod.queries()["order_skyline"](spark, sf_small)
+    plan = explain_str(df)
+    # bucket pass (hashpartitioning on _b) must appear BEFORE the
+    # SinglePartition exchange in the plan text
+    bucket_pos = plan.find("hashpartitioning(_b")
+    single_pos = plan.find("SinglePartition")
+    assert bucket_pos != -1 and single_pos != -1
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+
+
+def test_returned_customers_pushdown_broadcast_topk(spark, sf_small):
+    df = entrymod.queries()["returned_customers"](spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    rep = plan_report(df)
+    assert rep["pushed_filters"]
+    assert not rep["python_udf"]

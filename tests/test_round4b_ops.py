@@ -345,3 +345,69 @@ def test_session_stats_planted_sessions(spark):
     assert got[1]["n_types"] == 2
     assert got[1]["is_bounce"] == 0
     assert got[2]["n_events"] == 1 and got[2]["is_bounce"] == 1
+
+
+# --------------------------------------------------- source_ngram_overlap
+
+
+def test_source_overlap_planted_shared_grams(spark):
+    """Sources A and B share a 5-token banner (three 3-grams); C is
+    disjoint. Only the (A, B) pair appears, with exact counts."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        source_ngram_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "the shared banner text here plus alpha beta"),
+            (2, "B", "the shared banner text here plus gamma delta"),
+            (3, "C", "totally different words in every position now"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = source_ngram_overlap(docs, ngram_n=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("A", "B")
+    # shared grams: the 4 overlapping 3-grams of the 6 shared tokens
+    # "the shared banner text here plus"
+    assert r.n_common == 4
+    assert r.n_a == 6 and r.n_b == 6  # 8 tokens -> 6 grams each
+    assert r.jaccard == 4 / (6 + 6 - 4)
+
+
+# ------------------------------------------------------------- skyline_2d
+
+
+def test_skyline_2d_hand_frontier(spark):
+    """Points (1,5) (3,3) (5,1) form the frontier; (2,2) and (3,3)-dup
+    and (1,4) are dominated or merged."""
+    from yellowrush_spark_ml_pipeline_spark.operators.aggregates import skyline_2d
+
+    pts = [(1, 5), (3, 3), (5, 1), (2, 2), (1, 4), (3, 3)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = {(r.x, r.y): r.n_rows for r in skyline_2d(df, "x", "y").collect()}
+    assert out == {(1, 5): 1, (3, 3): 2, (5, 1): 1}
+
+
+def test_skyline_2d_bucket_invariance(spark):
+    """The frontier is identical for any bucket count — the hash prunes,
+    never changes the result."""
+    from yellowrush_spark_ml_pipeline_spark.operators.aggregates import skyline_2d
+
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(500)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    a = {(r.x, r.y) for r in skyline_2d(df, "x", "y", buckets=1).collect()}
+    b = {(r.x, r.y) for r in skyline_2d(df, "x", "y", buckets=64).collect()}
+    # brute-force reference
+    want = {
+        (x, y)
+        for x, y in set(pts)
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y)) for x2, y2 in pts
+        )
+    }
+    assert a == b == want

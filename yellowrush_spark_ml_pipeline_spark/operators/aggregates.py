@@ -440,3 +440,46 @@ def finalize_agg_state(state: DataFrame) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Pareto frontier maximizing BOTH columns: the points no other row
+    beats on x and y simultaneously (domination = >= on both, > on one).
+    Output: the distinct frontier points with their row counts.
+
+    Distributed shape — the classic two-level skyline: a globally
+    undominated point is undominated in every subset, so (1) points
+    hash into ``buckets`` and each bucket computes its LOCAL skyline in
+    parallel (sort by (x desc, y desc); a point survives iff every
+    preceding point's y is smaller — after (x, y) dedup that predicate
+    is exactly non-domination), then (2) the same pass runs globally on
+    the tiny survivor union. The global window IS single-partition, but
+    it only ever sees local-skyline survivors — never the fact table.
+    The bucket hash never affects the RESULT (only the pruning), which
+    is why a direct single-pass oracle can check this differentially."""
+    from pyspark.sql import Window
+
+    pts = df.groupBy(x_col, y_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    bucketed = pts.withColumn(
+        "_b", F.pmod(F.xxhash64(x_col, y_col), F.lit(buckets))
+    )
+
+    def survivors(frame: DataFrame, w: "Window") -> DataFrame:
+        cm = F.max(y_col).over(
+            w.orderBy(F.col(x_col).desc(), F.col(y_col).desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        return (
+            frame.withColumn("_cm", cm)
+            .filter(F.col("_cm").isNull() | (F.col("_cm") < F.col(y_col)))
+            .drop("_cm")
+        )
+
+    local = survivors(bucketed, Window.partitionBy("_b")).drop("_b")
+    return survivors(local, Window.partitionBy())

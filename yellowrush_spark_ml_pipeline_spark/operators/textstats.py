@@ -857,3 +857,63 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: word-``ngram_n``-gram Jaccard
+    between every pair of sources that share at least one gram — the
+    corpus-level dedup diagnostic (which crawls/feeds duplicate each
+    other) that decides WHICH sources need the pairwise dedup tiers.
+
+    Output: (source_a, source_b, n_common, n_a, n_b, jaccard) with
+    source_a < source_b; all counts exact integers, jaccard one
+    long/long IEEE division.
+
+    Scale shape: the unit of work is the DISTINCT (source, gram)
+    relation — per-doc ``array_distinct`` shrinks grams before the
+    distinct shuffle, grams travel as strings only into the gram-keyed
+    equi-join, and the pair aggregation lands on the tiny
+    |sources|^2 key space. Per-source totals are a broadcast. Nothing
+    is quadratic in documents — only in SOURCES, which is the point of
+    the rollup."""
+    from ..functions.text import shingles
+
+    grams = df.select(
+        F.col(source_col).alias("_src"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), ngram_n))
+        ).alias("_g"),
+    ).distinct()
+    totals = grams.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    a = grams.select(F.col("_src").alias("source_a"), "_g")
+    b = grams.select(F.col("_src").alias("source_b"), "_g")
+    common = (
+        a.join(b, "_g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = F.broadcast(totals.select(F.col("_src").alias("source_a"),
+                                   F.col("_n").alias("n_a")))
+    tb = F.broadcast(totals.select(F.col("_src").alias("source_b"),
+                                   F.col("_n").alias("n_b")))
+    return (
+        common.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
