@@ -621,3 +621,43 @@ def test_dup_ngram_spans_matches_python_model(spark, docs):
             if p is not None:
                 run.append(p)
     assert got == expected
+
+
+# ------------------------------------------------------------- fuzzy_pairs
+
+
+@given(
+    base=st.text(alphabet="abcdefg ", min_size=20, max_size=60),
+    edit_kind=st.sampled_from(["sub", "ins", "del", "none"]),
+    pos_frac=st.floats(min_value=0.0, max_value=1.0),
+    data=st.data(),
+)
+@_SETTINGS
+def test_fuzzy_pairs_blocking_complete_for_any_single_edit(
+    spark, base, edit_kind, pos_frac, data
+):
+    """The two-ended pigeonhole blocking must find the pair for ANY
+    single edit at ANY position (the completeness theorem the oracle
+    also checks, here exercised on arbitrary strings/edit sites)."""
+    from yellowrush_spark_ml_pipeline_spark.operators.dedup import fuzzy_pairs
+
+    if len(base) <= 17:
+        base = base + "x" * (18 - len(base))
+    pos = min(int(pos_frac * len(base)), len(base) - 1)
+    ch = data.draw(st.sampled_from("xyz"))  # outside the base alphabet+space? z not in alphabet
+    if edit_kind == "sub":
+        edited = base[:pos] + ch + base[pos + 1 :]
+    elif edit_kind == "ins":
+        edited = base[:pos] + ch + base[pos:]
+    elif edit_kind == "del":
+        edited = base[:pos] + base[pos + 1 :]
+    else:
+        edited = base
+    if len(edited) <= 17:
+        return  # deletion shrank below the operator's length contract
+    left = spark.createDataFrame([(1, base)], "id_a long, key string")
+    right = spark.createDataFrame([(2, edited)], "id_b long, key string")
+    got = fuzzy_pairs(left, right, "key", "id_a", "id_b").collect()
+    want_dist = 0 if edited == base else 1
+    assert len(got) == 1
+    assert got[0].edit_distance == want_dist
