@@ -1825,10 +1825,21 @@ def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free SimHash; tail-suffix twins are the reverse bias. Both
     signal paths run the cross-engine md5 mode, so the DuckDB oracle
     replays the ENTIRE consensus (both candidate generators, the union,
-    and the recursive-CTE components) exactly."""
+    and the recursive-CTE components) exactly.
+
+    Input is bounded to the planted region (doc_id < 1000): this query
+    verifies the consensus MECHANISM against its planted blind-spot
+    proof; the corpus-proportional scaling of each ingredient is already
+    measured by the standalone minhash_dedup / simhash / dedup_groups
+    entries, and an unbounded low-threshold (0.4) consensus over the
+    random-vocabulary corpus only multiplies fixed-cost CC sweeps over
+    accidental-collision chains (measured 50 s at sf0.1 — an outlier
+    that taught nothing the standalone entries don't)."""
     from yellowrush_spark_ml_pipeline_spark.functions.text import tokens
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 1000
+    )
     sorted_twins = docs.filter(F.col("doc_id") < 15).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.array_join(F.array_sort(tokens(F.col("text"))), " ").alias("text"),
@@ -2163,6 +2174,21 @@ def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-configuration MinHash dedup pairs (xxhash64 hashing,
+    the default every non-verification caller gets) — registered so the
+    bench measures the fast path alongside the md5 verification mode
+    that `minhash_dedup` times (~1.4x slower by design; SCALE.md
+    "Cross-engine dedup verification").
+
+    Rows-only: xxhash64 is Spark-specific, so no DuckDB oracle exists
+    for this configuration BY CONSTRUCTION — its correctness rides the
+    plan-identical md5 twin's oracle plus the planted-duplicate recall
+    tests (tests/test_extensions.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, jaccard_threshold=0.7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001 — the SURVEY.md §7 minimum
     slice: scan → clean → date parts → grouped ratio-of-sums → join-back
@@ -2349,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_metrics": q_text_classifier_metrics,
         "compression_ratio": q_compression_ratio,
         "media_probe": q_media_probe,
+        "minhash_dedup_fast": q_minhash_dedup_fast,
     }
 
 
@@ -4339,7 +4366,7 @@ def oracle_sql() -> dict[str, str]:
     # (its `tok` CTE is reused as the simhash token source); the simhash
     # vote columns reuse the generated 60-bit expressions above.
     consensus_src = f"""
-                SELECT doc_id, text FROM documents
+                SELECT doc_id, text FROM documents WHERE doc_id < 1000
                 UNION ALL
                 SELECT doc_id + 300000,
                        array_to_string(list_sort(
