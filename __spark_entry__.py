@@ -2174,6 +2174,24 @@ def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert histogram (first view → first purchase): one
+    conditional aggregation per user, exact epoch-second lags bucketed
+    by integer division — the funnel-velocity distribution."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.conversion_lag(
+        ev, start_type="view", convert_type="purchase", bucket_minutes=60
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty score per document: fraction of its distinct
+    8-grams no earlier doc contains — first-seer min-id aggregation on
+    md5-hashed gram keys, join-back, per-doc exact counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.ngram_novelty(docs, ngram_n=8)
+
+
 def q_minhash_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION-configuration MinHash dedup pairs (xxhash64 hashing,
     the default every non-verification caller gets) — registered so the
@@ -2245,6 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- (1) new in round 4: never driver-verified ----
         "fuzzy_join": q_fuzzy_join,
+        "conversion_lag": q_conversion_lag,
+        "ngram_novelty": q_ngram_novelty,
         "source_overlap": q_source_overlap,
         "order_skyline": q_order_skyline,
         "returned_customers": q_returned_customers,
@@ -4629,6 +4649,59 @@ def oracle_sql() -> dict[str, str]:
                    ROUND({_sum_terms}, 6) AS score
             FROM pivoted
             ORDER BY score DESC, doc_id LIMIT 20
+        """
+
+    sqls["conversion_lag"] = """
+            WITH pu AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END)
+                           AS t_start,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS t_conv
+                FROM events GROUP BY user_id
+            ), conv AS (
+                SELECT floor(epoch(t_conv)) - floor(epoch(t_start))
+                           AS lag_sec
+                FROM pu
+                WHERE t_start IS NOT NULL AND t_conv IS NOT NULL
+                  AND floor(epoch(t_conv)) - floor(epoch(t_start)) >= 0
+            )
+            SELECT CAST(floor(lag_sec / 3600) AS BIGINT) AS lag_bucket,
+                   COUNT(*) AS n_users,
+                   CAST(MIN(lag_sec) AS BIGINT) AS min_lag_sec,
+                   CAST(MAX(lag_sec) AS BIGINT) AS max_lag_sec
+            FROM conv GROUP BY 1
+        """
+
+    sqls["ngram_novelty"] = f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           {tokclass}), x -> x <> '') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 8 THEN
+                                list_transform(range(1, len(t) - 6),
+                                    i -> {gram8})
+                            WHEN len(t) = 0 THEN []
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM tok
+            ), g AS (
+                SELECT doc_id, {h60('gg')} AS h FROM (
+                    SELECT DISTINCT doc_id, unnest(s) AS gg FROM sh
+                )
+            ), first_seen AS (
+                SELECT h, MIN(doc_id) AS fs FROM g GROUP BY h
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN fs = doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST(SUM(CASE WHEN fs = doc_id THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) AS novelty
+            FROM g JOIN first_seen USING (h)
+            GROUP BY doc_id
         """
 
     sqls["source_overlap"] = r"""

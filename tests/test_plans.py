@@ -485,3 +485,24 @@ def test_returned_customers_pushdown_broadcast_topk(spark, sf_small):
     rep = plan_report(df)
     assert rep["pushed_filters"]
     assert not rep["python_udf"]
+
+
+def test_conversion_lag_single_events_exchange(spark, sf_small):
+    """Both first-touch timestamps come from ONE conditional aggregation:
+    a single events exchange plus the tiny bucket group-by; no joins."""
+    df = entrymod.queries()["conversion_lag"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 2
+    assert not rep["python_udf"]
+
+
+def test_ngram_novelty_hash_keys_only_no_cartesian(spark, sf_small):
+    """Gram text never shuffles — the first-seer aggregation and the
+    join-back both key on the 8-byte md5 hash."""
+    df = entrymod.queries()["ngram_novelty"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]

@@ -411,3 +411,53 @@ def test_skyline_2d_bucket_invariance(spark):
         )
     }
     assert a == b == want
+
+
+# --------------------------------------------------------- conversion_lag
+
+
+def test_conversion_lag_planted(spark):
+    """User 1 converts 90 min after first view (bucket 1), user 2 in 10
+    min (bucket 0), user 3 never converts, user 4 converts BEFORE any
+    view (excluded by the lag >= 0 guard)."""
+    from yellowrush_spark_ml_pipeline_spark.operators.events import conversion_lag
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, 1, "view"), (2, 90, 1, "purchase"),
+        (3, 0, 2, "view"), (4, 10, 2, "purchase"),
+        (5, 0, 3, "view"),
+        (6, 0, 4, "purchase"), (7, 10, 4, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=m), u, t) for i, m, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {r.lag_bucket: r.asDict() for r in conversion_lag(ev).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_users"] == 1 and got[0]["min_lag_sec"] == 600
+    assert got[1]["n_users"] == 1 and got[1]["min_lag_sec"] == 5400
+
+
+# ---------------------------------------------------------- ngram_novelty
+
+
+def test_ngram_novelty_first_seer_gets_credit(spark):
+    """Doc 1 is all-novel (first seer); doc 2 copies doc 1 exactly
+    (novelty 0); doc 3 is half-copy half-new."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import ngram_novelty
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"            # 2 distinct 8-grams
+    fresh = "n1 n2 n3 n4 n5 n6 n7 n8 n9"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, a + " " + fresh)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in ngram_novelty(docs, ngram_n=8).collect()}
+    assert got[1]["n_grams"] == 2 and got[1]["novelty"] == 1.0
+    assert got[2]["novelty"] == 0.0
+    # doc 3: 11 grams total (18 tokens -> 11 8-grams); the first 2 are
+    # doc 1's, the other 9 cross into the fresh tail -> novel
+    assert got[3]["n_grams"] == 11
+    assert got[3]["n_novel"] == 9
+    assert got[3]["novelty"] == 9 / 11

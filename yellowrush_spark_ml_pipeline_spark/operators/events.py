@@ -361,3 +361,47 @@ def session_stats(
         F.count_distinct(F.col(type_col)).alias("n_types"),
         (F.count(F.lit(1)) == 1).cast("int").alias("is_bounce"),
     )
+
+
+def conversion_lag(
+    df: DataFrame,
+    start_type: str = "view",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    ``start_type`` precedes their first ``convert_type``, the lag is
+    bucketed into ``bucket_minutes`` bins → (lag_bucket, n_users,
+    min/max_lag_sec) — the funnel-velocity histogram.
+
+    One conditional aggregation computes both first-touch timestamps
+    per user (map-side combine, single events shuffle); the lag is an
+    exact epoch-second integer, bucketed by integer division — no float
+    time math anywhere, so the histogram is bit-identical in any
+    engine."""
+    per_user = df.groupBy(user_col).agg(
+        F.min(
+            F.when(F.col(type_col) == start_type, F.col(ts_col))
+        ).alias("_t_start"),
+        F.min(
+            F.when(F.col(type_col) == convert_type, F.col(ts_col))
+        ).alias("_t_conv"),
+    )
+    lag = (
+        F.unix_timestamp(F.col("_t_conv"))
+        - F.unix_timestamp(F.col("_t_start"))
+    )
+    converted = per_user.filter(
+        F.col("_t_start").isNotNull()
+        & F.col("_t_conv").isNotNull()
+        & (lag >= 0)
+    ).select(lag.alias("_lag_sec"))
+    bucket = F.floor(F.col("_lag_sec") / (bucket_minutes * 60))
+    return converted.groupBy(bucket.alias("lag_bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("_lag_sec").alias("min_lag_sec"),
+        F.max("_lag_sec").alias("max_lag_sec"),
+    )

@@ -917,3 +917,49 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Marginal-novelty score: the fraction of each document's distinct
+    word-``ngram_n``-grams that NO earlier document (smaller id — stand-in
+    for crawl order) contains. The data-valuation signal behind
+    dedup-aware sampling: a doc that restates the corpus scores ~0, novel
+    content scores ~1; streaming pipelines use it to price incoming
+    batches before paying to store them.
+
+    Output: (id, n_grams, n_novel, novelty) — counts exact, novelty one
+    long/long IEEE division.
+
+    Scale shape: one posexplode of per-doc DISTINCT grams; grams travel
+    as ``md5_hash60`` keys (never text) into a single combinable
+    min-id aggregation (first-seer per gram), then a semi-ish join back
+    on the gram key and a per-doc count — two shuffles total, nothing
+    quadratic. The same pass at 100 TB prices a daily batch against the
+    persisted first-seer table instead of recomputing it."""
+    from ..functions.hashing import md5_hash60
+    from ..functions.text import shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), ngram_n))
+        ).alias("_g"),
+    ).select(F.col(id_col), md5_hash60(F.col("_g")).alias("_h"))
+    first_seen = grams.groupBy("_h").agg(F.min(id_col).alias("_first"))
+    scored = grams.join(first_seen, "_h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+        ).alias("n_novel"),
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_grams",
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+    )
