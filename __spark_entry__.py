@@ -2192,6 +2192,25 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ngram_novelty(docs, ngram_n=8)
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-month lineitem checksum (row count + XOR of
+    a cross-engine md5 row hash) — the O(|groups|)-output migration
+    parity audit; any single-row difference flips its group's checksum."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("ship_month", F.month("l_shipdate"))
+        # doubles render differently across engines (Java Double.toString
+        # vs Ryu); DECIMAL renders identically, so money/measure columns
+        # enter the canonical string as DECIMAL
+        .withColumn("l_quantity", F.col("l_quantity").cast("decimal(12,2)"))
+    )
+    return aggregates.table_checksum(
+        li,
+        cols=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+        group_cols=["ship_month"],
+    )
+
+
 def q_minhash_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION-configuration MinHash dedup pairs (xxhash64 hashing,
     the default every non-verification caller gets) — registered so the
@@ -2263,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- (1) new in round 4: never driver-verified ----
         "fuzzy_join": q_fuzzy_join,
+        "table_checksum": q_table_checksum,
         "conversion_lag": q_conversion_lag,
         "ngram_novelty": q_ngram_novelty,
         "source_overlap": q_source_overlap,
@@ -4649,6 +4669,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND({_sum_terms}, 6) AS score
             FROM pivoted
             ORDER BY score DESC, doc_id LIMIT 20
+        """
+
+    _null_token = "chr(1) || 'NULL'"
+    _canon = (
+        "concat_ws(chr(0), "
+        f"COALESCE(CAST(l_orderkey AS VARCHAR), {_null_token}), "
+        f"COALESCE(CAST(l_linenumber AS VARCHAR), {_null_token}), "
+        f"COALESCE(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR), {_null_token}), "
+        f"COALESCE(CAST(l_returnflag AS VARCHAR), {_null_token}))"
+    )
+    sqls["table_checksum"] = f"""
+            SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+                   COUNT(*) AS n_rows,
+                   CAST(bit_xor({h60(_canon)}) AS BIGINT) AS checksum
+            FROM lineitem
+            GROUP BY 1
         """
 
     sqls["conversion_lag"] = """

@@ -32,13 +32,15 @@ def materialize(df) -> None:
 
 
 def run_suite(
-    spark, entrymod, sf_dir: str, retime_under: float = 2.0
+    spark, entrymod, sf_dir: str, retime_under: float = 5.0
 ) -> tuple[dict[str, float], dict[str, str]]:
     """Time every registered query once; queries finishing under
     ``retime_under`` seconds are re-run twice more and the MEDIAN is
-    reported, so sub-second plans aren't polluted by the ~1 s single-shot
-    noise floor (scheduler jitter, GC, page cache) and regressions stay
-    attributable to plan changes."""
+    reported, so mid-weight plans aren't polluted by single-shot noise
+    (scheduler jitter, GC, page cache — measured swinging a 2 s query to
+    5+ s between runs) and regressions stay attributable to plan
+    changes. Genuinely heavy queries (>= the threshold) stay single-shot
+    to bound total bench wall time."""
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in entrymod.queries().items():

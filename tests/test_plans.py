@@ -506,3 +506,14 @@ def test_ngram_novelty_hash_keys_only_no_cartesian(spark, sf_small):
     assert "CartesianProduct" not in plan
     rep = plan_report(df)
     assert not rep["python_udf"]
+
+
+def test_table_checksum_single_combinable_aggregation(spark, sf_small):
+    """One scan, one partial+final aggregation on the group key — the
+    O(|groups|) parity audit must never join or sort."""
+    df = entrymod.queries()["table_checksum"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Join" not in plan and "Sort" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 1
+    assert not rep["python_udf"]

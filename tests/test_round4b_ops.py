@@ -461,3 +461,52 @@ def test_ngram_novelty_first_seer_gets_credit(spark):
     assert got[3]["n_grams"] == 11
     assert got[3]["n_novel"] == 9
     assert got[3]["novelty"] == 9 / 11
+
+
+# --------------------------------------------------------- table_checksum
+
+
+def test_table_checksum_detects_single_row_change(spark):
+    """Parity audit property: identical tables agree per group; flipping
+    ONE value flips exactly that group's checksum (n_rows unchanged),
+    and row ORDER never matters."""
+    rows = [(1, "a", 10.0, "g1"), (2, "b", 20.0, "g1"), (3, "c", 30.0, "g2")]
+    schema = "id long, s string, v double, grp string"
+    df = spark.createDataFrame(rows, schema)
+    base = {
+        r.grp: (r.n_rows, r.checksum)
+        for r in aggregates.table_checksum(
+            df, ["id", "s", "v"], ["grp"]
+        ).collect()
+    }
+    shuffled = spark.createDataFrame(list(reversed(rows)), schema).repartition(7)
+    same = {
+        r.grp: (r.n_rows, r.checksum)
+        for r in aggregates.table_checksum(
+            shuffled, ["id", "s", "v"], ["grp"]
+        ).collect()
+    }
+    assert base == same
+    mutated = spark.createDataFrame(
+        [(1, "a", 10.5, "g1"), (2, "b", 20.0, "g1"), (3, "c", 30.0, "g2")],
+        schema,
+    )
+    diff = {
+        r.grp: (r.n_rows, r.checksum)
+        for r in aggregates.table_checksum(
+            mutated, ["id", "s", "v"], ["grp"]
+        ).collect()
+    }
+    assert diff["g2"] == base["g2"]
+    assert diff["g1"][0] == base["g1"][0] and diff["g1"][1] != base["g1"][1]
+
+
+def test_table_checksum_null_vs_empty_distinct(spark):
+    """NULL and '' must hash differently (the classic canonicalization
+    trap), and a global (ungrouped) checksum works."""
+    a = spark.createDataFrame([(1, None)], "id long, s string")
+    b = spark.createDataFrame([(1, "")], "id long, s string")
+    ca = aggregates.table_checksum(a, ["id", "s"]).collect()[0]
+    cb = aggregates.table_checksum(b, ["id", "s"]).collect()[0]
+    assert ca.n_rows == cb.n_rows == 1
+    assert ca.checksum != cb.checksum

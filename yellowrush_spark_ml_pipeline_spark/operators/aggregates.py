@@ -483,3 +483,39 @@ def skyline_2d(
 
     local = survivors(bucketed, Window.partitionBy("_b")).drop("_b")
     return survivors(local, Window.partitionBy())
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Order-independent table checksum for migration/CDC parity audits:
+    per group (or globally), the row count and the XOR-aggregate of a
+    cross-engine md5 row hash over ``cols`` — two tables agree iff
+    (n_rows, checksum) agree per group, with O(|groups|) output instead
+    of the O(rows) a full `full_outer_reconcile` ships.
+
+    XOR is the right monoid here: commutative/associative (partition
+    order can't change it), overflow-free (no ANSI sum wraparound), and
+    any single-row difference flips it with probability 1 - 2^-60.
+    The row hash is ``md5_hash60`` of a NUL-delimited canonical string
+    (NULL encoded distinctly from the empty string), so DuckDB replays
+    it bit-for-bit. One combinable aggregation — map-side partials
+    collapse rows before the (tiny) group exchange."""
+    from ..functions.hashing import md5_hash60
+
+    canonical = F.concat_ws(
+        "\x00",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL"))
+            for c in cols
+        ],
+    )
+    row_hash = md5_hash60(canonical)
+    keys = [F.col(k) for k in group_cols]
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(row_hash).alias("checksum"),
+    ]
+    return df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
