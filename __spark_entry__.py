@@ -2192,6 +2192,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ngram_novelty(docs, ngram_n=8)
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (ordered event-type sequences, 5-step
+    truncation) over gap-based sessions — one events shuffle shared by
+    sessionize and the path aggregation, TakeOrderedAndProject head."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-month lineitem checksum (row count + XOR of
     a cross-engine md5 row hash) — the O(|groups|)-output migration
@@ -2283,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (1) new in round 4: never driver-verified ----
         "fuzzy_join": q_fuzzy_join,
         "table_checksum": q_table_checksum,
+        "top_paths": q_top_paths,
         "conversion_lag": q_conversion_lag,
         "ngram_novelty": q_ngram_novelty,
         "source_overlap": q_source_overlap,
@@ -4669,6 +4678,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND({_sum_terms}, 6) AS score
             FROM pivoted
             ORDER BY score DESC, doc_id LIMIT 20
+        """
+
+    sqls["top_paths"] = """
+            WITH s AS (
+                SELECT event_id, user_id, event_type, ts,
+                       CAST(SUM(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
+                FROM (
+                    SELECT event_id, user_id, event_type, ts,
+                           CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                     IS NULL
+                                     OR floor(epoch(ts))
+                                        - floor(epoch(LAG(ts) OVER (
+                                            PARTITION BY user_id
+                                            ORDER BY ts, event_id))) > 1800
+                                THEN 1 ELSE 0 END AS brk
+                    FROM events
+                )
+            ), paths AS (
+                SELECT user_id, session_id,
+                       array_to_string(
+                           list_slice(
+                               list(event_type ORDER BY ts, event_id),
+                               1, 5),
+                           '>') AS path
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT path, COUNT(*) AS n_sessions
+            FROM paths GROUP BY path
+            ORDER BY n_sessions DESC, path ASC LIMIT 20
         """
 
     _null_token = "chr(1) || 'NULL'"

@@ -405,3 +405,60 @@ def conversion_lag(
         F.min("_lag_sec").alias("min_lag_sec"),
         F.max("_lag_sec").alias("max_lag_sec"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    k: int = 20,
+    max_len: int = 5,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Top-k session paths: the most common ordered event-type sequences
+    (truncated to ``max_len`` steps) across gap-based sessions — the
+    "what do users actually do" query behind navigation analysis.
+
+    Sessionization and the per-session path construction share the
+    ``user_col`` key (one events shuffle); paths are built with an
+    ordered collect inside the session aggregation — deterministic via
+    the (ts, id) sort key — then counted on the (small) distinct-path
+    key space with a TakeOrderedAndProject head. Per-session state is
+    bounded by ``max_len`` (slice before join), so a runaway session
+    can't fatten a row."""
+    from pyspark.sql import Window
+
+    from ..streaming.windows import sessionize
+
+    s = sessionize(
+        df, ts_col=ts_col, user_col=user_col,
+        gap_minutes=gap_minutes, tiebreak_col=id_col,
+    )
+    paths = (
+        s.groupBy(user_col, "session_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(ts_col, id_col, type_col)
+                            )
+                        ),
+                        lambda e: e[type_col],
+                    ),
+                    1,
+                    max_len,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(k)
+    )
