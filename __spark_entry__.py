@@ -2200,6 +2200,22 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_co_visitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 session co-visitation event-type pairs (canonical a<b
+    orientation, exact integer counts) — sessionize + distinct + pair
+    self-join all keyed on (user, session), one events shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.co_visitation(ev, k=30, gap_minutes=30)
+
+
+def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(p_source || p_corpus) over unigram token
+    distributions, integer-nanonat accumulation (the unigram_nll
+    exactness formulation) — ingest-drift monitoring."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.source_kl_drift(docs)
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-month lineitem checksum (row count + XOR of
     a cross-engine md5 row hash) — the O(|groups|)-output migration
@@ -2290,6 +2306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- (1) new in round 4: never driver-verified ----
         "fuzzy_join": q_fuzzy_join,
+        "co_visitation": q_co_visitation,
+        "source_kl_drift": q_source_kl_drift,
         "table_checksum": q_table_checksum,
         "top_paths": q_top_paths,
         "conversion_lag": q_conversion_lag,
@@ -4711,6 +4729,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, COUNT(*) AS n_sessions
             FROM paths GROUP BY path
             ORDER BY n_sessions DESC, path ASC LIMIT 20
+        """
+
+    sqls["co_visitation"] = """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       CAST(SUM(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
+                FROM (
+                    SELECT event_id, user_id, event_type, ts,
+                           CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                     IS NULL
+                                     OR floor(epoch(ts))
+                                        - floor(epoch(LAG(ts) OVER (
+                                            PARTITION BY user_id
+                                            ORDER BY ts, event_id))) > 1800
+                                THEN 1 ELSE 0 END AS brk
+                    FROM events
+                )
+            ), present AS (
+                SELECT DISTINCT user_id, session_id, event_type FROM s
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_sessions
+            FROM present a JOIN present b
+              ON a.user_id = b.user_id
+             AND a.session_id = b.session_id
+             AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+            ORDER BY n_sessions DESC, type_a ASC, type_b ASC
+            LIMIT 30
+        """
+
+    sqls["source_kl_drift"] = """
+            WITH tok AS (
+                SELECT source, unnest(
+                    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                                x -> x <> '')) AS t
+                FROM documents
+            ), st AS (
+                SELECT source, t, COUNT(*) AS c_st
+                FROM tok GROUP BY source, t
+            ), s_tot AS (
+                SELECT source, SUM(c_st) AS c_s FROM st GROUP BY source
+            ), corpus AS (
+                SELECT t, SUM(c_st) AS c_t FROM st GROUP BY t
+            ), total AS (
+                SELECT SUM(c_t) AS c FROM corpus
+            ), scored AS (
+                SELECT st.source, st.c_st,
+                       st.c_st * CAST(ROUND(ln(
+                               (CAST(st.c_st AS DOUBLE) * CAST(tot.c AS DOUBLE))
+                               / (CAST(s_tot.c_s AS DOUBLE)
+                                  * CAST(corpus.c_t AS DOUBLE)))
+                           * 1e9, 0) AS BIGINT) AS nanonats
+                FROM st JOIN corpus USING (t)
+                        JOIN s_tot USING (source)
+                        CROSS JOIN total tot
+            )
+            SELECT source,
+                   CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+                   (CAST(SUM(nanonats) AS BIGINT) // CAST(SUM(c_st) AS BIGINT))
+                       / 1e9 AS kl_nats
+            FROM scored GROUP BY source
         """
 
     _null_token = "chr(1) || 'NULL'"

@@ -517,3 +517,39 @@ def test_table_checksum_single_combinable_aggregation(spark, sf_small):
     rep = plan_report(df)
     assert rep["exchanges"] <= 1
     assert not rep["python_udf"]
+
+
+def test_top_paths_two_exchanges_toap_head(spark, sf_small):
+    """Sessionize and the per-session path aggregation share the user_id
+    partitioning (one events exchange); the path count adds one more;
+    the head is TakeOrderedAndProject, never a global sort."""
+    df = entrymod.queries()["top_paths"](spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 2
+    assert not rep["python_udf"]
+
+
+def test_co_visitation_no_cartesian_bounded_exchanges(spark, sf_small):
+    """The pair self-join keys on (user, session) — never a cartesian —
+    and the distinct collapses BEFORE the join so the fan-out is bounded
+    by the per-session type alphabet."""
+    df = entrymod.queries()["co_visitation"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 4
+    assert not rep["python_udf"]
+
+
+def test_source_kl_drift_no_python_no_cartesian(spark, sf_small):
+    """Integer-nanonat KL: pure column expressions (zero Python UDFs);
+    the only cross join is the broadcast 1-row corpus total."""
+    df = entrymod.queries()["source_kl_drift"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan  # 1-row total enters broadcast
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+    assert rep["broadcast_join"]

@@ -462,3 +462,58 @@ def top_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+def co_visitation(
+    df: DataFrame,
+    k: int = 30,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session co-visitation pairs: the top-``k`` unordered event-type
+    pairs that co-occur within the same gap-based session — the
+    "users who did X in a session also did Y" signal behind
+    recommendation candidate generation and navigation affinity.
+
+    Output: (type_a, type_b, n_sessions) with ``type_a < type_b``
+    (canonical orientation, so each pair counts once per session) —
+    exact integers, no float drift.
+
+    Scale shape: sessionize shuffles events once on ``user_col``; the
+    per-session distinct-type set and the pair self-join both key on
+    (user, session), so Catalyst reuses that partitioning — no second
+    full shuffle of events. The self-join fan-out is bounded by
+    |event types per session| choose 2, independent of session length
+    (distinct BEFORE the join), and the final pair count aggregates a
+    key space of at most |types|^2 — tiny. A runaway vocabulary of
+    event types would need a skew cap on the session key; with a
+    bounded type alphabet (the product-analytics norm) none is needed."""
+    from ..streaming.windows import sessionize
+
+    s = sessionize(
+        df, ts_col=ts_col, user_col=user_col,
+        gap_minutes=gap_minutes, tiebreak_col=id_col,
+    )
+    present = s.select(user_col, "session_id", type_col).distinct()
+    a = present.alias("a")
+    b = present.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col(f"a.{user_col}") == F.col(f"b.{user_col}"),
+            F.col("a.session_id") == F.col("b.session_id"),
+            F.col(f"a.{type_col}") < F.col(f"b.{type_col}"),
+        ],
+    ).select(
+        F.col(f"a.{type_col}").alias("type_a"),
+        F.col(f"b.{type_col}").alias("type_b"),
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("type_a").asc(), F.col("type_b").asc())
+        .limit(k)
+    )

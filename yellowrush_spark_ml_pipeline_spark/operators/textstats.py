@@ -963,3 +963,85 @@ def ngram_novelty(
         F.col("n_novel").cast("bigint").alias("n_novel"),
         (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
     )
+
+
+def source_kl_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    persist_counts: bool = True,
+) -> DataFrame:
+    """Per-source distribution drift: KL(p_source || p_corpus) over the
+    unigram token distributions, in nats — the data-curation monitor for
+    "which ingest source looks least like the rest of the corpus"
+    (crawl drift, a source gone spammy, template floods). KL >= 0 by
+    Gibbs; a source identical to the corpus mix scores near 0.
+
+    Output: (source, n_tokens, kl_nats) with kl_nats at nanonat
+    resolution (floor-truncated), one row per source.
+
+    Cross-engine exactness (the unigram_nll formulation, see provenance
+    there): each distinct (source, token)'s log-ratio is rounded ONCE to
+    integer nanonats; all accumulation is BIGINT, the per-source mean is
+    a floor division. The log argument is computed as
+    (c_st * C) / (C_s * c_t) with the products taken in DOUBLE — at
+    100 TB the BIGINT products would overflow (c_st * C can exceed
+    2^63), the double products cannot, and both engines evaluate the
+    identical op sequence.
+
+    Scale shape: (source, token) pair counts collapse repeats in ONE
+    map-side-combinable shuffle; the corpus vocabulary joins back on the
+    token key (AQE broadcasts when it fits), per-source totals and the
+    1-row corpus total enter as broadcasts. Zero Python, no float
+    accumulation anywhere.
+
+    ``persist_counts`` (default ON): the (source, token) count relation
+    feeds THREE consumers (per-source totals, corpus vocabulary, the
+    scored join); without persistence each consumer re-tokenizes the
+    corpus — three full scans at 100 TB. Unlike curate_corpus's
+    intermediate (default OFF there — see the measured broadcast-OOM
+    note in flows.py), this relation is structurally bounded at
+    |sources| x |vocab| regardless of corpus size, so caching it cannot
+    blow up with the data."""
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    st = tok.groupBy("source", "_t").agg(F.count(F.lit(1)).alias("_c_st"))
+    if persist_counts:
+        from pyspark import StorageLevel
+
+        st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    s_tot = st.groupBy("source").agg(F.sum("_c_st").alias("_c_s"))
+    corpus = st.groupBy("_t").agg(F.sum("_c_st").alias("_c_t"))
+    total = corpus.agg(F.sum("_c_t").alias("_c"))
+    term = F.round(
+        F.log(
+            (F.col("_c_st").cast("double") * F.col("_c").cast("double"))
+            / (F.col("_c_s").cast("double") * F.col("_c_t").cast("double"))
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    scored = (
+        st.join(corpus, "_t")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("source"),
+            F.col("_c_st"),
+            (F.col("_c_st") * term).alias("_nanonats"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("_c_st").alias("n_tokens"),
+            F.sum("_nanonats").alias("_su"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            (F.expr("_su div n_tokens") / F.lit(1e9)).alias("kl_nats"),
+        )
+    )
