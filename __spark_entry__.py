@@ -37,6 +37,7 @@ from yellowrush_spark_ml_pipeline_spark.operators import (
     cleaning,
     dedup,
     features,
+    graph,
     joins,
     layout,
     mutations,
@@ -2200,6 +2201,31 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration declarative Lloyd's k-means over embeddings (k=8,
+    3 assignment rounds, deterministic smallest-id seeds) — zero-shuffle
+    assignment via a 1-row broadcast centroid array, decimal-exact
+    centroid means; full final assignment as output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(emb, k=8, n_assign=3)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PageRank over the bidirectional customer--supplier trade
+    graph (3 fixed iterations, damping 0.85) — INTEGER fixed-point mass,
+    so the iterative algorithm is exact and partition-invariant. Each
+    round: one edges⋈rank join on src (rank vector broadcast by AQE
+    while it fits), one combinable SUM shuffle on dst."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rel = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_suppkey"
+    )
+    edges = graph.bipartite_edges(rel, "o_custkey", "l_suppkey")
+    pr = graph.pagerank(edges, iterations=3, damping_pct=85)
+    return pr.orderBy(F.col("rank_nano").desc(), F.col("node").asc()).limit(25)
+
+
 def q_co_visitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 session co-visitation event-type pairs (canonical a<b
     orientation, exact integer counts) — sessionize + distinct + pair
@@ -2306,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- (1) new in round 4: never driver-verified ----
         "fuzzy_join": q_fuzzy_join,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "pagerank": q_pagerank,
         "co_visitation": q_co_visitation,
         "source_kl_drift": q_source_kl_drift,
         "table_checksum": q_table_checksum,
@@ -4796,6 +4824,107 @@ def oracle_sql() -> dict[str, str]:
                        / 1e9 AS kl_nats
             FROM scored GROUP BY source
         """
+
+    # PageRank: the iteration CTE chain is generated (3 unrolled rounds),
+    # mirroring the Spark loop in operators/graph.py round for round —
+    # all-BIGINT fixed-point arithmetic, so the comparison is exact.
+    _pr_base, _pr_damp, _pr_iters = 10**12, 85, 3
+    _pr_cte = [
+        """
+            WITH pairs AS (
+                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS l,
+                                's' || CAST(l_suppkey AS VARCHAR) AS r
+                FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+            ), edges AS (
+                SELECT l AS src, r AS dst FROM pairs
+                UNION ALL
+                SELECT r AS src, l AS dst FROM pairs
+            ), nodes AS (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            ), nn AS (
+                SELECT COUNT(*) AS n FROM nodes
+            ), outdeg AS (
+                SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+            ), p0 AS (
+                SELECT node, {base} // nn.n AS pr FROM nodes CROSS JOIN nn
+            )""".format(base=_pr_base)
+    ]
+    for _i in range(1, _pr_iters + 1):
+        _pr_cte.append(
+            """, c{i} AS (
+                SELECT e.dst, p.pr // o.outdeg AS contrib
+                FROM edges e JOIN p{j} p ON e.src = p.node
+                             JOIN outdeg o ON e.src = o.src
+            ), f{i} AS (
+                SELECT dst, SUM(contrib) AS inflow FROM c{i} GROUP BY dst
+            ), p{i} AS (
+                SELECT nodes.node,
+                       (({tp} * ({base} // nn.n)) + {d} * COALESCE(f.inflow, 0)) // 100 AS pr
+                FROM nodes LEFT JOIN f{i} f ON nodes.node = f.dst CROSS JOIN nn
+            )""".format(
+                i=_i, j=_i - 1, base=_pr_base, d=_pr_damp, tp=100 - _pr_damp
+            )
+        )
+    sqls["pagerank"] = (
+        "".join(_pr_cte)
+        + """
+            SELECT node, CAST(pr AS BIGINT) AS rank_nano
+            FROM p{last}
+            ORDER BY rank_nano DESC, node ASC LIMIT 25
+        """.format(last=_pr_iters)
+    )
+
+    # kmeans_lloyd: generated CTE chain — n_assign assignment rounds,
+    # n_assign-1 decimal-exact centroid updates, mirroring the Spark loop
+    # in operators/similarity.py round for round. list_distance ==
+    # Spark's sequential (x-y)^2 fold + sqrt (proven: euclidean oracles).
+    _km_k, _km_assigns = 8, 3
+    _km = [
+        """
+            WITH pts AS (
+                SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+            ), c0 AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                       x AS c
+                FROM (SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT {k})
+            )""".format(k=_km_k)
+    ]
+    for _i in range(1, _km_assigns + 1):
+        _km.append(
+            """, a{i} AS (
+                SELECT vec_id, x, cid, d FROM (
+                    SELECT p.vec_id, p.x, c.cid, list_distance(p.x, c.c) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.x, c.c) ASC, c.cid ASC
+                           ) AS rn
+                    FROM pts p CROSS JOIN c{j} c
+                ) WHERE rn = 1
+            )""".format(i=_i, j=_i - 1)
+        )
+        if _i < _km_assigns:
+            _km.append(
+                """, u{i} AS (
+                SELECT cid, dim,
+                       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
+                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS val
+                FROM (
+                    SELECT cid, CAST(generate_subscripts(x, 1) - 1 AS INT) AS dim,
+                           unnest(x) AS v
+                    FROM a{i}
+                )
+                GROUP BY cid, dim
+            ), c{i} AS (
+                SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
+            )""".format(i=_i)
+            )
+    sqls["kmeans_lloyd"] = (
+        "".join(_km)
+        + """
+            SELECT vec_id, CAST(cid AS INT) AS cluster_id, ROUND(d, 6) AS dist
+            FROM a{last}
+        """.format(last=_km_assigns)
+    )
 
     _null_token = "chr(1) || 'NULL'"
     _canon = (

@@ -1,0 +1,145 @@
+"""Graph operator tests: integer fixed-point PageRank against an exact
+Python reference model, plus declarative Lloyd's k-means on planted
+separable blobs. No vacuous greens — every expectation is computed
+independently of the Spark code."""
+
+from __future__ import annotations
+
+import pytest
+
+from yellowrush_spark_ml_pipeline_spark.operators.graph import (
+    RANK_BASE,
+    bipartite_edges,
+    pagerank,
+)
+from yellowrush_spark_ml_pipeline_spark.operators.similarity import kmeans_lloyd
+
+
+def _model_pagerank(edges, iterations=3, damping_pct=85, base=RANK_BASE):
+    """Exact integer reference model of operators/graph.py::pagerank —
+    dict arithmetic with Python ints (// == floor; all values
+    non-negative, so identical to Spark's div)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = {v: base // n for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for u, v in edges:
+            inflow[v] += pr[u] // outdeg[u]
+        pr = {
+            v: ((100 - damping_pct) * (base // n) + damping_pct * inflow[v]) // 100
+            for v in nodes
+        }
+    return pr
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.rank_nano for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """A 3-cycle is perfectly symmetric: every node ends with the same
+    integer rank, equal to the reference model's."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = _run(spark, edges)
+    want = _model_pagerank(edges)
+    assert got == want
+    assert len(set(got.values())) == 1
+
+
+def test_pagerank_hub_ranks_highest_exact(spark):
+    """Star with reciprocated edges: the hub must outrank every leaf, and
+    every integer must equal the reference model bit for bit."""
+    edges = [
+        ("hub", "l1"), ("l1", "hub"),
+        ("hub", "l2"), ("l2", "hub"),
+        ("hub", "l3"), ("l3", "hub"),
+    ]
+    got = _run(spark, edges)
+    want = _model_pagerank(edges)
+    assert got == want
+    assert got["hub"] > got["l1"] == got["l2"] == got["l3"]
+
+
+def test_pagerank_dangling_node_keeps_teleport_share(spark):
+    """'sink' has an in-edge but no out-edges: its mass leaks (documented
+    simplification) and every node still matches the reference model."""
+    edges = [("a", "b"), ("b", "a"), ("a", "sink")]
+    got = _run(spark, edges)
+    want = _model_pagerank(edges)
+    assert got == want
+    # the sink receives inflow but re-emits nothing; with damping it must
+    # rank above the bare teleport floor yet below the circulating pair
+    floor = ((100 - 85) * (RANK_BASE // 3)) // 100
+    assert got["sink"] > floor
+    assert got["a"] > got["sink"]
+
+
+def test_pagerank_iterations_and_damping_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=101)
+
+
+def test_bipartite_edges_prefixes_and_reciprocates(spark):
+    rel = spark.createDataFrame([(1, 7), (1, 7), (2, 7)], "cust long, supp long")
+    got = {(r.src, r.dst) for r in bipartite_edges(rel, "cust", "supp").collect()}
+    assert got == {
+        ("c1", "s7"), ("s7", "c1"),
+        ("c2", "s7"), ("s7", "c2"),
+    }
+
+
+# ---------------------------------------------------------------- kmeans
+
+
+def test_kmeans_lloyd_separates_planted_blobs(spark):
+    """Two tight blobs far apart, one seed id planted in each (ids 0 and 1
+    are the two smallest -> initial centroids, one per blob): every point
+    must land with its blob and near its centroid."""
+    blob_a = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(0, 10, 2)]  # ids 0,2,4,6,8
+    blob_b = [(i, [10.0 + 0.01 * i, 10.0]) for i in range(1, 11, 2)]  # ids 1,3,5,7,9
+    df = spark.createDataFrame(blob_a + blob_b, "vec_id long, embedding array<double>")
+    rows = kmeans_lloyd(df, k=2, n_assign=3).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.vec_id)
+        assert r.dist < 1.0  # tight blobs: every point close to its centroid
+    assert by_cluster == {0: {0, 2, 4, 6, 8}, 1: {1, 3, 5, 7, 9}}
+
+
+def test_kmeans_lloyd_converged_input_is_fixed_point(spark):
+    """If the seeds already are the exact cluster centers of symmetric
+    pairs, one round and three rounds give the same assignment."""
+    pts = [
+        (0, [0.0, 0.0]), (1, [4.0, 4.0]),
+        (2, [0.0, 0.2]), (3, [0.2, 0.0]),
+        (4, [4.0, 4.2]), (5, [4.2, 4.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    one = {(r.vec_id, r.cluster_id) for r in kmeans_lloyd(df, k=2, n_assign=1).collect()}
+    three = {(r.vec_id, r.cluster_id) for r in kmeans_lloyd(df, k=2, n_assign=3).collect()}
+    assert one == three == {(0, 0), (2, 0), (3, 0), (1, 1), (4, 1), (5, 1)}
+
+
+def test_kmeans_lloyd_tie_breaks_to_lowest_cid(spark):
+    """A point equidistant from both centroids must deterministically take
+    the lower cluster id (struct-min on (dist, cid))."""
+    pts = [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster_id for r in kmeans_lloyd(df, k=2, n_assign=1).collect()}
+    assert got[2] == 0
+
+
+def test_kmeans_lloyd_validates_params(spark):
+    df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, n_assign=0)

@@ -553,3 +553,29 @@ def test_source_kl_drift_no_python_no_cartesian(spark, sf_small):
     rep = plan_report(df)
     assert not rep["python_udf"]
     assert rep["broadcast_join"]
+
+
+def test_pagerank_persisted_graph_no_cartesian(spark, sf_small):
+    """The unrolled 3-round plan must reuse the persisted edge/degree
+    relations instead of re-deriving the trade graph per round (49 -> 21
+    exchanges measured), and the rank join must never go cartesian."""
+    df = entrymod.queries()["pagerank"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 24
+    assert not rep["python_udf"]
+
+
+def test_kmeans_lloyd_zero_shuffle_assignment(spark, sf_small):
+    """Three assignment rounds + two decimal-exact updates: the ONLY
+    exchanges are the tiny (cid, dim) update aggregations — assignment
+    itself is a broadcast-array narrow map (6 exchanges total), with no
+    cartesian and no Python."""
+    df = entrymod.queries()["kmeans_lloyd"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 7
+    assert not rep["python_udf"]

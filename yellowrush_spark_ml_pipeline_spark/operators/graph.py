@@ -1,0 +1,140 @@
+"""Iterative graph analytics as deterministic DataFrame programs.
+
+Connected components (the dedup grouping machinery) live in
+``operators/dedup.py``; this module holds general graph measures, starting
+with fixed-iteration PageRank. The design constraint throughout is the
+same one the dedup CC solved: an *iterative* algorithm expressed as a
+finite, unrolled, fully declarative plan — joins and aggregations only,
+zero driver-side state, zero Python in the data path — so the result is
+bit-identical on any partitioning and replayable by a SQL oracle.
+
+Provenance: the reference pipeline (nyc_taxi_final.py) has no graph
+operators; this extends the engine for entity-importance ranking over
+relationship graphs a training-data pipeline derives (domain link graphs
+for crawl prioritization, contributor graphs for source weighting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point base for integer PageRank mass: 1.0 of rank == 10^12 units.
+RANK_BASE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    base: int = RANK_BASE,
+    persist_graph: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank with INTEGER fixed-point mass — every
+    quantity is a BIGINT in units of ``1/base``, so the result is exact,
+    order-independent, and cross-engine reproducible (float PageRank sums
+    inflows in nondeterministic order; at nanorank resolution that flips
+    low bits run-to-run — the same trap unigram_nll's nanonat
+    formulation avoids for log-likelihoods).
+
+    Per node v each round::
+
+        pr'(v) = ((100 - d) * (base div N) + d * inflow(v)) div 100
+        inflow(v) = sum over in-edges (u, v) of  pr(u) div outdeg(u)
+
+    Floor divisions truncate; the lost mass (< outdeg ulps per node per
+    round) stays lost — deterministically, identically in both engines.
+    Dangling nodes (no out-edges) keep only their teleport share and
+    leak the rest, the standard simplified treatment; callers who need
+    mass conservation should densify the graph first (e.g. the
+    bidirectional edges :func:`bipartite_edges` emits).
+
+    Output: (node, rank_nano) — one row per node, rank in ``1/base``
+    units as BIGINT.
+
+    Scale shape: each iteration is (a) the edges relation joined to the
+    current rank vector on ``src`` — both sides hash-partitioned on the
+    source key, and the rank vector is |V| rows vs |E| edges, so AQE
+    broadcasts it while it fits — then (b) one map-side-combinable SUM
+    shuffle on ``dst``, then (c) a join back to the node list (left,
+    for inflow-less nodes). Nothing ever materializes more than |E|
+    rows, no driver collect, and ``iterations`` is a small constant so
+    the unrolled lineage stays shallow (the dedup CC's localCheckpoint
+    lesson applies from ~8 rounds up; at 3 it is not needed).
+
+    ``persist_graph`` (default ON — the standard PageRank discipline):
+    the edge list, node list, and out-degree relations are referenced by
+    EVERY unrolled round; without persistence Spark's lazy DAG re-derives
+    them per round — ``iterations`` redundant scans of the relationship
+    table (measured: 49 exchanges vs 21 at 3 rounds on the trade graph).
+    Edges/outdeg/nodes are exactly the structurally-bounded kind of
+    intermediate that caching suits; only the rank vector stays
+    unpersisted (each round consumes its predecessor once)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError("damping_pct must be in [0, 100]")
+
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    if persist_graph:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_outdeg"))
+    if persist_graph:
+        from pyspark import StorageLevel
+
+        outdeg = outdeg.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pr = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.expr(f"{base} div _n").alias("_pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr, e["_src"] == pr["node"])
+            .join(outdeg, "_src")
+            .select(F.col("_dst"), F.expr("_pr div _outdeg").alias("_contrib"))
+        )
+        inflow = contrib.groupBy("_dst").agg(F.sum("_contrib").alias("_inflow"))
+        pr = (
+            nodes.join(inflow, nodes["node"] == inflow["_dst"], "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                F.expr(
+                    f"(({100 - damping_pct} * ({base} div _n))"
+                    f" + {damping_pct} * coalesce(_inflow, 0)) div 100"
+                ).alias("_pr"),
+            )
+        )
+    return pr.select("node", F.col("_pr").alias("rank_nano"))
+
+
+def bipartite_edges(
+    rel: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_prefix: str = "c",
+    right_prefix: str = "s",
+) -> DataFrame:
+    """Directed edges BOTH ways for each distinct (left, right) pair of a
+    bipartite relationship table (e.g. customer--supplier via orders),
+    with prefixed string node ids so the two key domains cannot collide.
+    Both directions make every node non-dangling, so PageRank mass
+    actually circulates instead of pooling at the sink side."""
+    pairs = rel.select(
+        F.concat(F.lit(left_prefix), F.col(left_col).cast("string")).alias("_l"),
+        F.concat(F.lit(right_prefix), F.col(right_col).cast("string")).alias("_r"),
+    ).distinct()
+    fwd = pairs.select(F.col("_l").alias("src"), F.col("_r").alias("dst"))
+    rev = pairs.select(F.col("_r").alias("src"), F.col("_l").alias("dst"))
+    return fwd.union(rev)

@@ -506,3 +506,107 @@ def class_centroids(
         F.count(F.lit(1)).alias("n"),
         dec8(F.sum(dec).cast("double") / F.count(F.lit(1))).alias("centroid_val"),
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_assign: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means as a fully declarative DataFrame
+    program — ``n_assign`` assignment rounds with ``n_assign - 1``
+    centroid updates between them, deterministic init (the ``k`` rows
+    with smallest ids seed clusters 0..k-1). Complements the MLlib
+    KMeans inside :func:`ivf_build_index`: that one is the production
+    quantizer (sampled fit, early-stopping, driver-coordinated); this
+    one is the exact, partition-invariant, oracle-replayable variant —
+    bit-identical output on any cluster layout, which MLlib does not
+    guarantee.
+
+    Output: (vec_id, cluster_id, dist) — the final assignment, with the
+    euclidean distance to the winning centroid rounded to 6 digits.
+
+    Exactness: distances are sequential double folds (functions.vector),
+    the argmin is a struct-min on (dist, cid) — deterministic
+    tie-break — and centroid means go through the proven
+    DECIMAL(28,18)-sum / DECIMAL(28,8)-truncate path
+    (order-independent across partitionings and engines; see
+    q_embedding_dim_stats provenance).
+
+    Scale shape — the part worth copying: the ASSIGNMENT step has ZERO
+    shuffle. Centroids collapse to ONE broadcast row holding a
+    k-element array of (cid, vector) structs; each point computes all k
+    distances with a TRANSFORM + ARRAY_MIN over that array — a narrow
+    map fused into the scan. Each update is one map-side-combinable
+    aggregation whose exchange carries k x dim cells per partition,
+    independent of row count. Total cost: ``n_assign`` narrow passes
+    over the points plus tiny (cid, dim) shuffles — the optimal
+    distributed Lloyd shape. Empty clusters (possible in principle,
+    not with spread seeds) drop out identically in both engines."""
+    if k < 1 or n_assign < 1:
+        raise ValueError("k and n_assign must be >= 1")
+    pts = df.select(F.col(id_col), as_double_array(F.col(emb_col)).alias("_x"))
+
+    seeds = pts.orderBy(id_col).limit(k)
+    w = Window.orderBy(id_col)
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).alias("_cid"), F.col("_x").alias("_c")
+    )
+
+    def _collapse(c: DataFrame) -> DataFrame:
+        # k rows -> ONE row: array of (cid, vector) structs, sorted by cid
+        return c.agg(
+            F.sort_array(F.collect_list(F.struct("_cid", "_c"))).alias("_cents")
+        )
+
+    def _assign(c: DataFrame) -> DataFrame:
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda e: F.struct(
+                    euclidean_distance(F.col("_x"), e["_c"]).alias("d"),
+                    e["_cid"].alias("cid"),
+                ),
+            )
+        )
+        return (
+            pts.crossJoin(F.broadcast(_collapse(c)))
+            .withColumn("_best", best)
+            .select(
+                F.col(id_col),
+                F.col("_x"),
+                F.col("_best")["cid"].alias("cluster_id"),
+                F.col("_best")["d"].alias("_dist"),
+            )
+        )
+
+    dec8 = lambda col: col.cast("decimal(28,8)").cast("double")  # noqa: E731
+    assigned = _assign(cents)
+    for _ in range(n_assign - 1):
+        upd = (
+            assigned.select(
+                F.col("cluster_id").alias("_cid"),
+                F.posexplode(F.col("_x")).alias("_dim", "_v"),
+            )
+            .groupBy("_cid", "_dim")
+            .agg(
+                dec8(
+                    F.sum(F.col("_v").cast("decimal(28,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_val")
+            )
+        )
+        cents = upd.groupBy("_cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_dim", "_val"))),
+                lambda e: e["_val"],
+            ).alias("_c")
+        )
+        assigned = _assign(cents)
+    return assigned.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.round(F.col("_dist"), 6).alias("dist"),
+    )
