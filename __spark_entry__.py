@@ -2201,6 +2201,24 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by triangle participation in the co-supply graph
+    (suppliers sharing an order) — degree-ordered orientation bounds the
+    wedge fan-out by O(sqrt(|E|)); exact integer counts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    tp = graph.triangle_participation(co)
+    return tp.orderBy(F.col("n_triangles").desc(), F.col("node").asc()).limit(20)
+
+
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration declarative Lloyd's k-means over embeddings (k=8,
     3 assignment rounds, deterministic smallest-id seeds) — zero-shuffle
@@ -2332,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- (1) new in round 4: never driver-verified ----
         "fuzzy_join": q_fuzzy_join,
+        "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
         "pagerank": q_pagerank,
         "co_visitation": q_co_visitation,
@@ -4918,6 +4937,38 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
             )""".format(i=_i)
             )
+    sqls["triangles"] = """
+            WITH co AS (
+                SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+            ), deg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT s1 AS node FROM co
+                    UNION ALL
+                    SELECT s2 AS node FROM co
+                ) GROUP BY node
+            ), o AS (
+                SELECT CASE WHEN (da.deg < db.deg)
+                                 OR (da.deg = db.deg AND s1 < s2)
+                            THEN s1 ELSE s2 END AS u,
+                       CASE WHEN (da.deg < db.deg)
+                                 OR (da.deg = db.deg AND s1 < s2)
+                            THEN s2 ELSE s1 END AS w
+                FROM co JOIN deg da ON co.s1 = da.node
+                        JOIN deg db ON co.s2 = db.node
+            ), tri AS (
+                SELECT e1.u AS x, e1.w AS y, e2.w AS z
+                FROM o e1 JOIN o e2 ON e1.w = e2.u
+                          JOIN o e3 ON e3.u = e1.u AND e3.w = e2.w
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+            GROUP BY node
+            ORDER BY n_triangles DESC, node ASC LIMIT 20
+        """
+
     sqls["kmeans_lloyd"] = (
         "".join(_km)
         + """

@@ -143,3 +143,62 @@ def test_kmeans_lloyd_validates_params(spark):
         kmeans_lloyd(df, k=0)
     with pytest.raises(ValueError):
         kmeans_lloyd(df, n_assign=0)
+
+
+# ------------------------------------------------------- triangle counting
+
+
+from yellowrush_spark_ml_pipeline_spark.operators.graph import (  # noqa: E402
+    triangle_participation,
+)
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.n_triangles for r in triangle_participation(df).collect()}
+
+
+def _model_triangles(edges):
+    """Brute-force reference: count triangles per node over the
+    canonicalized undirected edge set."""
+    import itertools
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    out = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                out[n] = out.get(n, 0) + 1
+    return out
+
+
+def test_triangles_k4_every_node_in_three(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, k4)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_and_star_have_none(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+    assert _tri(spark, [(0, i) for i in range(1, 6)]) == {}
+
+
+def test_triangles_canonicalizes_duplicates_loops_reversals(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)]
+    got = _tri(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_match_brute_force_on_pseudorandom_graph(spark):
+    """Deterministic pseudo-random graph (Lehmer stream) vs the O(n^3)
+    Python model — exact per-node equality."""
+    edges, x = [], 1
+    for _ in range(120):
+        x = (x * 48271) % 2147483647
+        a = x % 30
+        x = (x * 48271) % 2147483647
+        b = x % 30
+        if a != b:
+            edges.append((a, b))
+    assert _tri(spark, edges) == _model_triangles(edges)

@@ -579,3 +579,14 @@ def test_kmeans_lloyd_zero_shuffle_assignment(spark, sf_small):
     rep = plan_report(df)
     assert rep["exchanges"] <= 7
     assert not rep["python_udf"]
+
+
+def test_triangles_no_cartesian_key_joins_only(spark, sf_small):
+    """Degree-ordered orientation: the wedge and closing joins key on
+    node ids — never cartesian — with a TakeOrderedAndProject head."""
+    df = entrymod.queries()["triangles"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
