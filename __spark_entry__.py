@@ -2201,6 +2201,23 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (overlap coefficient >= 0.9
+    on word-3-gram shingles) over documents augmented with planted
+    24-token excerpts — the quote/truncated-recrawl detector Jaccard
+    misses. Posting-list blocking on md5 gram keys, df-capped."""
+    from yellowrush_spark_ml_pipeline_spark.functions.text import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(_tok(F.col("text")), 1, 24)).alias("text"),
+    )
+    return dedup.containment_pairs(
+        docs.unionByName(excerpts), shingle_n=3, threshold=0.9, max_gram_df=50
+    )
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 suppliers by triangle participation in the co-supply graph
     (suppliers sharing an order) — degree-ordered orientation bounds the
@@ -2350,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- (1) new in round 4: never driver-verified ----
         "fuzzy_join": q_fuzzy_join,
+        "containment": q_containment,
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
         "pagerank": q_pagerank,
@@ -4937,6 +4955,61 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
             )""".format(i=_i)
             )
+    sqls["containment"] = """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       array_to_string(
+                           list_slice(
+                               list_filter(
+                                   regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                                   x -> x <> ''),
+                               1, 24),
+                           ' ')
+                FROM documents WHERE doc_id % 10 = 0
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(t) >= 3 THEN
+                                list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                            WHEN len(t) = 0 THEN []
+                            ELSE [array_to_string(t, ' ')] END
+                       ) AS s
+                FROM (
+                    SELECT doc_id,
+                           list_filter(
+                               regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                               x -> x <> '') AS t
+                    FROM aug
+                )
+            ), sized AS (
+                SELECT doc_id, s, CAST(len(s) AS INT) AS n
+                FROM sh WHERE len(s) > 0
+            ), posting AS (
+                SELECT doc_id, md5(g) AS g
+                FROM (SELECT doc_id, unnest(s) AS g FROM sized)
+            ), eligible AS (
+                SELECT g FROM posting GROUP BY g
+                HAVING COUNT(*) BETWEEN 2 AND 50
+            ), p AS (
+                SELECT posting.doc_id, posting.g
+                FROM posting JOIN eligible USING (g)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b, sa.n AS n_a, sb.n AS n_b,
+                   ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / LEAST(sa.n, sb.n), 6) AS containment
+            FROM cand c
+            JOIN sized sa ON sa.doc_id = c.id_a
+            JOIN sized sb ON sb.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / LEAST(sa.n, sb.n) >= 0.9
+        """
+
     sqls["triangles"] = """
             WITH co AS (
                 SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2

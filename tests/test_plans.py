@@ -590,3 +590,14 @@ def test_triangles_no_cartesian_key_joins_only(spark, sf_small):
     assert "TakeOrderedAndProject" in plan
     rep = plan_report(df)
     assert not rep["python_udf"]
+
+
+def test_containment_posting_join_no_cartesian(spark, sf_small):
+    """Candidate generation must be the df-capped posting-list self-join
+    on md5 gram keys — never all-pairs/cartesian — and verification runs
+    once per distinct candidate pair."""
+    df = entrymod.queries()["containment"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]

@@ -127,3 +127,70 @@ def test_source_kl_drift_flags_the_divergent_source(spark):
     assert got["spam"] > got["clean_a"]
     assert got["spam"] > got["clean_b"]
     assert all(v >= 0.0 for v in got.values())
+
+
+# ---------------------------------------------------------- containment_pairs
+
+
+from yellowrush_spark_ml_pipeline_spark.operators.dedup import (  # noqa: E402
+    containment_pairs,
+)
+
+
+def _cdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A 6-token excerpt of a 60-token doc: containment 1.0 (all excerpt
+    grams in the parent) while Jaccard is ~0.07 — the operator's reason
+    to exist."""
+    parent_words = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(6))
+    rows = [(1, parent_words), (2, excerpt)]
+    got = containment_pairs(_cdocs(spark, rows), threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment == 1.0
+    assert r.n_a == 58 and r.n_b == 4  # 60->58 and 6->4 trigram shingles
+    # and Jaccard would have been far below any dedup threshold
+    assert r.n_b / (r.n_a + r.n_b - r.n_b) < 0.1
+
+
+def test_containment_unrelated_docs_not_paired(spark):
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(30))),
+        (2, " ".join(f"b{i}" for i in range(30))),
+    ]
+    assert containment_pairs(_cdocs(spark, rows), threshold=0.5).collect() == []
+
+
+def test_containment_df_cap_drops_boilerplate_blowup(spark):
+    """A banner gram shared by 30 docs exceeds max_gram_df=10 and must
+    not produce candidates by itself; two docs sharing RARE grams still
+    pair up."""
+    banner = "subscribe to our newsletter today please"
+    rows = [(i, banner) for i in range(1, 31)]
+    rows.append((100, "rare alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "rare alpha beta gamma delta epsilon zeta extra tail words"))
+    got = containment_pairs(
+        _cdocs(spark, rows), threshold=0.9, max_gram_df=10
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (100, 101) in pairs
+    assert all(a == 100 and b == 101 for a, b in pairs), pairs
+
+
+def test_containment_threshold_boundary(spark):
+    """9 of 10 excerpt grams present -> containment 0.9 passes at 0.9;
+    raising the threshold above it excludes the pair."""
+    parent = " ".join(f"w{i}" for i in range(40))
+    # 12 tokens: first 11 from parent, last one foreign -> 10 shingles,
+    # 9 fully inside the parent, 1 containing the foreign token... build
+    # explicitly: tokens w0..w10 + xx -> shingles w0w1w2..w9w10xx (10), 9 match
+    excerpt = " ".join([f"w{i}" for i in range(11)] + ["xx"])
+    rows = [(1, parent), (2, excerpt)]
+    got = containment_pairs(_cdocs(spark, rows), threshold=0.9).collect()
+    assert len(got) == 1 and got[0].containment == 0.9
+    assert containment_pairs(_cdocs(spark, rows), threshold=0.91).collect() == []
