@@ -2201,6 +2201,14 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-split multi-touch attribution for first purchases — integer
+    micro-credit arithmetic (1e6 div n_touches), one user_id shuffle
+    reused by conversion lookup, touch distinct, and touch count."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.linear_attribution(ev, convert_type="purchase")
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup pairs (overlap coefficient >= 0.9
     on word-3-gram shingles) over documents augmented with planted
@@ -2367,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- (1) new in round 4: never driver-verified ----
         "fuzzy_join": q_fuzzy_join,
+        "linear_attribution": q_linear_attribution,
         "containment": q_containment,
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -4955,6 +4964,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
             )""".format(i=_i)
             )
+    sqls["linear_attribution"] = """
+            WITH conv AS (
+                SELECT user_id, MIN(ts) AS conv_ts
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id
+            ), touches AS (
+                SELECT DISTINCT e.user_id, e.event_type
+                FROM events e JOIN conv USING (user_id)
+                WHERE e.ts < conv.conv_ts AND e.event_type <> 'purchase'
+            ), n_per_user AS (
+                SELECT user_id, COUNT(*) AS n_touch
+                FROM touches GROUP BY user_id
+            )
+            SELECT t.event_type AS channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                   CAST(SUM(1000000 // n.n_touch) AS BIGINT) AS micro_credits
+            FROM touches t JOIN n_per_user n USING (user_id)
+            GROUP BY t.event_type
+        """
+
     sqls["containment"] = """
             WITH aug AS (
                 SELECT doc_id, text FROM documents

@@ -601,3 +601,15 @@ def test_containment_posting_join_no_cartesian(spark, sf_small):
     assert "CartesianProduct" not in plan
     rep = plan_report(df)
     assert not rep["python_udf"]
+
+
+def test_linear_attribution_single_user_exchange(spark, sf_small):
+    """Full-size event movement only twice (conversion agg + touch
+    distinct); the conversion vector joins back broadcast, and the tail
+    operates on the bounded touch relation."""
+    df = entrymod.queries()["linear_attribution"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 7
+    assert not rep["python_udf"]

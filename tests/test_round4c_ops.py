@@ -194,3 +194,58 @@ def test_containment_threshold_boundary(spark):
     got = containment_pairs(_cdocs(spark, rows), threshold=0.9).collect()
     assert len(got) == 1 and got[0].containment == 0.9
     assert containment_pairs(_cdocs(spark, rows), threshold=0.91).collect() == []
+
+
+# -------------------------------------------------------- linear_attribution
+
+
+from yellowrush_spark_ml_pipeline_spark.operators.events import (  # noqa: E402
+    linear_attribution,
+)
+
+
+def test_linear_attribution_splits_credit_exactly(spark):
+    """User 1 touches view+click then purchases (500000 micro each);
+    user 2 touches only view (1000000); user 3 purchases with no prior
+    touches (contributes nothing); user 4 never converts."""
+    rows = [
+        (1, _ts(0), 1, "view"),
+        (2, _ts(1), 1, "click"),
+        (3, _ts(2), 1, "purchase"),
+        (4, _ts(0), 2, "view"),
+        (5, _ts(1), 2, "purchase"),
+        (6, _ts(0), 3, "purchase"),
+        (7, _ts(0), 4, "view"),
+        (8, _ts(1), 4, "click"),
+    ]
+    got = {
+        r.channel: (r.n_conversions, r.micro_credits)
+        for r in linear_attribution(_ev(spark, rows)).collect()
+    }
+    assert got == {"view": (2, 1_500_000), "click": (1, 500_000)}
+
+
+def test_linear_attribution_first_conversion_only_and_strictly_before(spark):
+    """Touches after the FIRST purchase (including a same-timestamp tie
+    and pre-second-purchase touches) earn nothing; repeated pre-touch
+    types count once (floor split across distinct types)."""
+    rows = [
+        (1, _ts(0), 1, "view"),
+        (2, _ts(0), 1, "view"),       # duplicate type, still one touch
+        (3, _ts(1), 1, "signup"),
+        (4, _ts(2), 1, "click"),
+        (5, _ts(3), 1, "purchase"),   # first conversion
+        (6, _ts(3), 1, "error"),      # tie with conv ts -> excluded
+        (7, _ts(4), 1, "click"),      # after -> excluded
+        (8, _ts(5), 1, "purchase"),   # second conversion ignored
+    ]
+    got = {
+        r.channel: (r.n_conversions, r.micro_credits)
+        for r in linear_attribution(_ev(spark, rows)).collect()
+    }
+    third = 1_000_000 // 3  # 333333, floor — remainder dropped
+    assert got == {
+        "view": (1, third),
+        "signup": (1, third),
+        "click": (1, third),
+    }

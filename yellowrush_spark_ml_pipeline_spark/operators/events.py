@@ -517,3 +517,62 @@ def co_visitation(
         .orderBy(F.col("n_sessions").desc(), F.col("type_a").asc(), F.col("type_b").asc())
         .limit(k)
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    convert_type: str = "purchase",
+    credit_base: int = 1_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: each user's FIRST
+    conversion distributes one unit of credit equally across the
+    DISTINCT touch channels that occurred strictly before it — the
+    standard complement to :func:`first_touch_attribution` when the
+    middle of the journey must count too.
+
+    Credits are INTEGER micro-units (``credit_base div n_touches``,
+    floor): no float credit accumulation, so per-channel totals are
+    exact, partition-invariant, and cross-engine reproducible (the
+    unigram_nll/pagerank fixed-point discipline). The remainder
+    (< n_touches micro-units per conversion) is deterministically
+    dropped, identically in both engines. Events at exactly the
+    conversion timestamp are NOT touches (strictly-before keeps the
+    cut engine-order-independent when timestamps tie).
+
+    Output: (channel, n_conversions, micro_credits) — conversions that
+    credited the channel, and its exact micro-credit total.
+
+    Scale shape: full-size event movement happens exactly twice — the
+    map-side-combinable first-conversion aggregation, and the distinct
+    over (user, touch-type). The conversion vector joins back as a
+    broadcast while it fits (so the events scan is never reshuffled for
+    the join), and everything after the distinct — per-user touch
+    count, credit join, per-channel SUM — operates on the
+    |users| x |channels|-bounded touch relation. Exact integers end to
+    end."""
+    conv = (
+        df.filter(F.col(type_col) == convert_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_conv_ts"))
+    )
+    touches = (
+        df.join(conv, user_col)
+        .filter((F.col(ts_col) < F.col("_conv_ts")) & (F.col(type_col) != convert_type))
+        .select(user_col, type_col)
+        .distinct()
+    )
+    n_per_user = touches.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("_n_touch")
+    )
+    credited = touches.join(n_per_user, user_col).select(
+        F.col(type_col).alias("channel"),
+        F.expr(f"{credit_base} div _n_touch").alias("_credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("_credit").alias("micro_credits"),
+    )
