@@ -589,6 +589,7 @@ def test_triangles_no_cartesian_key_joins_only(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     rep = plan_report(df)
+    assert rep["exchanges"] <= 12  # persisted canon/oriented: 32 -> 10
     assert not rep["python_udf"]
 
 
