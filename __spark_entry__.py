@@ -2269,6 +2269,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.col("rank_nano").desc(), F.col("node").asc()).limit(25)
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on nation-0 customers over the trade
+    graph — proximity-weighted supplier relevance to one market; same
+    integer fixed-point exactness as q_pagerank, teleport mass returns
+    only to seeds. Top 25."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cu = _t(spark, sf_dir, "customer")
+    rel = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_suppkey"
+    )
+    edges = graph.bipartite_edges(rel, "o_custkey", "l_suppkey")
+    seeds = cu.filter(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    pr = graph.personalized_pagerank(edges, seeds, iterations=3, damping_pct=85)
+    return pr.orderBy(F.col("rank_nano").desc(), F.col("node").asc()).limit(25)
+
+
 def q_co_visitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 session co-visitation event-type pairs (canonical a<b
     orientation, exact integer counts) — sessionize + distinct + pair
@@ -2380,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
         "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
         "co_visitation": q_co_visitation,
         "source_kl_drift": q_source_kl_drift,
         "table_checksum": q_table_checksum,
@@ -4916,6 +4936,53 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT node, CAST(pr AS BIGINT) AS rank_nano
             FROM p{last}
+            ORDER BY rank_nano DESC, node ASC LIMIT 25
+        """.format(last=_pr_iters)
+    )
+
+    # personalized pagerank: same generated chain, teleport only to the
+    # seed membership (nation-0 customers), matching the Spark loop.
+    _ppr = [
+        _pr_cte[0]
+        + """, seeds AS (
+                SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                FROM customer WHERE c_nationkey = 0
+            ), sg AS (
+                SELECT s.node FROM seeds s JOIN nodes n ON s.node = n.node
+            ), ss AS (
+                SELECT COUNT(*) AS s FROM sg
+            ), q0 AS (
+                SELECT n.node,
+                       CASE WHEN sg.node IS NOT NULL
+                            THEN {base} // ss.s ELSE 0 END AS pr
+                FROM nodes n LEFT JOIN sg ON n.node = sg.node CROSS JOIN ss
+            )""".format(base=_pr_base)
+    ]
+    for _i in range(1, _pr_iters + 1):
+        _ppr.append(
+            """, d{i} AS (
+                SELECT e.dst, p.pr // o.outdeg AS contrib
+                FROM edges e JOIN q{j} p ON e.src = p.node
+                             JOIN outdeg o ON e.src = o.src
+            ), g{i} AS (
+                SELECT dst, SUM(contrib) AS inflow FROM d{i} GROUP BY dst
+            ), q{i} AS (
+                SELECT n.node,
+                       (({tp} * CASE WHEN sg.node IS NOT NULL
+                                     THEN {base} // ss.s ELSE 0 END)
+                        + {d} * COALESCE(g.inflow, 0)) // 100 AS pr
+                FROM nodes n LEFT JOIN g{i} g ON n.node = g.dst
+                             LEFT JOIN sg ON n.node = sg.node
+                             CROSS JOIN ss
+            )""".format(
+                i=_i, j=_i - 1, base=_pr_base, d=_pr_damp, tp=100 - _pr_damp
+            )
+        )
+    sqls["pagerank_personalized"] = (
+        "".join(_ppr)
+        + """
+            SELECT node, CAST(pr AS BIGINT) AS rank_nano
+            FROM q{last}
             ORDER BY rank_nano DESC, node ASC LIMIT 25
         """.format(last=_pr_iters)
     )

@@ -202,3 +202,74 @@ def test_triangles_match_brute_force_on_pseudorandom_graph(spark):
         if a != b:
             edges.append((a, b))
     assert _tri(spark, edges) == _model_triangles(edges)
+
+
+# --------------------------------------------------- personalized pagerank
+
+
+from yellowrush_spark_ml_pipeline_spark.operators.graph import (  # noqa: E402
+    personalized_pagerank,
+)
+
+
+def _model_ppr(edges, seeds, iterations=3, damping_pct=85, base=RANK_BASE):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    s = [n for n in nodes if n in set(seeds)]
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    share = base // len(s)
+    pr = {v: (share if v in s else 0) for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for u, v in edges:
+            inflow[v] += pr[u] // outdeg[u]
+        pr = {
+            v: (
+                (100 - damping_pct) * (share if v in s else 0)
+                + damping_pct * inflow[v]
+            )
+            // 100
+            for v in nodes
+        }
+    return pr
+
+
+def test_ppr_mass_concentrates_near_seed(spark):
+    """Line a-b-c-d (reciprocated), seed {a}: every integer must match
+    the reference model, and mass thins with distance from the seed
+    (a's whole mass flows to its only neighbor b each round, so b can
+    exceed a at small iteration counts — the model is the contract;
+    the monotone tail b > c > d is what distance guarantees)."""
+    edges = []
+    for x, y in [("a", "b"), ("b", "c"), ("c", "d")]:
+        edges += [(x, y), (y, x)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.rank_nano for r in personalized_pagerank(df, seeds).collect()}
+    want = _model_ppr(edges, ["a"])
+    assert got == want
+    # small-iteration parity oscillation on a path precludes per-node
+    # monotonicity; the robust distance statement is pairwise mass:
+    assert got["a"] + got["b"] > 3 * (got["c"] + got["d"])
+
+
+def test_ppr_unreachable_node_gets_zero(spark):
+    """A disconnected component with no seed must decay to exactly 0 —
+    the PPR semantics that distinguish it from uniform pagerank."""
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.rank_nano for r in personalized_pagerank(df, seeds).collect()}
+    assert got == _model_ppr(edges, ["a"])
+    assert got["x"] == 0 and got["y"] == 0 and got["a"] > 0
+
+
+def test_ppr_seed_outside_graph_ignored(spark):
+    """Seeds not present as graph nodes carry no mass (inner join), so
+    the share is divided among the REACHABLE seeds only."""
+    edges = [("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    got = {r.node: r.rank_nano for r in personalized_pagerank(df, seeds).collect()}
+    assert got == _model_ppr(edges, ["a"])  # share = base // 1, not // 2

@@ -614,3 +614,12 @@ def test_linear_attribution_single_user_exchange(spark, sf_small):
     rep = plan_report(df)
     assert rep["exchanges"] <= 7
     assert not rep["python_udf"]
+
+
+def test_ppr_persisted_graph_no_cartesian(spark, sf_small):
+    df = entrymod.queries()["pagerank_personalized"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 28
+    assert not rep["python_udf"]
