@@ -623,3 +623,26 @@ def test_ppr_persisted_graph_no_cartesian(spark, sf_small):
     rep = plan_report(df)
     assert rep["exchanges"] <= 28
     assert not rep["python_udf"]
+
+
+def test_local_supplier_volume_pushdown_broadcast_dims(spark, sf_small):
+    """Q5 shape: date filter pushed to the orders scan, region/nation
+    pinned broadcast, no cartesian."""
+    df = entrymod.queries()["local_supplier_volume"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert rep["pushed_filters"]
+    assert rep["broadcast_join"]
+    assert not rep["python_udf"]
+
+
+def test_trade_volume_single_fact_shuffle_broadcast_nations(spark, sf_small):
+    """Q7 shape: both nation lookups broadcast; the fact-side joins and
+    the |nations|^2 x years aggregation bound the exchanges."""
+    df = entrymod.queries()["trade_volume"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert rep["broadcast_join"]
+    assert not rep["python_udf"]
