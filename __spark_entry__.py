@@ -2201,6 +2201,19 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ECDF normalization of document length — (rank-1)/(n-1)
+    with deterministic id tiebreak, one shuffle on source; makes a
+    global "top X%" cutoff mean the same thing in every source."""
+    docs = _t(spark, sf_dir, "documents")
+    return cleaning.quantile_normalize(
+        docs.select("doc_id", "source", "n_chars"),
+        value_col="n_chars",
+        group_col="source",
+        id_col="doc_id",
+    )
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): revenue per nation for
     ASIA-region orders of 1996 where customer and supplier share the
@@ -2480,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_attribution": q_linear_attribution,
         "local_supplier_volume": q_local_supplier_volume,
         "trade_volume": q_trade_volume,
+        "quantile_normalize": q_quantile_normalize,
         "containment": q_containment,
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -5116,6 +5130,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
             )""".format(i=_i)
             )
+    sqls["quantile_normalize"] = """
+            SELECT doc_id, source, n_chars,
+                   CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1
+                        THEN 0.5
+                        ELSE CAST(ROW_NUMBER() OVER (
+                                 PARTITION BY source
+                                 ORDER BY n_chars ASC, doc_id ASC) - 1
+                             AS DOUBLE)
+                             / (COUNT(*) OVER (PARTITION BY source) - 1)
+                   END AS pct
+            FROM documents
+        """
+
     sqls["local_supplier_volume"] = """
             SELECT n_name,
                    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -249,3 +249,37 @@ def test_linear_attribution_first_conversion_only_and_strictly_before(spark):
         "signup": (1, third),
         "click": (1, third),
     }
+
+
+# -------------------------------------------------------- quantile_normalize
+
+
+from yellowrush_spark_ml_pipeline_spark.operators.cleaning import (  # noqa: E402
+    quantile_normalize,
+)
+
+
+def test_quantile_normalize_exact_percentiles_per_group(spark):
+    """5-row group maps to {0, .25, .5, .75, 1}; scale differences
+    between groups vanish; a global cutoff then selects the same
+    fraction from each group."""
+    rows = [
+        (1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 40), (5, "a", 50),
+        (6, "b", 1000), (7, "b", 2000), (8, "b", 3000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r.doc_id: r.pct
+        for r in quantile_normalize(df, "n_chars", "source", "doc_id").collect()
+    }
+    assert got == {1: 0.0, 2: 0.25, 3: 0.5, 4: 0.75, 5: 1.0, 6: 0.0, 7: 0.5, 8: 1.0}
+
+
+def test_quantile_normalize_ties_break_by_id_and_singleton_is_half(spark):
+    rows = [(1, "a", 7), (2, "a", 7), (3, "b", 99)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r.doc_id: r.pct
+        for r in quantile_normalize(df, "n_chars", "source", "doc_id").collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 0.5}

@@ -185,3 +185,45 @@ def weighted_priority_sample(
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Per-group quantile (ECDF) normalization: map each row's value to
+    its empirical percentile WITHIN its group — ``(rank - 1) / (n - 1)``
+    in [0, 1] — so scores from groups with different scales become
+    comparable. The curation use: a quality score whose distribution
+    varies by ingest source biases any global cutoff toward verbose
+    sources; normalizing per source makes "keep the top 30%" mean the
+    same thing everywhere.
+
+    Rank is ``row_number`` ordered by (value, id) — the id tiebreak
+    makes duplicated values deterministic, partition-invariant, and
+    cross-engine exact (the division is one int/int -> double op,
+    identical in any engine; no interpolation arithmetic to drift).
+    Single-row groups define pct = 0.5 (middle of an empty range),
+    deterministically.
+
+    Scale shape: ONE shuffle on the group key; both windows (rank and
+    group count) ride the same partitioning. At 100 TB a pathological
+    single giant group serializes into one partition — that is inherent
+    to exact within-group ranking; salt-and-merge approximations exist
+    but change semantics, so this operator stays exact and documents
+    the bound instead."""
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(group_col)
+    n = F.count(F.lit(1)).over(w_all)
+    rank = F.row_number().over(w_rank)
+    pct = F.when(n == 1, F.lit(0.5)).otherwise(
+        (rank - F.lit(1)) / (n - F.lit(1))
+    )
+    return df.withColumn(out_col, pct)
