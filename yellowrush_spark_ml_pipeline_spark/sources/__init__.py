@@ -1,4 +1,10 @@
-from .readers import load_table, load_tables, read_csv, read_parquet
+from .readers import (
+    load_table,
+    load_tables,
+    read_binary_files,
+    read_csv,
+    read_parquet,
+)
 from .writers import (
     compact_parquet,
     upsert_partitions,
@@ -12,6 +18,7 @@ __all__ = [
     "compact_parquet",
     "load_table",
     "load_tables",
+    "read_binary_files",
     "read_csv",
     "read_parquet",
     "write_bucketed_table",

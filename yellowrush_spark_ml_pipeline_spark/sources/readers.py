@@ -134,3 +134,31 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw-media ingest via Spark's built-in ``binaryFile`` source — the
+    entry point of the multimodal tier (operators/multimodal.py expects
+    exactly this shape: a binary ``content`` column plus path/size
+    metadata). Schema is fixed by the source:
+    (path string, modificationTime timestamp, length bigint,
+    content binary).
+
+    ``glob`` maps to ``pathGlobFilter`` (e.g. ``"*.png"``) — filtering
+    happens at FILE LISTING time, before any byte is read.
+
+    Scale notes: each file becomes one row read in full, so this source
+    is for media objects (images, audio clips), not giant archives —
+    shard multi-GB tars upstream. ``spark.sql.files.maxPartitionBytes``
+    controls how many files pack into a task; listing parallelizes
+    across the driver's listing threads, and at 100 TB the path column
+    should carry partition-style prefixes (dt=.../source=...) so
+    downstream joins can prune on it."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
