@@ -2201,6 +2201,21 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peel (k=80, 4 rounds) of the part
+    co-occurrence graph — the declarative deletion recurrence; output is
+    the survivor set with end-state degrees, exact integers."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return graph.k_core_membership(co, k=80, rounds=4)
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source ECDF normalization of document length — (rank-1)/(n-1)
     with deterministic id tiebreak, one shuffle on source; makes a
@@ -2494,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "trade_volume": q_trade_volume,
         "quantile_normalize": q_quantile_normalize,
+        "k_core": q_k_core,
         "containment": q_containment,
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -5130,6 +5146,45 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
             )""".format(i=_i)
             )
+    # k-core: generated peel chain mirroring the Spark loop round for
+    # round (including the final degree>=k filter after the last peel).
+    _kc_k, _kc_rounds = 80, 4
+    _kc = [
+        """
+            WITH e0 AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            )"""
+    ]
+    for _i in range(1, _kc_rounds + 1):
+        _kc.append(
+            """, deg{i} AS (
+                SELECT node, COUNT(*) AS d FROM (
+                    SELECT a AS node FROM e{j}
+                    UNION ALL
+                    SELECT b AS node FROM e{j}
+                ) GROUP BY node
+            ), keep{i} AS (
+                SELECT node FROM deg{i} WHERE d >= {k}
+            ), e{i} AS (
+                SELECT a, b FROM e{j}
+                WHERE a IN (SELECT node FROM keep{i})
+                  AND b IN (SELECT node FROM keep{i})
+            )""".format(i=_i, j=_i - 1, k=_kc_k)
+        )
+    sqls["k_core"] = (
+        "".join(_kc)
+        + """
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT a AS node FROM e{last}
+                UNION ALL
+                SELECT b AS node FROM e{last}
+            ) GROUP BY node HAVING COUNT(*) >= {k}
+        """.format(last=_kc_rounds, k=_kc_k)
+    )
+
     sqls["quantile_normalize"] = """
             SELECT doc_id, source, n_chars,
                    CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1

@@ -273,3 +273,43 @@ def test_ppr_seed_outside_graph_ignored(spark):
     seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
     got = {r.node: r.rank_nano for r in personalized_pagerank(df, seeds).collect()}
     assert got == _model_ppr(edges, ["a"])  # share = base // 1, not // 2
+
+
+# ----------------------------------------------------------------- k-core
+
+
+from yellowrush_spark_ml_pipeline_spark.operators.graph import (  # noqa: E402
+    k_core_membership,
+)
+
+
+def _kcore(spark, edges, k, rounds=4):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.degree for r in k_core_membership(df, k=k, rounds=rounds).collect()
+    }
+
+
+def test_k_core_strips_pendant_chain_keeps_clique(spark):
+    """K4 with a pendant path hanging off: the 3-core is exactly the K4
+    (peeling must cascade down the chain)."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    got = _kcore(spark, k4 + chain, k=3, rounds=4)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_cascade_needs_enough_rounds(spark):
+    """A long pendant chain peels one node per round: with rounds=2 the
+    2-core still contains chain remnants (documented superset), with
+    enough rounds it collapses to the triangle."""
+    tri = [(0, 1), (1, 2), (0, 2)]
+    chain = [(2, 10), (10, 11), (11, 12), (12, 13)]
+    exact = _kcore(spark, tri + chain, k=2, rounds=6)
+    assert exact == {0: 2, 1: 2, 2: 2}
+    early = _kcore(spark, tri + chain, k=2, rounds=2)
+    assert set(exact) < set(early)  # strict superset before convergence
+
+
+def test_k_core_empty_when_graph_too_sparse(spark):
+    assert _kcore(spark, [(1, 2), (2, 3)], k=3, rounds=3) == {}

@@ -646,3 +646,14 @@ def test_trade_volume_single_fact_shuffle_broadcast_nations(spark, sf_small):
     rep = plan_report(df)
     assert rep["broadcast_join"]
     assert not rep["python_udf"]
+
+
+def test_k_core_no_cartesian_no_python(spark, sf_small):
+    """Peel rounds are degree counts + semi-joins on node ids; rounds
+    are localCheckpoint-truncated so plan size stays linear in rounds
+    (unpruned it grows ~3^rounds and OOMs the driver)."""
+    df = entrymod.queries()["k_core"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]

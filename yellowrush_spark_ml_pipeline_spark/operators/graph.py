@@ -303,3 +303,72 @@ def triangle_participation(
         F.explode(F.array("_x", "_y", "_z")).alias("node")
     )
     return tris.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core_membership(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    persist_graph: bool = True,
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly delete nodes whose CURRENT
+    degree (over the canonical undirected edge set) is below ``k`` —
+    the community-cohesion filter that strips hangers-on before
+    clustering, and the standard spam-farm screen on link graphs.
+
+    ``rounds`` is a fixed unroll, not a convergence loop: after r rounds
+    the survivor set is a SUPERSET of the true k-core, shrinking
+    monotonically and reaching the exact core once no round removes
+    anything (shallow peel chains converge in a few rounds; a path
+    graph's 2-core needs O(n) — callers with adversarial chains raise
+    ``rounds``). Fixed unrolling is what keeps the operator a pure
+    declarative plan: deterministic, partition-invariant, and
+    SQL-oracle-replayable round for round — the pagerank/kmeans
+    discipline applied to a deletion recurrence.
+
+    Output: (node, degree) for nodes surviving ``rounds`` peels, with
+    their end-state degree (>= k at fixpoint).
+
+    Scale shape: each round is one map-side-combinable degree count
+    plus two semi-joins filtering the edge list — all keyed on node
+    ids, with the edge relation shrinking monotonically. Each round's
+    survivor edges are ``localCheckpoint``-ed (default ON): the round
+    recurrence references the previous edge list THREE times (degree
+    count twice via the union, semi-join base once), so an unpruned
+    lazy plan grows ~3^rounds and OOMs the DRIVER on plan size alone
+    by round 6 — the identical pathology dedup_groups' CC loop hit
+    (dedup.py:355); lineage truncation, not mere persistence, is the
+    fix."""
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(u != v)
+        .select(F.least(u, v).alias("_a"), F.greatest(u, v).alias("_b"))
+        .distinct()
+    )
+    if persist_graph:
+        e = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("_a").alias("node"))
+            .union(e.select(F.col("_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "_a"), "_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "_b"), "_b", "left_semi")
+        )
+        if persist_graph:
+            e = e.localCheckpoint(eager=True)
+    final_deg = (
+        e.select(F.col("_a").alias("node"))
+        .union(e.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return final_deg.filter(F.col("degree") >= k)
