@@ -257,12 +257,17 @@ def triangle_participation(
     ids, no cartesian anywhere. The triangle->corner explode is a
     3x narrow map.
 
-    ``persist_graph`` (default ON — the pagerank rationale): the
-    canonical edge list feeds the degree count AND the orientation
-    join, and the oriented list is referenced by all three sides of
-    the wedge-close join; both are |E|-bounded derived relations that
-    Spark's lazy DAG would otherwise re-derive per reference
-    (measured 32 -> 10 exchanges on the co-supply graph)."""
+    ``persist_graph`` (default ON): the canonical edge list feeds the
+    degree count AND the orientation join, and the oriented list is
+    referenced by all three sides of the wedge-close join; both are
+    |E|-bounded derived relations that Spark's lazy DAG would
+    otherwise re-derive per reference (measured 32 -> 10 exchanges).
+    They are ``localCheckpoint``-ed rather than ``persist``-ed: AQE
+    does not re-plan inside an InMemoryRelation, so a cached oriented
+    list left the skewed wedge join without runtime skew-splitting —
+    measured 269 s at the sf1 decade vs 131 s checkpointed (a fresh
+    leaf relation AQE fully re-optimizes over), turning the decade
+    ratio from 17.6x (superlinear) to ~7x (sub-linear)."""
     u, v = F.col(src_col), F.col(dst_col)
     canon = (
         edges.filter(u != v)
@@ -270,9 +275,7 @@ def triangle_participation(
         .distinct()
     )
     if persist_graph:
-        from pyspark import StorageLevel
-
-        canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+        canon = canon.localCheckpoint(eager=True)
     deg = (
         canon.select(F.col("_a").alias("node"))
         .union(canon.select(F.col("_b").alias("node")))
@@ -292,9 +295,7 @@ def triangle_participation(
         F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("_w"),
     )
     if persist_graph:
-        from pyspark import StorageLevel
-
-        oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+        oriented = oriented.localCheckpoint(eager=True)
     e1 = oriented.select(F.col("_u").alias("_x"), F.col("_w").alias("_y"))
     e2 = oriented.select(F.col("_u").alias("_y"), F.col("_w").alias("_z"))
     e3 = oriented.select(F.col("_u").alias("_x"), F.col("_w").alias("_z"))
