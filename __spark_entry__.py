@@ -2201,6 +2201,25 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen on order totals per priority —
+    discrete-percentile medians (no interpolation drift), decimal-exact
+    deviations, integer 3.0x threshold arithmetic."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+    )
+    out = aggregates.mad_outlier_summary(
+        o, "o_orderpriority", "price", k_tenths=30
+    )
+    return out.select(
+        "grp",
+        "n_total",
+        F.col("median_v").cast("double").alias("median_v"),
+        F.col("mad").cast("double").alias("mad"),
+        "n_outliers",
+    )
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round k-core peel (k=80, 4 rounds) of the part
     co-occurrence graph — the declarative deletion recurrence; output is
@@ -2518,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_volume": q_trade_volume,
         "quantile_normalize": q_quantile_normalize,
         "k_core": q_k_core,
+        "mad_outliers": q_mad_outliers,
         "containment": q_containment,
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -5154,6 +5174,49 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
             )""".format(i=_i)
             )
+    sqls["mad_outliers"] = """
+            WITH base AS (
+                SELECT o_orderpriority AS grp,
+                       CAST(o_totalprice AS DECIMAL(12,2)) AS v
+                FROM orders
+            ), c1 AS (
+                SELECT grp, v, COUNT(*) AS cnt FROM base GROUP BY grp, v
+            ), m1 AS (
+                SELECT grp, MIN(v) AS median_v FROM (
+                    SELECT grp, v,
+                           SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+                                          ROWS UNBOUNDED PRECEDING) AS cum,
+                           SUM(cnt) OVER (PARTITION BY grp) AS n_total
+                    FROM c1
+                ) WHERE cum >= FLOOR((n_total * 50 + 99) / 100)
+                GROUP BY grp
+            ), dev AS (
+                SELECT b.grp, m1.median_v, ABS(b.v - m1.median_v) AS d
+                FROM base b JOIN m1 USING (grp)
+            ), c2 AS (
+                SELECT grp, d, COUNT(*) AS cnt FROM dev GROUP BY grp, d
+            ), m2 AS (
+                SELECT grp, MIN(d) AS mad,
+                       CAST(MAX(n_total) AS BIGINT) AS n_total
+                FROM (
+                    SELECT grp, d,
+                           SUM(cnt) OVER (PARTITION BY grp ORDER BY d
+                                          ROWS UNBOUNDED PRECEDING) AS cum,
+                           SUM(cnt) OVER (PARTITION BY grp) AS n_total
+                    FROM c2
+                ) WHERE cum >= FLOOR((n_total * 50 + 99) / 100)
+                GROUP BY grp
+            )
+            SELECT dev.grp,
+                   MAX(m2.n_total) AS n_total,
+                   CAST(MAX(dev.median_v) AS DOUBLE) AS median_v,
+                   CAST(MAX(m2.mad) AS DOUBLE) AS mad,
+                   CAST(SUM(CASE WHEN 10 * dev.d > 30 * m2.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev JOIN m2 USING (grp)
+            GROUP BY dev.grp
+        """
+
     # k-core: generated peel chain mirroring the Spark loop round for
     # round (including the final degree>=k filter after the last peel).
     _kc_k, _kc_rounds = 80, 4

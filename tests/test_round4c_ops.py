@@ -283,3 +283,46 @@ def test_quantile_normalize_ties_break_by_id_and_singleton_is_half(spark):
         for r in quantile_normalize(df, "n_chars", "source", "doc_id").collect()
     }
     assert got == {1: 0.0, 2: 1.0, 3: 0.5}
+
+
+# ------------------------------------------------------- mad_outlier_summary
+
+
+from yellowrush_spark_ml_pipeline_spark.operators.aggregates import (  # noqa: E402
+    mad_outlier_summary,
+)
+
+
+def test_mad_flags_planted_outlier_zscore_would_miss_none(spark):
+    """Group of 11 tight values + one wild outlier: discrete median 100;
+    sorted devs [0,0,0,1,1,1,1,2,2,2,3,9900] -> disc-median MAD = 1;
+    only the 10_000 value exceeds 3 MADs."""
+    vals = [98, 99, 99, 100, 100, 100, 101, 101, 102, 102, 103, 10_000]
+    rows = [("a", v) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = mad_outlier_summary(df, "grp", "v", k_tenths=30).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_total == 12 and r.median_v == 100 and r.mad == 1
+    # |dev| > 3*1=3 -> only 10_000 qualifies (dev 9900)
+    assert r.n_outliers == 1
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark):
+    """The 10_000 value must NOT drag the median/MAD (the z-score
+    failure mode): removing it leaves median and MAD unchanged."""
+    vals = [98, 99, 99, 100, 100, 100, 101, 101, 102, 102, 103]
+    df_clean = spark.createDataFrame([("a", v) for v in vals], "grp string, v long")
+    r = mad_outlier_summary(df_clean, "grp", "v", k_tenths=30).collect()[0]
+    assert r.median_v == 100 and r.mad == 1 and r.n_outliers == 0
+
+
+def test_mad_integer_threshold_boundary(spark):
+    """dev == 3*mad exactly is NOT an outlier (strict >): with mad=2,
+    dev=6 stays in, dev=7 is out."""
+    vals = [100, 100, 100, 98, 102, 94, 106, 107, 96, 104]
+    # sorted devs [0,0,0,2,2,4,4,6,6,7]: disc-median mad=2, threshold 6
+    df = spark.createDataFrame([("a", v) for v in vals], "grp string, v long")
+    r = mad_outlier_summary(df, "grp", "v", k_tenths=30).collect()[0]
+    assert r.median_v == 100 and r.mad == 2
+    assert r.n_outliers == 1  # only dev=7 exceeds 6; the two dev=6 stay in

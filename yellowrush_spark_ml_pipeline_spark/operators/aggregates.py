@@ -519,3 +519,56 @@ def table_checksum(
         F.bit_xor(row_hash).alias("checksum"),
     ]
     return df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_tenths: int = 30,
+) -> DataFrame:
+    """Robust per-group outlier screen: median / MAD (median absolute
+    deviation) with discrete-percentile semantics, flagging rows whose
+    deviation exceeds ``k_tenths/10`` MADs — the outlier detector that,
+    unlike z-scores, is not itself dragged by the outliers it hunts.
+
+    Output: (grp, n_total, median_v, mad, n_outliers). ``k_tenths`` is
+    an integer (30 -> the classic 3.0x) so the threshold comparison is
+    ``10 * |dev| > k_tenths * mad`` — pure integer/decimal arithmetic,
+    no float k to drift.
+
+    Exactness: both medians are percentile_disc picks (smallest value
+    whose cumulative count reaches ceil(n/2)) — actual data values, no
+    interpolation arithmetic to diverge cross-engine; deviations of
+    DECIMAL inputs stay exact.
+
+    Scale shape: two histogram-ranked discrete medians (each a
+    combinable count shuffle + a window over |groups x distinct
+    values|, never the full table — grouped_quantile_cutoff's shape),
+    with the per-group median/MAD joined back as broadcast-size
+    relations; the final screen is one combinable count aggregation."""
+    med = grouped_quantile_cutoff(df, group_col, value_col, q_pct=50).select(
+        F.col("grp"), F.col("cutoff").alias("median_v")
+    )
+    dev = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("_v"))
+        .join(F.broadcast(med), "grp")
+        .withColumn("_dev", F.abs(F.col("_v") - F.col("median_v")))
+    )
+    mad = grouped_quantile_cutoff(dev, "grp", "_dev", q_pct=50).select(
+        F.col("grp"), F.col("cutoff").alias("mad"), F.col("n_total")
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.max("median_v").alias("median_v"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.lit(10) * F.col("_dev") > F.lit(k_tenths) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
