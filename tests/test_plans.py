@@ -657,3 +657,13 @@ def test_k_core_no_cartesian_no_python(spark, sf_small):
     assert "CartesianProduct" not in plan
     rep = plan_report(df)
     assert not rep["python_udf"]
+
+
+def test_customer_distribution_outer_join_double_agg(spark, sf_small):
+    """Q13 shape: zero-order customers survive the left join; both
+    aggregations partial-combine; no cartesian."""
+    df = entrymod.queries()["customer_distribution"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
