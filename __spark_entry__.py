@@ -2201,6 +2201,14 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm A/B on per-user event-value totals (unit-level stats,
+    parity assignment): n/mean/var per arm + Welch t, decimal-exact
+    accumulation, ROUND-6 contract on the double formulas."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregates.ab_welch_summary(ev, "user_id", "value")
+
+
 def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer distribution): orders per customer
     INCLUDING zero-order customers (left outer join), then the
@@ -2559,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "mad_outliers": q_mad_outliers,
         "customer_distribution": q_customer_distribution,
+        "ab_welch": q_ab_welch,
         "containment": q_containment,
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -5195,6 +5204,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
             )""".format(i=_i)
             )
+    sqls["ab_welch"] = """
+            WITH per_unit AS (
+                SELECT user_id % 2 AS arm, user_id AS u,
+                       SUM(CAST(value AS DECIMAL(18,4))) AS m
+                FROM events GROUP BY user_id % 2, user_id
+            ), arms AS (
+                SELECT arm,
+                       COUNT(*) AS n,
+                       CAST(SUM(m) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(m * m AS DECIMAL(38,8))) AS DOUBLE) AS ss
+                FROM per_unit GROUP BY arm
+            ), a AS (
+                SELECT n AS n_a, s AS sa, ss AS ssa FROM arms WHERE arm = 0
+            ), b AS (
+                SELECT n AS n_b, s AS sb, ss AS ssb FROM arms WHERE arm = 1
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   ROUND(sa / n_a, 6) AS mean_a,
+                   ROUND(sb / n_b, 6) AS mean_b,
+                   ROUND((ssa - (sa * sa) / n_a) / (n_a - 1), 6) AS var_a,
+                   ROUND((ssb - (sb * sb) / n_b) / (n_b - 1), 6) AS var_b,
+                   ROUND((sa / n_a - sb / n_b)
+                         / sqrt(((ssa - (sa * sa) / n_a) / (n_a - 1)) / n_a
+                                + ((ssb - (sb * sb) / n_b) / (n_b - 1)) / n_b),
+                         6) AS welch_t
+            FROM a CROSS JOIN b
+        """
+
     sqls["customer_distribution"] = """
             SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
             FROM (

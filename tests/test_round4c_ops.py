@@ -326,3 +326,48 @@ def test_mad_integer_threshold_boundary(spark):
     r = mad_outlier_summary(df, "grp", "v", k_tenths=30).collect()[0]
     assert r.median_v == 100 and r.mad == 2
     assert r.n_outliers == 1  # only dev=7 exceeds 6; the two dev=6 stay in
+
+
+# ---------------------------------------------------------- ab_welch_summary
+
+
+from yellowrush_spark_ml_pipeline_spark.operators.aggregates import (  # noqa: E402
+    ab_welch_summary,
+)
+
+
+def test_ab_welch_matches_scipy_free_reference(spark):
+    """Hand-computable planted experiment vs a pure-Python Welch
+    reference (no scipy in container): unit-level totals, parity
+    arms."""
+    import math
+
+    rows = []
+    # arm 0 (even users): totals 10, 12, 14 ; arm 1 (odd): 20, 22, 24
+    for u, tot in [(2, 10.0), (4, 12.0), (6, 14.0), (1, 20.0), (3, 22.0), (5, 24.0)]:
+        rows.append((u, tot / 2))
+        rows.append((u, tot / 2))  # two events per user summing to tot
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    r = ab_welch_summary(df, "user_id", "value").collect()[0]
+
+    a, b = [10.0, 12.0, 14.0], [20.0, 22.0, 24.0]
+    ma, mb = sum(a) / 3, sum(b) / 3
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 2
+    t = (ma - mb) / math.sqrt(va / 3 + vb / 3)
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.mean_a == round(ma, 6) and r.mean_b == round(mb, 6)
+    assert r.var_a == round(va, 6) and r.var_b == round(vb, 6)
+    assert abs(r.welch_t - t) < 1e-6
+    assert r.welch_t < -3  # planted separation is significant and negative
+
+
+def test_ab_welch_unit_level_not_row_level(spark):
+    """100 events for ONE user must count as n=1 unit, not 100 samples —
+    the correlated-events trap the operator exists to avoid."""
+    rows = [(2, 1.0)] * 100 + [(4, 3.0), (1, 2.0), (3, 2.5)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    r = ab_welch_summary(df, "user_id", "value").collect()[0]
+    assert r.n_a == 2  # users 2 (total 100) and 4 (total 3)
+    assert r.n_b == 2  # users 1, 3
+    assert r.mean_a == round((100.0 + 3.0) / 2, 6)

@@ -572,3 +572,78 @@ def mad_outlier_summary(
             ).alias("n_outliers"),
         )
     )
+
+
+def ab_welch_summary(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-arm A/B comparison with Welch's t statistic, computed at the
+    EXPERIMENT-UNIT level: per-unit metric totals first (events within a
+    user are correlated — row-level stats overstate significance), then
+    arm-level n / mean / variance and the t statistic. Arms are assigned
+    by unit-id parity — deterministic, reproducible, engine-neutral (a
+    hash bucket would tie the assignment to one engine's hash).
+
+    Output: one row — (n_a, n_b, mean_a, mean_b, var_a, var_b,
+    welch_t), means/vars/t rounded to ``round_digits``.
+
+    Exactness: per-unit totals and the arm-level sum / sum-of-squares
+    accumulate in DECIMAL (order-independent); the mean / variance /
+    t-statistic formulas then run in DOUBLE with one fixed operation
+    order mirrored by the oracle, and ROUND caps the last-ulp surface
+    (the bm25 contract). Variance is the textbook
+    (sumsq - sum^2/n) / (n - 1) — fine in double here because the
+    decimal sums are exact before the single widening.
+
+    Scale shape: one combinable per-unit shuffle, then a 2-group
+    combinable aggregation; the final single-row join of the two arms
+    is driver-trivial. Nothing quadratic, zero Python."""
+    per_unit = (
+        df.select(
+            (F.col(unit_col) % 2).alias("_arm"),
+            F.col(unit_col).alias("_u"),
+            F.col(value_col).cast("decimal(18,4)").alias("_v"),
+        )
+        .groupBy("_arm", "_u")
+        .agg(F.sum("_v").alias("_m"))
+    )
+    arms = per_unit.groupBy("_arm").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_m")).alias("_s"),
+        F.sum(
+            (F.col("_m") * F.col("_m")).cast("decimal(38,8)")
+        ).alias("_ss"),
+    )
+    a = arms.filter(F.col("_arm") == 0).select(
+        F.col("_n").alias("n_a"),
+        F.col("_s").cast("double").alias("_sa"),
+        F.col("_ss").cast("double").alias("_ssa"),
+    )
+    b = arms.filter(F.col("_arm") == 1).select(
+        F.col("_n").alias("n_b"),
+        F.col("_s").cast("double").alias("_sb"),
+        F.col("_ss").cast("double").alias("_ssb"),
+    )
+    j = a.crossJoin(b)
+    mean_a = F.col("_sa") / F.col("n_a")
+    mean_b = F.col("_sb") / F.col("n_b")
+    var_a = (F.col("_ssa") - (F.col("_sa") * F.col("_sa")) / F.col("n_a")) / (
+        F.col("n_a") - F.lit(1)
+    )
+    var_b = (F.col("_ssb") - (F.col("_sb") * F.col("_sb")) / F.col("n_b")) / (
+        F.col("n_b") - F.lit(1)
+    )
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    r = lambda c: F.round(c, round_digits)  # noqa: E731
+    return j.select(
+        "n_a",
+        "n_b",
+        r(mean_a).alias("mean_a"),
+        r(mean_b).alias("mean_b"),
+        r(var_a).alias("var_a"),
+        r(var_b).alias("var_b"),
+        r(t).alias("welch_t"),
+    )
