@@ -2201,6 +2201,16 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of hourly event value (24-hour
+    period, +/-12h centered trend): v = trend + seasonal + residual,
+    decimal-exact accumulations, ROUND-6 contract."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.seasonal_decompose(
+        ev, "ts", "value", step_seconds=3600, period=24, trend_half_window=12
+    )
+
+
 def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-arm A/B on per-user event-value totals (unit-level stats,
     parity assignment): n/mean/var per arm + Welch t, decimal-exact
@@ -2568,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "customer_distribution": q_customer_distribution,
         "ab_welch": q_ab_welch,
+        "seasonal_decompose": q_seasonal_decompose,
         "containment": q_containment,
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -5204,6 +5215,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
             )""".format(i=_i)
             )
+    sqls["seasonal_decompose"] = """
+            WITH grid AS (
+                SELECT to_timestamp(s - (s % 3600)) AS bucket,
+                       SUM(vdec) AS vdec
+                FROM (
+                    SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                           CAST(value AS DECIMAL(18,4)) AS vdec
+                    FROM events
+                )
+                GROUP BY s - (s % 3600)
+            ), trended AS (
+                SELECT bucket,
+                       CAST(vdec AS DOUBLE) AS v,
+                       CAST(SUM(vdec) OVER w AS DOUBLE)
+                           / COUNT(*) OVER w AS trend
+                FROM grid
+                WINDOW w AS (ORDER BY bucket
+                             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+            ), detrended AS (
+                SELECT bucket, v, trend,
+                       CAST(v - trend AS DECIMAL(28,8)) AS det,
+                       (CAST(floor(epoch(bucket)) AS BIGINT) // 3600) % 24
+                           AS phase
+                FROM trended
+            ), seasonal AS (
+                SELECT phase,
+                       CAST(CAST(SUM(det) AS DOUBLE) / COUNT(*)
+                            AS DECIMAL(28,8)) AS sdec
+                FROM detrended GROUP BY phase
+            )
+            SELECT d.bucket,
+                   ROUND(d.v, 6) AS v,
+                   ROUND(d.trend, 6) AS trend,
+                   CAST(s.sdec AS DOUBLE) AS seasonal,
+                   CAST(d.det - s.sdec AS DOUBLE) AS residual
+            FROM detrended d JOIN seasonal s USING (phase)
+        """
+
     sqls["ab_welch"] = """
             WITH per_unit AS (
                 SELECT user_id % 2 AS arm, user_id AS u,

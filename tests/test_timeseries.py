@@ -80,3 +80,44 @@ def test_gap_fill_plan_jvm_only(spark, sf_oracle):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------- seasonal_decompose
+
+
+def test_seasonal_decompose_recovers_planted_daily_pattern(spark):
+    """Flat base load + planted hour-12 spike repeated every day: the
+    decomposition must put the spike into the SEASONAL component (same
+    phase every day) with near-flat residuals, and v must always equal
+    trend + seasonal + residual up to rounding."""
+    import datetime as dt
+
+    from yellowrush_spark_ml_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(6):
+        for hour in range(24):
+            ts = dt.datetime(2024, 1, 1 + day, hour, 30)
+            val = 100.0 + (50.0 if hour == 12 else 0.0)
+            rows.append((eid, ts, val))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = seasonal_decompose(
+        df, "ts", "value", step_seconds=3600, period=24, trend_half_window=12
+    ).collect()
+    assert len(out) == 144
+    by_hour = {}
+    for r in out:
+        assert abs(r.v - (r.trend + r.seasonal + r.residual)) < 2e-6
+        by_hour.setdefault(r.bucket.hour, []).append(r.seasonal)
+    # the seasonal component concentrates at hour 12 and is ~constant
+    # within each phase (one seasonal value per phase by construction)
+    assert len(set(by_hour[12])) == 1 and len(set(by_hour[3])) == 1
+    assert by_hour[12][0] > 40
+    assert all(v < 5 for v in by_hour[3])
+    # interior residuals are small (edge buckets see partial trend windows)
+    interior = [r for r in out if dt.datetime(2024, 1, 2) <= r.bucket <= dt.datetime(2024, 1, 5)]
+    assert interior and all(abs(r.residual) < 10 for r in interior)
