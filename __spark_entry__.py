@@ -2201,6 +2201,38 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.top_paths(ev, k=20, max_len=5, gap_minutes=30)
 
 
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table data-quality constraint report (deequ-style): PK
+    uniqueness, FK orphans both directions, range and null checks —
+    each an independent combinable single-pass aggregate, unioned into
+    (check, violations) rows; 0 means the constraint holds."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cu = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    checks = {
+        "orders_pk_unique": aggregates.pk_duplicates(o, "o_orderkey"),
+        "lineitem_pk_unique": aggregates.pk_duplicates(
+            li, "l_orderkey", "l_linenumber"
+        ),
+        "lineitem_order_orphans": aggregates.fk_orphans(
+            li, o, "l_orderkey", "o_orderkey"
+        ),
+        "orders_customer_orphans": aggregates.fk_orphans(
+            o, cu, "o_custkey", "c_custkey"
+        ),
+        "lineitem_qty_in_range": li.agg(
+            count_if(
+                (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)
+            ).alias("violations")
+        ),
+        "events_user_not_null": ev.agg(
+            count_if(F.col("user_id").isNull()).alias("violations")
+        ),
+    }
+    return aggregates.dq_report(checks)
+
+
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of hourly event value (24-hour
     period, +/-12h centered trend): v = trend + seasonal + residual,
@@ -2579,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_distribution": q_customer_distribution,
         "ab_welch": q_ab_welch,
         "seasonal_decompose": q_seasonal_decompose,
+        "dq_report": q_dq_report,
         "containment": q_containment,
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -5215,6 +5248,41 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
             )""".format(i=_i)
             )
+    sqls["dq_report"] = """
+            SELECT 'events_user_not_null' AS "check",
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violations
+            FROM events
+            UNION ALL
+            SELECT 'lineitem_order_orphans',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'lineitem_pk_unique',
+                   CAST(COUNT(*) AS BIGINT)
+                   - (SELECT COUNT(*) FROM
+                       (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_qty_in_range',
+                   CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 60
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders_customer_orphans',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'orders_pk_unique',
+                   CAST(COUNT(*) AS BIGINT)
+                   - COUNT(DISTINCT o_orderkey)
+            FROM orders
+        """
+
     sqls["seasonal_decompose"] = """
             WITH grid AS (
                 SELECT to_timestamp(s - (s % 3600)) AS bucket,

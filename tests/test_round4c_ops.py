@@ -371,3 +371,44 @@ def test_ab_welch_unit_level_not_row_level(spark):
     assert r.n_a == 2  # users 2 (total 100) and 4 (total 3)
     assert r.n_b == 2  # users 1, 3
     assert r.mean_a == round((100.0 + 3.0) / 2, 6)
+
+
+# ------------------------------------------------------------------ dq_report
+
+
+from yellowrush_spark_ml_pipeline_spark.operators.aggregates import (  # noqa: E402
+    dq_report,
+    fk_orphans,
+    pk_duplicates,
+)
+
+
+def test_dq_report_planted_violations(spark):
+    """Duplicated PK, two orphan children, one range breach — each check
+    reports its exact violation count; clean checks report 0."""
+    parent = spark.createDataFrame([(1,), (2,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (99, 30), (98, 40)], "fk long, qty long"
+    )
+    checks = {
+        "parent_pk_unique": pk_duplicates(parent, "pk"),
+        "child_fk_orphans": fk_orphans(child, parent, "fk", "pk"),
+        "child_qty_range": child.agg(
+            __import__("pyspark.sql.functions", fromlist=["x"]).sum(
+                (child["qty"] > 25).cast("int")
+            ).alias("violations")
+        ),
+    }
+    got = {r.check: r.violations for r in dq_report(checks).collect()}
+    assert got == {
+        "parent_pk_unique": 1,   # pk=2 twice -> 4 rows - 3 distinct
+        "child_fk_orphans": 2,   # fk 99, 98
+        "child_qty_range": 2,    # 30, 40
+    }
+
+
+def test_dq_report_requires_checks(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dq_report({})

@@ -647,3 +647,57 @@ def ab_welch_summary(
         r(var_b).alias("var_b"),
         r(t).alias("welch_t"),
     )
+
+
+def dq_report(checks: dict[str, DataFrame]) -> DataFrame:
+    """Data-quality constraint report: each named check is a DataFrame
+    whose single aggregated row/column yields the violation COUNT (0 =
+    constraint holds); the report unions them into (check, violations)
+    — the deequ-style artifact a pipeline gates on and a warehouse
+    stores per run.
+
+    Each check stays an independent single-pass aggregate (count
+    distinct, anti-join count, conditional count — all combinable);
+    the union is |checks| one-row relations, so the report costs
+    exactly the sum of its checks and parallelizes across them. Order
+    of the output is by check name (deterministic)."""
+    if not checks:
+        raise ValueError("dq_report needs at least one check")
+    parts = []
+    for name, df in sorted(checks.items()):
+        col = df.columns[0]
+        parts.append(
+            df.select(
+                F.lit(name).alias("check"),
+                F.col(col).cast("long").alias("violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pk_duplicates(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Violation count for a primary-key constraint: rows minus distinct
+    keys (0 = unique). NULL-key caveat: count_distinct drops rows where
+    ANY key column is NULL, so null-bearing keys inflate the count —
+    correct for a PK check (NULL keys ARE violations), but pair with an
+    explicit not-null check when the distinction matters."""
+    return df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols])).alias(
+            "violations"
+        )
+    )
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame, child_key: str, parent_key: str) -> DataFrame:
+    """Violation count for referential integrity: child rows whose key
+    has no parent (left anti join, then count)."""
+    return (
+        child.join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations"))
+    )
