@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # localCheckpoint'd RDDs (graph operators' bounded relations) are
+        # reclaimed by the ContextCleaner only after a JVM GC notices the
+        # dropped references; the 30 min default lets dead blocks pile up
+        # across a long multi-query session and evict live storage
+        # (measured: a 2 s k-means degrading to 27 s late in a 300-query
+        # bench run purely from earlier queries' residue).
+        .config("spark.cleaner.periodicGC.interval", "3min")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
