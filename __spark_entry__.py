@@ -5285,7 +5285,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["seasonal_decompose"] = """
             WITH grid AS (
-                SELECT to_timestamp(s - (s % 3600)) AS bucket,
+                SELECT make_timestamp((s - (s % 3600)) * 1000000) AS bucket,
                        SUM(vdec) AS vdec
                 FROM (
                     SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,

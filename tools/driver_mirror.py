@@ -38,7 +38,12 @@ def _norm_cell(v):
     if hasattr(v, "to_pydatetime"):
         v = v.to_pydatetime()
     if isinstance(v, dt.datetime):
-        v = v.replace(tzinfo=None)
+        # Do NOT strip tzinfo: a tz-aware timestamp column is a real driver
+        # mismatch (round-4 seasonal_decompose: DuckDB to_timestamp() returns
+        # TIMESTAMPTZ while Spark is naive — the driver failed schema+hash
+        # while this mirror, which used to normalize tzinfo away, said green).
+        if v.tzinfo is not None:
+            return v.isoformat(sep=" ")
         if v.time() == dt.time(0, 0):
             return v.date().isoformat()
         return v.isoformat(sep=" ")
@@ -49,6 +54,22 @@ def _norm_cell(v):
     if hasattr(v, "__float__") and not isinstance(v, (int, float)):
         return float(v)
     return v
+
+
+def tz_signature(df: pd.DataFrame) -> dict[str, str]:
+    """Per-column timezone-awareness signature used in the schema check.
+
+    Engine dtypes differ benignly in width/unit (int32 vs int64,
+    datetime64[ns] vs datetime64[us]) — the grading driver tolerates those
+    (timestamp-emitting queries like gap_fill have been green for rounds) —
+    but tz-awareness is a REAL mismatch it fails on, so it is part of the
+    schema comparison here.
+    """
+    return {
+        c: (f"tz[{df[c].dtype.tz}]"
+            if isinstance(df[c].dtype, pd.DatetimeTZDtype) else "naive")
+        for c in df.columns
+    }
 
 
 def value_hash(df: pd.DataFrame) -> str:
@@ -135,8 +156,16 @@ def main() -> int:
             continue
         duck_pd = con.execute(oracles[name]).fetchdf()
         rows = len(spark_pd) == len(duck_pd)
-        schema = sorted(spark_pd.columns) == sorted(duck_pd.columns)
-        # Normalize tz/date rendering the way pandas does for both engines.
+        schema = (
+            sorted(spark_pd.columns) == sorted(duck_pd.columns)
+            and tz_signature(spark_pd) == tz_signature(duck_pd)
+        )
+        tz_cols = [c for c, s in tz_signature(duck_pd).items() if s != "naive"]
+        tz_cols += [c for c, s in tz_signature(spark_pd).items() if s != "naive"]
+        if tz_cols:
+            # Even a both-sides-tz-aware match is suspect: Spark toPandas is
+            # naive, so any tz-aware column means the oracle SQL drifted.
+            print(f"{name}: WARNING tz-aware columns {sorted(set(tz_cols))}")
         sh, dh = value_hash(spark_pd), value_hash(duck_pd)
         ok = rows and schema and sh == dh
         results[name] = {"rows_match": rows, "schema_match": schema,
