@@ -2591,70 +2591,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract (tests/test_policy.py): every oracle-backed entry
-    # precedes every rows-only entry. Within the oracle block, the driver
-    # checks a 50-entry PREFIX each round, so priority order is: (1) the
-    # 19 round-4 queries with NO driver row yet, (2) the 18 whose only
-    # driver green is round 2 on since-regenerated data, (3) the r1+r2
-    # doubly-verified entries (the 4 of these past position 50 are the
-    # lowest-risk omissions — every query is still re-proven on current
-    # testdata every round by the local mirror / test_oracle_parity).
+    # Ordering contract (tests/test_policy.py): the grading driver verifies
+    # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
+    # duty roster: (1) any entry with NO driver row in any committed
+    # CORRECTNESS_r*.json (new queries + past-cutoff stragglers) MUST sit in
+    # the first 50, oracle-backed before rows-only; (2) red rows from the
+    # latest round go to position 1 for re-verification; (3) remaining slots
+    # rotate through the stalest last-green entries. Every oracle-backed
+    # query is still re-proven on CURRENT testdata every round by the local
+    # mirror (tools/driver_mirror.py → MIRROR_LOCAL.json) regardless of
+    # window position.
     return {
-        # ---- (1) new in round 4: never driver-verified ----
-        "fuzzy_join": q_fuzzy_join,
-        "linear_attribution": q_linear_attribution,
-        "local_supplier_volume": q_local_supplier_volume,
-        "trade_volume": q_trade_volume,
-        "quantile_normalize": q_quantile_normalize,
-        "k_core": q_k_core,
-        "mad_outliers": q_mad_outliers,
-        "customer_distribution": q_customer_distribution,
-        "ab_welch": q_ab_welch,
+        # ---- (1) r4 red row, fixed this round: re-verify first ----
         "seasonal_decompose": q_seasonal_decompose,
-        "dq_report": q_dq_report,
-        "containment": q_containment,
-        "triangles": q_triangles,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "pagerank": q_pagerank,
-        "pagerank_personalized": q_pagerank_personalized,
-        "co_visitation": q_co_visitation,
-        "source_kl_drift": q_source_kl_drift,
-        "table_checksum": q_table_checksum,
-        "top_paths": q_top_paths,
-        "conversion_lag": q_conversion_lag,
-        "ngram_novelty": q_ngram_novelty,
-        "source_overlap": q_source_overlap,
-        "order_skyline": q_order_skyline,
-        "returned_customers": q_returned_customers,
-        "session_stats": q_session_stats,
-        "rrf_fusion": q_rrf_fusion,
-        "bm25_topk": q_bm25_topk,
-        "max_concurrency": q_max_concurrency,
-        "rollup_merge": q_rollup_merge,
-        "weighted_sample": q_weighted_sample,
-        "shipping_priority": q_shipping_priority,
-        "funnel_window": q_funnel_window,
-        "pack_efficiency": q_pack_efficiency,
-        "embedding_dedup_groups": q_embedding_dedup_groups,
-        "similarity_lsh": q_similarity_lsh,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "minhash_dedup": q_minhash_dedup,
-        "dedup_groups": q_dedup_groups,
-        "simhash": q_simhash,
-        "incremental_dedup": q_incremental_dedup,
-        "curate_corpus": q_curate_corpus,
-        "event_transitions": q_event_transitions,
-        "first_touch_attribution": q_first_touch_attribution,
-        "ewma": q_ewma,
-        "rolling_zscore": q_rolling_zscore,
-        "dup_ngram_spans": q_dup_ngram_spans,
-        "unpivot_metrics": q_unpivot_metrics,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "export_manifest": q_export_manifest,
+        # ---- (2) never driver-checked: oracle-backed ----
         "unigram_nll": q_unigram_nll,
         "window_ranks": q_window_ranks,
         "dedup_consensus": q_dedup_consensus,
-        # ---- (2) latest driver green is r2 ----
+        # ---- (3) never driver-checked: rows-only (documented rationale) ----
+        "language_id_model": q_language_id_model,
+        "video_pipeline": q_video_pipeline,
+        "similarity_ivf": q_similarity_ivf,
+        "similarity_incremental": q_similarity_incremental,
+        "text_classifier_metrics": q_text_classifier_metrics,
+        "compression_ratio": q_compression_ratio,
+        "media_probe": q_media_probe,
+        "minhash_dedup_fast": q_minhash_dedup_fast,
+        # ---- (4) rows-only whose only driver rows predate r3 ----
+        "sketch_stats": q_sketch_stats,
+        "multimodal_features": q_multimodal_features,
+        "ml_classifier_metrics": q_ml_classifier_metrics,
+        # ---- (5) rotation fill: stalest oracle-backed (last green r2) ----
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,
         "null_safe_join": q_null_safe_join,
@@ -2673,7 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "pii_redaction": q_pii_redaction,
         "corpus_stats": q_corpus_stats,
-        # ---- (3) r1+r2 doubly-verified ----
+        # ---- (6) r1+r2 doubly-verified ----
         "hist_avg_global_fill": q_hist_avg_global_fill,
         "star_join": q_star_join,
         "dim_join_null_fill": q_dim_join_null_fill,
@@ -2742,18 +2709,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_durations": q_user_durations,
         "hist_ratio_agg": q_hist_ratio_agg,
         "group_enrichment": q_group_enrichment,
-        # ---- rows-only entries (documented no_oracle rationale each) ----
-        "language_id_model": q_language_id_model,
-        "sketch_stats": q_sketch_stats,
-        "multimodal_features": q_multimodal_features,
-        "video_pipeline": q_video_pipeline,
-        "similarity_ivf": q_similarity_ivf,
-        "similarity_incremental": q_similarity_incremental,
-        "ml_classifier_metrics": q_ml_classifier_metrics,
-        "text_classifier_metrics": q_text_classifier_metrics,
-        "compression_ratio": q_compression_ratio,
-        "media_probe": q_media_probe,
-        "minhash_dedup_fast": q_minhash_dedup_fast,
+        # ---- driver-verified green in round 4 (freshest — lowest rotation
+        # ---- priority; re-proven locally by the mirror every round) ----
+        "fuzzy_join": q_fuzzy_join,
+        "linear_attribution": q_linear_attribution,
+        "local_supplier_volume": q_local_supplier_volume,
+        "trade_volume": q_trade_volume,
+        "quantile_normalize": q_quantile_normalize,
+        "k_core": q_k_core,
+        "mad_outliers": q_mad_outliers,
+        "customer_distribution": q_customer_distribution,
+        "ab_welch": q_ab_welch,
+        "dq_report": q_dq_report,
+        "containment": q_containment,
+        "triangles": q_triangles,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
+        "co_visitation": q_co_visitation,
+        "source_kl_drift": q_source_kl_drift,
+        "table_checksum": q_table_checksum,
+        "top_paths": q_top_paths,
+        "conversion_lag": q_conversion_lag,
+        "ngram_novelty": q_ngram_novelty,
+        "source_overlap": q_source_overlap,
+        "order_skyline": q_order_skyline,
+        "returned_customers": q_returned_customers,
+        "session_stats": q_session_stats,
+        "rrf_fusion": q_rrf_fusion,
+        "bm25_topk": q_bm25_topk,
+        "max_concurrency": q_max_concurrency,
+        "rollup_merge": q_rollup_merge,
+        "weighted_sample": q_weighted_sample,
+        "shipping_priority": q_shipping_priority,
+        "funnel_window": q_funnel_window,
+        "pack_efficiency": q_pack_efficiency,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
+        "similarity_lsh": q_similarity_lsh,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "dedup_groups": q_dedup_groups,
+        "simhash": q_simhash,
+        "incremental_dedup": q_incremental_dedup,
+        "curate_corpus": q_curate_corpus,
+        "event_transitions": q_event_transitions,
+        "first_touch_attribution": q_first_touch_attribution,
+        "ewma": q_ewma,
+        "rolling_zscore": q_rolling_zscore,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "unpivot_metrics": q_unpivot_metrics,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "export_manifest": q_export_manifest,
     }
 
 
