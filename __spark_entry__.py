@@ -5109,8 +5109,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source,
                    CAST(SUM(c_st) AS BIGINT) AS n_tokens,
-                   (CAST(SUM(nanonats) AS BIGINT) // CAST(SUM(c_st) AS BIGINT))
-                       / 1e9 AS kl_nats
+                   -- clamp at 0 like the Spark side: rounding noise can push
+                   -- the sum negative, where // (floor) and Spark div
+                   -- (truncate) would disagree by 1
+                   (GREATEST(CAST(SUM(nanonats) AS BIGINT), 0)
+                       // CAST(SUM(c_st) AS BIGINT)) / 1e9 AS kl_nats
             FROM scored GROUP BY source
         """
 

@@ -209,7 +209,25 @@ def main() -> int:
         out["scaling_sf1"] = scaling_sf1
     if failures:
         out["failures"] = failures
-    print(json.dumps(out), flush=True)
+    # Full per-query record goes to a committed file: the driver keeps only
+    # a bounded TAIL of stdout, and rounds 3-4 proved a 149-query dict gets
+    # clipped there. Stdout carries the top-10 slowest (the actionable
+    # subset); BENCH_LOCAL.json carries everything for round-over-round
+    # diffing.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    slow10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    stdout_out = dict(out, queries=slow10, queries_full="BENCH_LOCAL.json")
+    if scaling is not None:
+        stdout_out["scaling"] = dict(
+            scaling, time_ratio={q: scaling["time_ratio"][q]
+                                 for q in slow10 if q in scaling["time_ratio"]}
+        )
+    print(json.dumps(stdout_out), flush=True)
     # The driver's capture window keeps the TAIL of stdout; the full line
     # above can outgrow it (it did in round 3, losing the headline number).
     # Emit a compact summary as the FINAL line so truncation always

@@ -1042,6 +1042,15 @@ def source_kl_drift(
         .select(
             "source",
             "n_tokens",
-            (F.expr("_su div n_tokens") / F.lit(1e9)).alias("kl_nats"),
+            # KL >= 0 by Gibbs, but per-term nanonat rounding can push the
+            # accumulated sum a few units below zero — and there Spark's
+            # `div` (truncates toward zero) and DuckDB's `//` (floors)
+            # disagree by 1. Clamp at 0 in BOTH engines: the clamp is
+            # within rounding error of the true value and keeps the
+            # fixed-point quantity in the non-negative domain where the
+            # two division semantics coincide.
+            (F.expr("greatest(_su, 0L) div n_tokens") / F.lit(1e9)).alias(
+                "kl_nats"
+            ),
         )
     )
