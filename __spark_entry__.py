@@ -2212,19 +2212,25 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     checks = {
         "orders_pk_unique": aggregates.pk_duplicates(o, "o_orderkey"),
-        "lineitem_pk_unique": aggregates.pk_duplicates(
-            li, "l_orderkey", "l_linenumber"
+        # The two plain column constraints on lineitem fuse into ONE scan
+        # (dq_column_checks) — at 100 TB the fact table is read once for
+        # all its non-join checks, not once per constraint.
+        "lineitem_column_checks": aggregates.dq_column_checks(
+            li,
+            {
+                "lineitem_pk_unique": aggregates.pk_duplicates_expr(
+                    "l_orderkey", "l_linenumber"
+                ),
+                "lineitem_qty_in_range": count_if(
+                    (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)
+                ),
+            },
         ),
         "lineitem_order_orphans": aggregates.fk_orphans(
             li, o, "l_orderkey", "o_orderkey"
         ),
         "orders_customer_orphans": aggregates.fk_orphans(
             o, cu, "o_custkey", "c_custkey"
-        ),
-        "lineitem_qty_in_range": li.agg(
-            count_if(
-                (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)
-            ).alias("violations")
         ),
         "events_user_not_null": ev.agg(
             count_if(F.col("user_id").isNull()).alias("violations")

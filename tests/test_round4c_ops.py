@@ -412,3 +412,39 @@ def test_dq_report_requires_checks(spark):
 
     with _pytest.raises(ValueError):
         dq_report({})
+
+
+def test_dq_column_checks_fused_single_scan(spark):
+    """Same-table constraints fused via dq_column_checks report the same
+    violation counts as their standalone forms, feed cleanly through
+    dq_report, and plan exactly ONE exchange — the whole point is a
+    single pass over the fact table."""
+    from pyspark.sql import functions as F
+
+    from yellowrush_spark_ml_pipeline_spark.operators.aggregates import (
+        dq_column_checks,
+        pk_duplicates_expr,
+    )
+
+    t = spark.createDataFrame(
+        [(1, 5), (2, 70), (2, 10), (3, -1)], "pk long, qty long"
+    )
+    fused = dq_column_checks(
+        t,
+        {
+            "t_pk_unique": pk_duplicates_expr("pk"),
+            "t_qty_range": F.sum(
+                ((t["qty"] <= 0) | (t["qty"] > 60)).cast("long")
+            ),
+        },
+    )
+    got = {r.check: r.violations for r in dq_report({"t": fused}).collect()}
+    assert got == {"t_pk_unique": 1, "t_qty_range": 2}
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # drop the AQE pre-plan copy
+    n_scans = final.count("Scan ")
+    # count_distinct legitimately needs its two-phase exchange; the fusion
+    # win is the SINGLE table pass feeding every constraint.
+    n_exchanges = final.count("Exchange")
+    assert n_scans == 1, f"fused checks should share one scan:\n{final}"
+    assert n_exchanges <= 2, f"expected <=2 exchanges (distinct 2-phase):\n{final}"

@@ -660,11 +660,19 @@ def dq_report(checks: dict[str, DataFrame]) -> DataFrame:
     distinct, anti-join count, conditional count — all combinable);
     the union is |checks| one-row relations, so the report costs
     exactly the sum of its checks and parallelizes across them. Order
-    of the output is by check name (deterministic)."""
+    of the output is by check name (deterministic).
+
+    A check value may also be a PRE-SHAPED (check, violations) relation
+    — the output of :func:`dq_column_checks`, which fuses several
+    same-table constraints into ONE scan — in which case its own check
+    names are used and the dict key is just a group label."""
     if not checks:
         raise ValueError("dq_report needs at least one check")
     parts = []
     for name, df in sorted(checks.items()):
+        if list(df.columns) == ["check", "violations"]:
+            parts.append(df)
+            continue
         col = df.columns[0]
         parts.append(
             df.select(
@@ -678,17 +686,43 @@ def dq_report(checks: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+def dq_column_checks(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
+    """Fuse several same-table constraint checks into ONE scan: each
+    named value is an AGGREGATE expression yielding that check's
+    violation count; all of them evaluate in a single multi-aggregate
+    pass over ``df``, and the one wide row is unpivoted with ``stack``
+    into (check, violations) rows — feed the result straight into
+    :func:`dq_report`.
+
+    At 100 TB this is the difference between one table pass per
+    constraint and one pass total: N independent one-row aggregates on
+    the same fact table each re-scan it, while a fused aggregation
+    shares the scan, the partial-aggregation stage, and the single-row
+    exchange. (Join-shaped checks like :func:`fk_orphans` keep their own
+    plan — only plain column constraints fuse.)"""
+    if not exprs:
+        raise ValueError("dq_column_checks needs at least one expression")
+    names = sorted(exprs)
+    row = df.agg(*[exprs[n].cast("long").alias(n) for n in names])
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return row.selectExpr(
+        f"stack({len(names)}, {stack}) AS (check, violations)"
+    )
+
+
+def pk_duplicates_expr(*key_cols: str) -> Column:
+    """Aggregate expression form of :func:`pk_duplicates` (rows minus
+    distinct keys), for fusing into :func:`dq_column_checks`."""
+    return F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols])
+
+
 def pk_duplicates(df: DataFrame, *key_cols: str) -> DataFrame:
     """Violation count for a primary-key constraint: rows minus distinct
     keys (0 = unique). NULL-key caveat: count_distinct drops rows where
     ANY key column is NULL, so null-bearing keys inflate the count —
     correct for a PK check (NULL keys ARE violations), but pair with an
     explicit not-null check when the distinction matters."""
-    return df.agg(
-        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols])).alias(
-            "violations"
-        )
-    )
+    return df.agg(pk_duplicates_expr(*key_cols).alias("violations"))
 
 
 def fk_orphans(child: DataFrame, parent: DataFrame, child_key: str, parent_key: str) -> DataFrame:
