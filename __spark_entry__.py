@@ -2769,6 +2769,221 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# --------------------------------------------------------------------------
+# Parameterized oracle builders for the ITERATIVE operators. Each generates
+# a DuckDB CTE chain unrolled to the requested round count, mirroring the
+# corresponding Spark loop round for round in integer/decimal fixed-point —
+# so the comparison is exact at ANY count. oracle_sql() consumes them at the
+# registry configs; tests/test_recurrence_probes.py re-runs both engines at
+# ALTERNATE counts so the recurrence itself (not one unrolling) is
+# differentially verified.
+
+
+def _trade_graph_head_sql(base: int) -> str:
+    """Shared WITH-head: the bidirectional customer--supplier trade graph
+    (matches graph.bipartite_edges on orders x lineitem), node set, node
+    count, out-degrees, and the uniform starting mass p0."""
+    return """
+            WITH pairs AS (
+                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS l,
+                                's' || CAST(l_suppkey AS VARCHAR) AS r
+                FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+            ), edges AS (
+                SELECT l AS src, r AS dst FROM pairs
+                UNION ALL
+                SELECT r AS src, l AS dst FROM pairs
+            ), nodes AS (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            ), nn AS (
+                SELECT COUNT(*) AS n FROM nodes
+            ), outdeg AS (
+                SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+            ), p0 AS (
+                SELECT node, {base} // nn.n AS pr FROM nodes CROSS JOIN nn
+            )""".format(base=base)
+
+
+def oracle_pagerank_sql(
+    iterations: int = 3,
+    damping_pct: int = 85,
+    base: int = 10**12,
+    limit: int = 25,
+) -> str:
+    """DuckDB oracle for graph.pagerank at any iteration count."""
+    parts = [_trade_graph_head_sql(base)]
+    for i in range(1, iterations + 1):
+        parts.append(
+            """, c{i} AS (
+                SELECT e.dst, p.pr // o.outdeg AS contrib
+                FROM edges e JOIN p{j} p ON e.src = p.node
+                             JOIN outdeg o ON e.src = o.src
+            ), f{i} AS (
+                SELECT dst, SUM(contrib) AS inflow FROM c{i} GROUP BY dst
+            ), p{i} AS (
+                SELECT nodes.node,
+                       (({tp} * ({base} // nn.n)) + {d} * COALESCE(f.inflow, 0)) // 100 AS pr
+                FROM nodes LEFT JOIN f{i} f ON nodes.node = f.dst CROSS JOIN nn
+            )""".format(
+                i=i, j=i - 1, base=base, d=damping_pct, tp=100 - damping_pct
+            )
+        )
+    parts.append(
+        """
+            SELECT node, CAST(pr AS BIGINT) AS rank_nano
+            FROM p{last}
+            ORDER BY rank_nano DESC, node ASC LIMIT {limit}
+        """.format(last=iterations, limit=limit)
+    )
+    return "".join(parts)
+
+
+def oracle_ppr_sql(
+    iterations: int = 3,
+    damping_pct: int = 85,
+    base: int = 10**12,
+    limit: int = 25,
+) -> str:
+    """DuckDB oracle for graph.personalized_pagerank (nation-0 customer
+    seeds) at any iteration count."""
+    parts = [
+        _trade_graph_head_sql(base)
+        + """, seeds AS (
+                SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                FROM customer WHERE c_nationkey = 0
+            ), sg AS (
+                SELECT s.node FROM seeds s JOIN nodes n ON s.node = n.node
+            ), ss AS (
+                SELECT COUNT(*) AS s FROM sg
+            ), q0 AS (
+                SELECT n.node,
+                       CASE WHEN sg.node IS NOT NULL
+                            THEN {base} // ss.s ELSE 0 END AS pr
+                FROM nodes n LEFT JOIN sg ON n.node = sg.node CROSS JOIN ss
+            )""".format(base=base)
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            """, d{i} AS (
+                SELECT e.dst, p.pr // o.outdeg AS contrib
+                FROM edges e JOIN q{j} p ON e.src = p.node
+                             JOIN outdeg o ON e.src = o.src
+            ), g{i} AS (
+                SELECT dst, SUM(contrib) AS inflow FROM d{i} GROUP BY dst
+            ), q{i} AS (
+                SELECT n.node,
+                       (({tp} * CASE WHEN sg.node IS NOT NULL
+                                     THEN {base} // ss.s ELSE 0 END)
+                        + {d} * COALESCE(g.inflow, 0)) // 100 AS pr
+                FROM nodes n LEFT JOIN g{i} g ON n.node = g.dst
+                             LEFT JOIN sg ON n.node = sg.node
+                             CROSS JOIN ss
+            )""".format(
+                i=i, j=i - 1, base=base, d=damping_pct, tp=100 - damping_pct
+            )
+        )
+    parts.append(
+        """
+            SELECT node, CAST(pr AS BIGINT) AS rank_nano
+            FROM q{last}
+            ORDER BY rank_nano DESC, node ASC LIMIT {limit}
+        """.format(last=iterations, limit=limit)
+    )
+    return "".join(parts)
+
+
+def oracle_k_core_sql(k: int = 80, rounds: int = 4) -> str:
+    """DuckDB oracle for graph.k_core_membership over the part
+    co-occurrence graph at any (k, rounds)."""
+    parts = [
+        """
+            WITH e0 AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            """, deg{i} AS (
+                SELECT node, COUNT(*) AS d FROM (
+                    SELECT a AS node FROM e{j}
+                    UNION ALL
+                    SELECT b AS node FROM e{j}
+                ) GROUP BY node
+            ), keep{i} AS (
+                SELECT node FROM deg{i} WHERE d >= {k}
+            ), e{i} AS (
+                SELECT a, b FROM e{j}
+                WHERE a IN (SELECT node FROM keep{i})
+                  AND b IN (SELECT node FROM keep{i})
+            )""".format(i=i, j=i - 1, k=k)
+        )
+    parts.append(
+        """
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT a AS node FROM e{last}
+                UNION ALL
+                SELECT b AS node FROM e{last}
+            ) GROUP BY node HAVING COUNT(*) >= {k}
+        """.format(last=rounds, k=k)
+    )
+    return "".join(parts)
+
+
+def oracle_kmeans_sql(k: int = 8, n_assign: int = 3) -> str:
+    """DuckDB oracle for similarity.kmeans_lloyd at any (k, n_assign):
+    n_assign assignment rounds, n_assign-1 decimal-exact centroid
+    updates. list_distance == Spark's sequential (x-y)^2 fold + sqrt
+    (proven by the euclidean oracles)."""
+    parts = [
+        """
+            WITH pts AS (
+                SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+            ), c0 AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                       x AS c
+                FROM (SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT {k})
+            )""".format(k=k)
+    ]
+    for i in range(1, n_assign + 1):
+        parts.append(
+            """, a{i} AS (
+                SELECT vec_id, x, cid, d FROM (
+                    SELECT p.vec_id, p.x, c.cid, list_distance(p.x, c.c) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.x, c.c) ASC, c.cid ASC
+                           ) AS rn
+                    FROM pts p CROSS JOIN c{j} c
+                ) WHERE rn = 1
+            )""".format(i=i, j=i - 1)
+        )
+        if i < n_assign:
+            parts.append(
+                """, u{i} AS (
+                SELECT cid, dim,
+                       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
+                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS val
+                FROM (
+                    SELECT cid, CAST(generate_subscripts(x, 1) - 1 AS INT) AS dim,
+                           unnest(x) AS v
+                    FROM a{i}
+                )
+                GROUP BY cid, dim
+            ), c{i} AS (
+                SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
+            )""".format(i=i)
+            )
+    parts.append(
+        """
+            SELECT vec_id, CAST(cid AS INT) AS cluster_id, ROUND(d, 6) AS dist
+            FROM a{last}
+        """.format(last=n_assign)
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     dec_sum = lambda c: f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"  # noqa: E731
     sqls = {
@@ -5123,146 +5338,17 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY source
         """
 
-    # PageRank: the iteration CTE chain is generated (3 unrolled rounds),
-    # mirroring the Spark loop in operators/graph.py round for round —
-    # all-BIGINT fixed-point arithmetic, so the comparison is exact.
-    _pr_base, _pr_damp, _pr_iters = 10**12, 85, 3
-    _pr_cte = [
-        """
-            WITH pairs AS (
-                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS l,
-                                's' || CAST(l_suppkey AS VARCHAR) AS r
-                FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
-            ), edges AS (
-                SELECT l AS src, r AS dst FROM pairs
-                UNION ALL
-                SELECT r AS src, l AS dst FROM pairs
-            ), nodes AS (
-                SELECT src AS node FROM edges UNION SELECT dst FROM edges
-            ), nn AS (
-                SELECT COUNT(*) AS n FROM nodes
-            ), outdeg AS (
-                SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
-            ), p0 AS (
-                SELECT node, {base} // nn.n AS pr FROM nodes CROSS JOIN nn
-            )""".format(base=_pr_base)
-    ]
-    for _i in range(1, _pr_iters + 1):
-        _pr_cte.append(
-            """, c{i} AS (
-                SELECT e.dst, p.pr // o.outdeg AS contrib
-                FROM edges e JOIN p{j} p ON e.src = p.node
-                             JOIN outdeg o ON e.src = o.src
-            ), f{i} AS (
-                SELECT dst, SUM(contrib) AS inflow FROM c{i} GROUP BY dst
-            ), p{i} AS (
-                SELECT nodes.node,
-                       (({tp} * ({base} // nn.n)) + {d} * COALESCE(f.inflow, 0)) // 100 AS pr
-                FROM nodes LEFT JOIN f{i} f ON nodes.node = f.dst CROSS JOIN nn
-            )""".format(
-                i=_i, j=_i - 1, base=_pr_base, d=_pr_damp, tp=100 - _pr_damp
-            )
-        )
-    sqls["pagerank"] = (
-        "".join(_pr_cte)
-        + """
-            SELECT node, CAST(pr AS BIGINT) AS rank_nano
-            FROM p{last}
-            ORDER BY rank_nano DESC, node ASC LIMIT 25
-        """.format(last=_pr_iters)
-    )
+    # PageRank / personalized PageRank: the iteration CTE chains are
+    # generated by parameterized builders (oracle_pagerank_sql /
+    # oracle_ppr_sql below), mirroring the Spark loop in
+    # operators/graph.py round for round — all-BIGINT fixed-point
+    # arithmetic, so the comparison is exact. The builders take the
+    # iteration count so tests/test_recurrence_probes.py can
+    # differentially check the RECURRENCE at alternate counts, not just
+    # this registry unrolling.
+    sqls["pagerank"] = oracle_pagerank_sql(iterations=3)
+    sqls["pagerank_personalized"] = oracle_ppr_sql(iterations=3)
 
-    # personalized pagerank: same generated chain, teleport only to the
-    # seed membership (nation-0 customers), matching the Spark loop.
-    _ppr = [
-        _pr_cte[0]
-        + """, seeds AS (
-                SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
-                FROM customer WHERE c_nationkey = 0
-            ), sg AS (
-                SELECT s.node FROM seeds s JOIN nodes n ON s.node = n.node
-            ), ss AS (
-                SELECT COUNT(*) AS s FROM sg
-            ), q0 AS (
-                SELECT n.node,
-                       CASE WHEN sg.node IS NOT NULL
-                            THEN {base} // ss.s ELSE 0 END AS pr
-                FROM nodes n LEFT JOIN sg ON n.node = sg.node CROSS JOIN ss
-            )""".format(base=_pr_base)
-    ]
-    for _i in range(1, _pr_iters + 1):
-        _ppr.append(
-            """, d{i} AS (
-                SELECT e.dst, p.pr // o.outdeg AS contrib
-                FROM edges e JOIN q{j} p ON e.src = p.node
-                             JOIN outdeg o ON e.src = o.src
-            ), g{i} AS (
-                SELECT dst, SUM(contrib) AS inflow FROM d{i} GROUP BY dst
-            ), q{i} AS (
-                SELECT n.node,
-                       (({tp} * CASE WHEN sg.node IS NOT NULL
-                                     THEN {base} // ss.s ELSE 0 END)
-                        + {d} * COALESCE(g.inflow, 0)) // 100 AS pr
-                FROM nodes n LEFT JOIN g{i} g ON n.node = g.dst
-                             LEFT JOIN sg ON n.node = sg.node
-                             CROSS JOIN ss
-            )""".format(
-                i=_i, j=_i - 1, base=_pr_base, d=_pr_damp, tp=100 - _pr_damp
-            )
-        )
-    sqls["pagerank_personalized"] = (
-        "".join(_ppr)
-        + """
-            SELECT node, CAST(pr AS BIGINT) AS rank_nano
-            FROM q{last}
-            ORDER BY rank_nano DESC, node ASC LIMIT 25
-        """.format(last=_pr_iters)
-    )
-
-    # kmeans_lloyd: generated CTE chain — n_assign assignment rounds,
-    # n_assign-1 decimal-exact centroid updates, mirroring the Spark loop
-    # in operators/similarity.py round for round. list_distance ==
-    # Spark's sequential (x-y)^2 fold + sqrt (proven: euclidean oracles).
-    _km_k, _km_assigns = 8, 3
-    _km = [
-        """
-            WITH pts AS (
-                SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
-            ), c0 AS (
-                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-                       x AS c
-                FROM (SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT {k})
-            )""".format(k=_km_k)
-    ]
-    for _i in range(1, _km_assigns + 1):
-        _km.append(
-            """, a{i} AS (
-                SELECT vec_id, x, cid, d FROM (
-                    SELECT p.vec_id, p.x, c.cid, list_distance(p.x, c.c) AS d,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY p.vec_id
-                               ORDER BY list_distance(p.x, c.c) ASC, c.cid ASC
-                           ) AS rn
-                    FROM pts p CROSS JOIN c{j} c
-                ) WHERE rn = 1
-            )""".format(i=_i, j=_i - 1)
-        )
-        if _i < _km_assigns:
-            _km.append(
-                """, u{i} AS (
-                SELECT cid, dim,
-                       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
-                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS val
-                FROM (
-                    SELECT cid, CAST(generate_subscripts(x, 1) - 1 AS INT) AS dim,
-                           unnest(x) AS v
-                    FROM a{i}
-                )
-                GROUP BY cid, dim
-            ), c{i} AS (
-                SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
-            )""".format(i=_i)
-            )
     sqls["dq_report"] = """
             SELECT 'events_user_not_null' AS "check",
                    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
@@ -5421,43 +5507,9 @@ def oracle_sql() -> dict[str, str]:
         """
 
     # k-core: generated peel chain mirroring the Spark loop round for
-    # round (including the final degree>=k filter after the last peel).
-    _kc_k, _kc_rounds = 80, 4
-    _kc = [
-        """
-            WITH e0 AS (
-                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-                FROM lineitem a JOIN lineitem b
-                  ON a.l_orderkey = b.l_orderkey
-                 AND a.l_partkey < b.l_partkey
-            )"""
-    ]
-    for _i in range(1, _kc_rounds + 1):
-        _kc.append(
-            """, deg{i} AS (
-                SELECT node, COUNT(*) AS d FROM (
-                    SELECT a AS node FROM e{j}
-                    UNION ALL
-                    SELECT b AS node FROM e{j}
-                ) GROUP BY node
-            ), keep{i} AS (
-                SELECT node FROM deg{i} WHERE d >= {k}
-            ), e{i} AS (
-                SELECT a, b FROM e{j}
-                WHERE a IN (SELECT node FROM keep{i})
-                  AND b IN (SELECT node FROM keep{i})
-            )""".format(i=_i, j=_i - 1, k=_kc_k)
-        )
-    sqls["k_core"] = (
-        "".join(_kc)
-        + """
-            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
-                SELECT a AS node FROM e{last}
-                UNION ALL
-                SELECT b AS node FROM e{last}
-            ) GROUP BY node HAVING COUNT(*) >= {k}
-        """.format(last=_kc_rounds, k=_kc_k)
-    )
+    # round (including the final degree>=k filter after the last peel);
+    # parameterized builder — see the recurrence-probe note on pagerank.
+    sqls["k_core"] = oracle_k_core_sql(k=80, rounds=4)
 
     sqls["quantile_normalize"] = """
             SELECT doc_id, source, n_chars,
@@ -5615,13 +5667,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_triangles DESC, node ASC LIMIT 20
         """
 
-    sqls["kmeans_lloyd"] = (
-        "".join(_km)
-        + """
-            SELECT vec_id, CAST(cid AS INT) AS cluster_id, ROUND(d, 6) AS dist
-            FROM a{last}
-        """.format(last=_km_assigns)
-    )
+    sqls["kmeans_lloyd"] = oracle_kmeans_sql(k=8, n_assign=3)
 
     _null_token = "chr(1) || 'NULL'"
     _canon = (
