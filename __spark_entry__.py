@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from yellowrush_spark_ml_pipeline_spark.functions.scalar import (
@@ -2596,6 +2596,276 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _cents(col: str) -> Column:
+    """Exact integer cents of a 2-decimal money double (lossless: all
+    test-data money has ≤2 decimals). BIGINT cents make downstream sums,
+    comparisons, and ``div`` ratios order-independent and engine-exact."""
+    return (F.col(col).cast("decimal(12,2)") * 100).cast("bigint")
+
+
+def _rev_e4(price_col: str = "l_extendedprice", disc_col: str = "l_discount") -> Column:
+    """Discounted revenue in exact 1e-4 integer units:
+    DECIMAL(12,2) price × DECIMAL(4,2) (1-discount) is exact at scale 4."""
+    return (
+        (
+            F.col(price_col).cast("decimal(12,2)")
+            * (F.lit(1) - F.col(disc_col)).cast("decimal(4,2)")
+        ).cast("decimal(18,4)")
+        * 10000
+    ).cast("bigint")
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for every part supplied into
+    EUROPE, the supplier with the lowest observed unit price. Unit price
+    is exact integer milli-cents (1000*cents div qty — qty is integral),
+    the region→nation→supplier dim chain is broadcast, and the per-part
+    argmin is a struct-min aggregate (one shuffle on l_partkey, no
+    window sort)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "(1000 * cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint))"
+            " div cast(l_quantity as bigint)"
+        ).alias("unit_milli"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    best = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_milli", "s_suppkey")).alias("best"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("best.unit_milli").alias("unit_milli"),
+            F.col("best.s_suppkey").alias("s_suppkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(part), on="p_partkey")
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name", "n_name")),
+            on="s_suppkey",
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "unit_milli")
+        .orderBy(F.col("unit_milli").asc(), F.col("p_partkey").asc())
+        .limit(20)
+    )
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): suppliers whose shipped value
+    exceeds 1.2% of the global total. Per-supplier cents sum (one
+    shuffle on l_suppkey), the single-row global total broadcast back as
+    a cross join, and the share test in pure BIGINT cross-multiplication
+    (1000*value > 12*global) — no float division anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _cents("l_extendedprice").alias("cents")
+    )
+    per = li.groupBy("l_suppkey").agg(F.sum("cents").alias("value_cents"))
+    total = per.agg(F.sum("value_cents").alias("total_cents"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents") * 12)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "value_cents",
+            F.expr("(1000000 * value_cents) div total_cents").alias("share_e6"),
+        )
+        .orderBy(F.col("value_cents").desc(), F.col("s_suppkey").asc())
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): per ship-month share of
+    revenue from PROMO-type parts. Part type rides a broadcast into the
+    lineitem scan, revenue accumulates in exact 1e-4 integer units, and
+    the share is integer micro-units (1e6*promo div total, both
+    non-negative) — conditional-aggregation ratio with zero float."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        _rev_e4().alias("rev_e4"),
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("ship_month")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo_e4"),
+            F.sum("rev_e4").alias("total_e4"),
+        )
+        .select(
+            "ship_month",
+            "promo_e4",
+            "total_e4",
+            F.expr("(1000000 * promo_e4) div total_e4").alias("promo_share_e6"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity order revenue): Brand#1 lineitems
+    with quantity strictly below half the part's average quantity. The
+    half-average test is exact integer cross-multiplication
+    (2*qty*cnt < sum_qty — no fraction ever materializes), the per-part
+    averages are a pre-aggregation joined back broadcast (it is
+    |parts|-sized), and the answer is one global row in cents div 7."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        _cents("l_extendedprice").alias("cents"),
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    brand_li = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = brand_li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(per_part.withColumnRenamed("l_partkey", "pk")),
+            F.col("l_partkey") == F.col("pk"),
+        )
+        .filter(F.lit(2) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr("sum(cents) div 7").alias("avg_yearly_cents"),
+        )
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds 250 (top ~1%), joined back to customer and order
+    headers. The HAVING pre-aggregation shrinks the fact side to a few
+    hundred keys before any dimension join, so both joins ride AQE
+    broadcasts; top-20 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias(
+                "o_totalprice"
+            ),
+            "total_qty",
+        )
+        .orderBy(
+            F.col("total_qty").desc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(20)
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on orders
+    with ≥2 distinct suppliers, count per supplier the orders where that
+    supplier's latest ship date is the strict unique maximum. The
+    EXISTS/NOT-EXISTS pair collapses to ONE order-keyed sorted window
+    over the per-(order,supplier) max aggregation: row_number()==1
+    picks the argmax, lead() < max proves strictness AND ≥2 suppliers
+    in the same pass — one shuffle, one small-partition sort."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    sm = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    ws = Window.partitionBy("l_orderkey").orderBy(
+        F.col("supp_max").desc(), F.col("l_suppkey").asc()
+    )
+    flagged = sm.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_max",
+        F.row_number().over(ws).alias("rn"),
+        F.lead("supp_max").over(ws).alias("runner_up"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.filter(
+            (F.col("rn") == 1)
+            & F.col("runner_up").isNotNull()
+            & (F.col("runner_up") < F.col("supp_max"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_blocked"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_blocked")
+        .orderBy(F.col("n_blocked").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (idle high-balance customers): customers with no
+    order since 2001-01-01 whose balance beats the positive-balance
+    average, grouped per nation. The average test is exact signed-BIGINT
+    cross-multiplication (bal_cents*n_pos > sum_pos_cents — no
+    division), the recent-order screen is a LEFT ANTI join on the
+    pre-shrunk recent key set, and the one-row global stands broadcast."""
+    cutoff = F.lit("2001-01-01").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_cents")
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_pos"), F.count(F.lit(1)).alias("n_pos")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -2627,6 +2897,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "multimodal_features": q_multimodal_features,
         "ml_classifier_metrics": q_ml_classifier_metrics,
+        # ---- (3b) NEW this round (round 5): never driver-checked ----
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_stock": q_important_stock,
+        "promo_revenue_share": q_promo_revenue_share,
+        "small_order_revenue": q_small_order_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_customers": q_idle_customers,
         # ---- (5) rotation fill: stalest oracle-backed (last green r2) ----
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,
@@ -5826,5 +6104,155 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-07-01'
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """
+
+    # ---- round-5 TPC-H completion shapes (Q2/Q11/Q14/Q17/Q18/Q21/Q22) ----
+    sqls["min_cost_supplier"] = """
+            WITH eur_supp AS (
+                SELECT s_suppkey, s_name, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), unit AS (
+                SELECT l_partkey, l_suppkey,
+                       (1000 * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                                    AS BIGINT))
+                       // CAST(l_quantity AS BIGINT) AS unit_milli
+                FROM lineitem
+                JOIN eur_supp ON l_suppkey = s_suppkey
+            ), best AS (
+                SELECT l_partkey, unit_milli, l_suppkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY unit_milli ASC, l_suppkey ASC
+                       ) AS rn
+                FROM unit
+            )
+            SELECT b.l_partkey AS p_partkey, p.p_name,
+                   b.l_suppkey AS s_suppkey, s.s_name, s.n_name,
+                   CAST(b.unit_milli AS BIGINT) AS unit_milli
+            FROM best b
+            JOIN part p ON b.l_partkey = p.p_partkey
+            JOIN eur_supp s ON b.l_suppkey = s.s_suppkey
+            WHERE b.rn = 1
+            ORDER BY unit_milli ASC, p_partkey ASC LIMIT 20
+        """
+
+    sqls["important_stock"] = """
+            WITH per AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                                     AS BIGINT)) AS BIGINT) AS value_cents
+                FROM lineitem GROUP BY l_suppkey
+            ), total AS (
+                SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM per
+            )
+            SELECT s_suppkey, s_name, value_cents,
+                   CAST((1000000 * value_cents) // total_cents AS BIGINT)
+                       AS share_e6
+            FROM per CROSS JOIN total
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE value_cents * 1000 > total_cents * 12
+            ORDER BY value_cents DESC, s_suppkey ASC
+        """
+
+    sqls["promo_revenue_share"] = """
+            WITH li AS (
+                SELECT date_trunc('month', l_shipdate) AS ship_month,
+                       p_type,
+                       CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                                 AS DECIMAL(18,4)) * 10000 AS BIGINT) AS rev_e4
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT ship_month,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                        AS BIGINT) AS promo_e4,
+                   CAST(SUM(rev_e4) AS BIGINT) AS total_e4,
+                   CAST((1000000 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4
+                                            ELSE 0 END))
+                        // SUM(rev_e4) AS BIGINT) AS promo_share_e6
+            FROM li GROUP BY ship_month ORDER BY ship_month
+        """
+
+    sqls["small_order_revenue"] = """
+            WITH brand_li AS (
+                SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1'
+            ), per_part AS (
+                SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                       COUNT(*) AS cnt
+                FROM brand_li GROUP BY l_partkey
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(cents) // 7 AS BIGINT) AS avg_yearly_cents
+            FROM brand_li JOIN per_part ON l_partkey = pk
+            WHERE 2 * qty * cnt < sum_qty
+        """
+
+    sqls["large_volume_customers"] = """
+            WITH big AS (
+                SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT))
+                                        AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS o_totalprice,
+                   total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """
+
+    sqls["waiting_suppliers"] = """
+            WITH sm AS (
+                SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_max
+                FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ), fl AS (
+                SELECT l_orderkey, l_suppkey, supp_max,
+                       MAX(supp_max) OVER (PARTITION BY l_orderkey) AS order_max,
+                       COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supps
+                FROM sm
+            ), fl2 AS (
+                SELECT *,
+                       SUM(CASE WHEN supp_max = order_max THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY l_orderkey) AS n_at_max
+                FROM fl
+            )
+            SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_blocked
+            FROM fl2 JOIN supplier ON l_suppkey = s_suppkey
+            WHERE n_supps >= 2 AND supp_max = order_max AND n_at_max = 1
+            GROUP BY s_suppkey, s_name
+            ORDER BY n_blocked DESC, s_suppkey ASC LIMIT 20
+        """
+
+    sqls["idle_customers"] = """
+            WITH cust AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                           AS bal_cents
+                FROM customer
+            ), pos AS (
+                SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_pos,
+                       COUNT(*) AS n_pos
+                FROM cust WHERE bal_cents > 0
+            ), recent AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+            )
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+                   CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+            FROM cust CROSS JOIN pos
+            WHERE bal_cents * n_pos > sum_pos
+              AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """
     return sqls
