@@ -2866,6 +2866,43 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide segment ("line") dedup: 8-word segments
+    seen more than twice corpus-wide are struck from EVERY document and
+    the survivors reassembled in order. Two planted verbatim copies of
+    the first 15 docs push their segments to frequency 3, so the
+    removal provably fires — including on the originals, exactly as C4
+    treats frequent lines."""
+    docs = _t(spark, sf_dir, "documents")
+    copy_a = _plant_docs(docs, 15, 500000, F.col("text"))
+    copy_b = _plant_docs(docs, 15, 510000, F.col("text"))
+    aug = docs.unionByName(copy_a).unionByName(copy_b)
+    return dedup.segment_line_dedup(aug, seg_words=8, max_freq=2)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Flesch-Kincaid-style readability in exact integer
+    milli-units (vowel-group syllable heuristic; doc-as-one-sentence
+    for this punctuation-free corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.readability(docs)
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel accounting: per-source document survival through
+    four cumulative quality gates (length, word count, mean word
+    length, stopword share) in one conditional-aggregation scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_funnel(docs)
+
+
+def q_ttr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: type-token ratio and hapax share
+    in exact integer milli (vocabulary-health corpus audit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.ttr_stats(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -2905,6 +2942,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "waiting_suppliers": q_waiting_suppliers,
         "idle_customers": q_idle_customers,
+        "line_dedup": q_line_dedup,
+        "readability": q_readability,
+        "filter_funnel": q_filter_funnel,
+        "ttr_stats": q_ttr_stats,
         # ---- (5) rotation fill: stalest oracle-backed (last green r2) ----
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,
@@ -6254,5 +6295,121 @@ def oracle_sql() -> dict[str, str]:
             WHERE bal_cents * n_pos > sum_pos
               AND c_custkey NOT IN (SELECT o_custkey FROM recent)
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """
+
+    # ---- round-5 curation wave ----
+    sqls["line_dedup"] = r"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 500000, text FROM documents WHERE doc_id < 15
+                UNION ALL
+                SELECT doc_id + 510000, text FROM documents WHERE doc_id < 15
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                           x -> x != '') AS t
+                FROM base
+            ), segs AS (
+                SELECT doc_id, g.i AS seg_idx,
+                       array_to_string(
+                           list_slice(t, g.i * 8 + 1, g.i * 8 + 8), ' '
+                       ) AS seg_text
+                FROM toks,
+                     LATERAL (SELECT unnest(range((len(t) + 7) // 8)) AS i) g
+            ), fl AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY seg_text) AS freq
+                FROM segs
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_segs,
+                   CAST(SUM(CASE WHEN freq <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   COALESCE(string_agg(CASE WHEN freq <= 2 THEN seg_text END,
+                                       ' ' ORDER BY seg_idx), '') AS new_text
+            FROM fl GROUP BY doc_id ORDER BY doc_id
+        """
+
+    sqls["readability"] = r"""
+            WITH r AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                            AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                            AS BIGINT) AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_syllables,
+                   CAST((1000 * n_syllables) // n_words AS BIGINT)
+                       AS syl_per_word_milli,
+                   CAST(390 * n_words + (11800 * n_syllables) // n_words
+                        - 15590 AS BIGINT) AS fk_grade_milli
+            FROM r WHERE n_words > 0 ORDER BY doc_id
+        """
+
+    sqls["filter_funnel"] = r"""
+            WITH m AS (
+                SELECT source, n_chars,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                            AS BIGINT) AS words,
+                       CAST(length(regexp_replace(lower(text), '[^a-z]', '',
+                                                  'g')) AS BIGINT) AS alpha,
+                       CAST(len(list_filter(
+                           list_filter(
+                               string_split_regex(lower(text),
+                                                  '[^\p{L}\p{N}]+'),
+                               x -> x != ''),
+                           x -> list_contains(
+                               ['the','a','of','to','and','in','is'], x)))
+                            AS BIGINT) AS stop_hits
+                FROM documents
+            ), g AS (
+                SELECT source,
+                       (n_chars >= 100 AND n_chars <= 2000) AS s1,
+                       (n_chars >= 100 AND n_chars <= 2000
+                        AND words >= 10 AND words <= 500) AS s2,
+                       (n_chars >= 100 AND n_chars <= 2000
+                        AND words >= 10 AND words <= 500
+                        AND alpha <= 9 * words) AS s3,
+                       (n_chars >= 100 AND n_chars <= 2000
+                        AND words >= 10 AND words <= 500
+                        AND alpha <= 9 * words
+                        AND stop_hits * 50 >= words) AS s4
+                FROM m
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_len_ok,
+                   CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_words_ok,
+                   CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_wordlen_ok,
+                   CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_stopword_ok
+            FROM g GROUP BY source ORDER BY source
+        """
+
+    sqls["ttr_stats"] = r"""
+            WITH tok AS (
+                SELECT source,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                           x -> x != '')) AS token
+                FROM documents
+            ), pt AS (
+                SELECT source, token, COUNT(*) AS cnt
+                FROM tok GROUP BY source, token
+            )
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST((1000 * COUNT(*)) // SUM(cnt) AS BIGINT) AS ttr_milli,
+                   CAST((1000 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END))
+                        // COUNT(*) AS BIGINT) AS hapax_milli
+            FROM pt GROUP BY source ORDER BY source
         """
     return sqls

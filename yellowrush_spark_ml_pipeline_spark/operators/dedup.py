@@ -836,3 +836,73 @@ def containment_pairs(
             F.round("containment", 6).alias("containment"),
         )
     )
+
+
+def segment_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    max_freq: int = 2,
+) -> DataFrame:
+    """C4-style corpus-wide "line" deduplication, adapted to the
+    newline-free corpus: the "line" unit is a non-overlapping
+    ``seg_words``-word segment. Any segment whose corpus-wide frequency
+    exceeds ``max_freq`` is removed from EVERY document it appears in
+    (C4 drops lines occurring ≥3 times across the corpus); surviving
+    segments are reassembled in order into the rewritten text.
+
+    Scale shape: segmentation is a narrow map (sequence + slice inside
+    codegen, rows × ~n_words/seg_words), the corpus frequency is ONE
+    window count partitioned by segment text (same shuffle a groupBy
+    would take, but no join back), and reassembly shuffles once on the
+    doc id with collect_list over the per-doc handful of segments. No
+    all-pairs anything — cost is O(total segments) through two
+    shuffles, which is how the C4 pipeline runs at web scale.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"),
+        lambda t: t != F.lit(""),
+    )
+    n_segs = F.expr(f"(size(_toks) + {seg_words - 1}) div {seg_words}")
+    segs = df.select(
+        F.col(id_col), toks.alias("_toks")
+    ).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("_toks"), i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("seg_idx", "seg_text"),
+    )
+    freq = F.count(F.lit(1)).over(Window.partitionBy("seg_text"))
+    flagged = segs.select(
+        id_col, "seg_idx", "seg_text", (freq <= max_freq).alias("_keep")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("seg_idx", "seg_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+        .orderBy(id_col)
+    )

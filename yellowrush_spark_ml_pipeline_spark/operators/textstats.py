@@ -1054,3 +1054,121 @@ def source_kl_drift(
             ),
         )
     )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch-Kincaid-style readability in exact integer milli-units.
+
+    Syllables are approximated as vowel-group runs (``[aeiouy]+``) — the
+    standard cheap heuristic — and, with no sentence punctuation in this
+    corpus, each document counts as one sentence, so words-per-sentence
+    is the word count itself. Grade ≈ 0.39·w/s + 11.8·syll/word − 15.59,
+    carried as fixed-point milli: 390·words + (11800·syll div words) −
+    15590. Both regexp counts are single codegen passes; everything
+    downstream is BIGINT — order- and engine-independent.
+    """
+    lower = F.lower(F.col(text_col))
+    words = F.regexp_count(lower, F.lit(r"[a-z]+"))
+    syll = F.regexp_count(lower, F.lit("[aeiouy]+"))
+    return (
+        df.select(
+            F.col(id_col),
+            words.cast("bigint").alias("n_words"),
+            syll.cast("bigint").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            id_col,
+            "n_words",
+            "n_syllables",
+            F.expr("(1000 * n_syllables) div n_words").alias("syl_per_word_milli"),
+            F.expr(
+                "390 * n_words + (11800 * n_syllables) div n_words - 15590"
+            ).alias("fk_grade_milli"),
+        )
+        .orderBy(id_col)
+    )
+
+
+_FUNNEL_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+def quality_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source curation-funnel report: how many documents survive
+    each successive quality gate (the accounting artifact every corpus
+    curation run publishes). Gates, applied cumulatively:
+
+      1. length:    100 ≤ n_chars ≤ 2000
+      2. words:     10 ≤ word count ≤ 500
+      3. word len:  mean alpha-chars per word ≤ 9  (alpha ≤ 9·words,
+                    exact integer cross-multiplication — no division)
+      4. stopwords: stopword share ≥ 2%  (50·hits ≥ words)
+
+    ONE scan, conditional aggregation — all gates are codegen column
+    predicates (regexp counts + an array filter against a 7-word
+    literal list), so at 100 TB this is scan-bound with a 5-row output.
+    """
+    lower = F.lower(F.col(text_col))
+    words = F.regexp_count(lower, F.lit(r"[a-z]+")).cast("bigint")
+    alpha = F.length(F.regexp_replace(lower, r"[^a-z]", "")).cast("bigint")
+    stop_hits = F.size(
+        F.filter(
+            tokens(F.col(text_col)),
+            lambda t: t.isin(*_FUNNEL_STOPWORDS),
+        )
+    ).cast("bigint")
+    g1 = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
+    g2 = (words >= 10) & (words <= 500)
+    g3 = alpha <= F.lit(9) * words
+    g4 = stop_hits * 50 >= words
+    s1 = g1
+    s2 = s1 & g2
+    s3 = s2 & g3
+    s4 = s3 & g4
+    cnt = lambda c: F.sum(c.cast("bigint"))  # noqa: E731
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(s1).alias("n_len_ok"),
+            cnt(s2).alias("n_words_ok"),
+            cnt(s3).alias("n_wordlen_ok"),
+            cnt(s4).alias("n_stopword_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+def ttr_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source lexical-diversity profile: type-token ratio and hapax
+    share (the vocabulary-health metrics a corpus audit tracks).
+    Token explode → (source, token) counts → per-source rollup; ratios
+    in exact integer milli via ``div``. Two shuffles, both with map-side
+    partial aggregation; the (source, token) key space is vocabulary-
+    not corpus-sized, so the second shuffle is tiny at any scale.
+    """
+    tok = df.select(
+        "source", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    per_token = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_token.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("(1000 * n_types) div n_tokens").alias("ttr_milli"),
+            F.expr("(1000 * n_hapax) div n_types").alias("hapax_milli"),
+        )
+        .orderBy("source")
+    )
