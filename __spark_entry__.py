@@ -2903,6 +2903,36 @@ def q_ttr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ttr_stats(docs)
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style time-weighted average of event value per
+    event type (LOCF hold weighting) — integer cents × microsecond
+    durations, one shared-key shuffle, exact at any partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.time_weighted_avg(ev)
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the hourly event-count series —
+    all-BIGINT Pearson moments plus a signed squared correlation in
+    integer micro-units; the ordered window runs over the bounded
+    bucketed series, not the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.autocorrelation(ev, max_lag=3)
+
+
+def q_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS: order price (cents) against order date
+    (days since 1995-01-01) per order priority — exact integer moments,
+    sign-split integer division for slope/intercept micro-units."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.ols_fit(
+        orders,
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -2946,6 +2976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "filter_funnel": q_filter_funnel,
         "ttr_stats": q_ttr_stats,
+        "time_weighted_avg": q_time_weighted_avg,
+        "autocorr": q_autocorr,
+        "ols_fit": q_ols_fit,
         # ---- (5) rotation fill: stalest oracle-backed (last green r2) ----
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,
@@ -6411,5 +6444,102 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END))
                         // COUNT(*) AS BIGINT) AS hapax_milli
             FROM pt GROUP BY source ORDER BY source
+        """
+
+    # ---- round-5 deterministic timeseries/statistics wave ----
+    sqls["time_weighted_avg"] = """
+            WITH held AS (
+                SELECT event_type,
+                       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                           AS v_cents,
+                       epoch_us(LEAD(ts) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       )) - epoch_us(ts) AS dur_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+                   CAST((CAST(SUM(v_cents * dur_us) AS HUGEINT) * 10000)
+                        // SUM(dur_us) AS BIGINT) AS twa_e6
+            FROM held WHERE dur_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """
+
+    sqls["autocorr"] = """
+            WITH hourly AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1
+            ), leads AS (
+                SELECT cnt,
+                       LEAD(cnt, 1) OVER (ORDER BY bucket) AS l1,
+                       LEAD(cnt, 2) OVER (ORDER BY bucket) AS l2,
+                       LEAD(cnt, 3) OVER (ORDER BY bucket) AS l3
+                FROM hourly
+            ), pairs AS (
+                SELECT lag, cnt, y FROM (
+                    SELECT cnt, 1 AS lag, l1 AS y FROM leads
+                    UNION ALL SELECT cnt, 2, l2 FROM leads
+                    UNION ALL SELECT cnt, 3, l3 FROM leads
+                ) WHERE y IS NOT NULL
+            ), m AS (
+                SELECT lag, COUNT(*) AS n_pairs,
+                       SUM(cnt) AS sx, SUM(y) AS sy,
+                       SUM(cnt * y) AS sxy, SUM(cnt * cnt) AS sxx,
+                       SUM(y * y) AS syy
+                FROM pairs GROUP BY lag
+            ), d AS (
+                SELECT CAST(lag AS INT) AS lag,
+                       CAST(n_pairs AS BIGINT) AS n_pairs,
+                       CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
+                       CAST(n_pairs * sxx - sx * sx AS BIGINT) AS den_x,
+                       CAST(n_pairs * syy - sy * sy AS BIGINT) AS den_y
+                FROM m
+            )
+            SELECT lag, n_pairs, cov_num, den_x, den_y,
+                   CAST((CASE WHEN cov_num < 0 THEN -1 ELSE 1 END)
+                        * ((CAST(cov_num AS HUGEINT) * cov_num * 1000000)
+                           // (CAST(den_x AS HUGEINT) * den_y))
+                        AS BIGINT) AS signed_r2_e6
+            FROM d ORDER BY lag
+        """
+
+    sqls["ols_fit"] = """
+            WITH base AS (
+                SELECT o_orderpriority,
+                       CAST(datediff('day', DATE '1995-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT)
+                           AS x,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS y
+                FROM orders
+            ), s AS (
+                SELECT o_orderpriority, COUNT(*) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM base GROUP BY o_orderpriority
+            ), w AS (
+                SELECT o_orderpriority, n, sx, sy,
+                       CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                           AS num,
+                       CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                           AS den
+                FROM s
+            ), sl AS (
+                SELECT o_orderpriority, n, sx, sy,
+                       (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                       * ((abs(num) * 1000000) // den) AS slope_e6
+                FROM w
+            )
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+                   CAST(slope_e6 AS BIGINT) AS slope_e6,
+                   CAST((CASE WHEN CAST(sy AS HUGEINT) * 1000000
+                                   - CAST(slope_e6 AS HUGEINT) * sx < 0
+                              THEN -1 ELSE 1 END)
+                        * (abs(CAST(sy AS HUGEINT) * 1000000
+                               - CAST(slope_e6 AS HUGEINT) * sx) // n)
+                        AS BIGINT) AS intercept_e6
+            FROM sl ORDER BY o_orderpriority
         """
     return sqls

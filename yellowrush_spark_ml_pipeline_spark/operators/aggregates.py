@@ -735,3 +735,67 @@ def fk_orphans(child: DataFrame, parent: DataFrame, child_key: str, parent_key: 
             "left_anti",
         ).agg(F.count(F.lit(1)).alias("violations"))
     )
+
+
+def ols_fit(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y_cents: Column,
+) -> DataFrame:
+    """Grouped simple linear regression (closed-form OLS) in EXACT
+    integer arithmetic: with integer x (e.g. days-since-epoch) and
+    integer y (cents), every moment is exact, the slope/intercept
+    numerators and denominators are DECIMAL(38,0) integer expressions,
+    and the 1e-6-unit outputs come from sign-split integer division
+    (truncation == floor on the non-negative operands, so Spark ``div``
+    and DuckDB ``//`` agree). One combinable groupBy — five sums — then
+    per-group scalar math: the canonical "regression by moments" that
+    map-side-combines at any scale.
+    """
+    sums = df.select(
+        F.col(group_col), x.cast("bigint").alias("_x"), y_cents.alias("_y")
+    ).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    wide = sums.select(
+        group_col,
+        "n",
+        "_sx",
+        "_sy",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy"
+        ).alias("_num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx"
+        ).alias("_den"),
+    )
+    slope = F.when(F.col("_num") < 0, F.lit(-1)).otherwise(F.lit(1)) * F.expr(
+        "CAST(abs(_num) * 1000000 AS DECIMAL(38,0)) div _den"
+    )
+    with_slope = wide.select(
+        group_col, "n", "_sx", "_sy", slope.alias("slope_e6")
+    )
+    icept_num = F.expr(
+        "CAST(_sy AS DECIMAL(38,0)) * 1000000 - CAST(slope_e6 AS DECIMAL(38,0)) * _sx"
+    )
+    return (
+        with_slope.select(
+            group_col,
+            F.col("n").alias("n_rows"),
+            "slope_e6",
+            (
+                F.when(icept_num < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr(
+                    "CAST(abs(CAST(_sy AS DECIMAL(38,0)) * 1000000"
+                    " - CAST(slope_e6 AS DECIMAL(38,0)) * _sx)"
+                    " AS DECIMAL(38,0)) div n"
+                )
+            ).alias("intercept_e6"),
+        )
+        .orderBy(group_col)
+    )

@@ -290,3 +290,128 @@ def seasonal_decompose(
             (F.col("_det") - F.col("_seasonal_dec")).cast("double").alias("residual"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average of a 2-decimal metric per key — the
+    TimescaleDB-style TWA where each observation is held until the next
+    one (last-observation-carried-forward weighting, last point carries
+    no weight).
+
+    Exactness: value → integer cents (lossless for 2-decimal data),
+    hold duration → integer microseconds from ``lead()``, so the
+    weighted numerator is a BIGINT sum (≤ 5e4 cents × interval µs — no
+    float drift at any partition count); the final micro-unit average
+    is one scaled DECIMAL(38,0) integer division. One shuffle: the
+    lead() window and the aggregation share the key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    held = df.select(
+        key_col,
+        (F.col(value_col).cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v_cents"),
+        (F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col)))
+        .alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        held.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").alias("total_dur_us"),
+            F.sum(F.col("v_cents") * F.col("dur_us")).alias("_num"),
+        )
+        .select(
+            key_col,
+            "n_intervals",
+            "total_dur_us",
+            F.expr(
+                "CAST(CAST(_num AS DECIMAL(38,0)) * 10000 AS DECIMAL(38,0))"
+                " div total_dur_us"
+            ).alias("twa_e6"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 3,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Lag-1..max_lag autocorrelation of the bucketed event-count
+    series, in EXACT integer arithmetic: counts are integers, so every
+    Pearson moment (n·Σxy−ΣxΣy, n·Σx²−(Σx)², n·Σy²−(Σy)²) is a BIGINT,
+    and the signed squared correlation ships as sign(num)·(num²·1e6 div
+    dx·dy) through DECIMAL(38,0) — no float anywhere, so the result is
+    bit-identical across engines and partitionings.
+
+    The one ordered window runs over the BUCKETED series (hours-scale
+    cardinality — bounded by time span, not data volume), so the
+    single-partition sort is fine at any SF; the raw-event aggregation
+    before it is a plain combinable groupBy.
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        df.select(
+            (
+                F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket")
+    leads = hourly.select(
+        "cnt",
+        *[
+            F.lead("cnt", k).over(w).alias(f"_lead{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{k}, _lead{k}" for k in range(1, max_lag + 1))
+    pairs = leads.select(
+        "cnt", F.expr(f"stack({max_lag}, {stack_args}) AS (lag, y)")
+    ).filter(F.col("y").isNotNull())
+    moments = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("cnt").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("cnt") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    return (
+        moments.select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.expr("n_pairs * _sxy - _sx * _sy").alias("cov_num"),
+            F.expr("n_pairs * _sxx - _sx * _sx").alias("den_x"),
+            F.expr("n_pairs * _syy - _sy * _sy").alias("den_y"),
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            "cov_num",
+            "den_x",
+            "den_y",
+            (
+                F.when(F.col("cov_num") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr(
+                    "CAST(CAST(cov_num AS DECIMAL(38,0)) * cov_num * 1000000"
+                    " AS DECIMAL(38,0)) div (den_x * den_y)"
+                )
+            ).alias("signed_r2_e6"),
+        )
+        .orderBy("lag")
+    )
