@@ -2933,6 +2933,68 @@ def q_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC diff between two order snapshots (deterministic
+    simulated mutation: every 13th key deleted, every 7th price bumped,
+    every 17th re-inserted under a shifted key), rolled up per
+    (op, changed_cols) with an exact cents delta — the summary a CDC
+    job publishes after classifying every row in one full-outer
+    shuffle."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mutated = base.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserted = base.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_orderstatus",
+        (F.col("o_totalprice") + 5).alias("o_totalprice"),
+    )
+    diff = mutations.cdc_diff(
+        base,
+        mutated.unionByName(inserted),
+        "o_orderkey",
+        ["o_orderstatus", "o_totalprice"],
+    )
+    cents = lambda c: (  # noqa: E731
+        F.coalesce(F.col(c).cast("decimal(12,2)"), F.lit(0).cast("decimal(12,2)"))
+        * 100
+    ).cast("bigint")
+    return (
+        diff.groupBy("op", "changed_cols")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents("new_o_totalprice") - cents("old_o_totalprice")).alias(
+                "delta_cents"
+            ),
+        )
+        .orderBy("op", "changed_cols")
+    )
+
+
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling of the hourly event-count series to 50
+    visually-representative points (parallel fixed-anchor variant,
+    milli-quantized integer anchors, BIGINT triangle areas — bit-stable
+    selection)."""
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            F.floor(F.unix_timestamp(F.col("ts")) / 3600).alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return timeseries.lttb_downsample(series, n_out=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -2979,6 +3041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "autocorr": q_autocorr,
         "ols_fit": q_ols_fit,
+        "snapshot_diff": q_snapshot_diff,
+        "lttb_downsample": q_lttb_downsample,
         # ---- (5) rotation fill: stalest oracle-backed (last green r2) ----
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,
@@ -6541,5 +6605,103 @@ def oracle_sql() -> dict[str, str]:
                                - CAST(slope_e6 AS HUGEINT) * sx) // n)
                         AS BIGINT) AS intercept_e6
             FROM sl ORDER BY o_orderpriority
+        """
+
+    sqls["snapshot_diff"] = """
+            WITH base AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ), newsnap AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                            ELSE o_totalprice END AS o_totalprice
+                FROM base WHERE o_orderkey % 13 != 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice + 5
+                FROM base WHERE o_orderkey % 17 = 0
+            ), joined AS (
+                SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                       o.o_orderkey AS ok, n.o_orderkey AS nk,
+                       o.o_orderstatus AS os, n.o_orderstatus AS ns,
+                       o.o_totalprice AS op, n.o_totalprice AS np
+                FROM base o FULL OUTER JOIN newsnap n
+                  ON o.o_orderkey = n.o_orderkey
+            ), classified AS (
+                SELECT CASE WHEN ok IS NULL THEN 'insert'
+                            WHEN nk IS NULL THEN 'delete'
+                            WHEN os IS DISTINCT FROM ns
+                                 OR op IS DISTINCT FROM np THEN 'update'
+                            ELSE 'unchanged' END AS op_kind,
+                       CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN
+                            array_to_string(list_sort(list_filter(
+                                [CASE WHEN os IS DISTINCT FROM ns
+                                      THEN 'o_orderstatus' END,
+                                 CASE WHEN op IS DISTINCT FROM np
+                                      THEN 'o_totalprice' END],
+                                x -> x IS NOT NULL)), ',')
+                            ELSE '' END AS changed,
+                       COALESCE(CAST(CAST(np AS DECIMAL(12,2)) * 100
+                                     AS BIGINT), 0)
+                       - COALESCE(CAST(CAST(op AS DECIMAL(12,2)) * 100
+                                       AS BIGINT), 0) AS delta
+                FROM joined
+            )
+            SELECT op_kind AS op,
+                   CASE WHEN op_kind = 'update' THEN changed ELSE '' END
+                       AS changed_cols,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(delta) AS BIGINT) AS delta_cents
+            FROM classified
+            GROUP BY 1, 2 ORDER BY op, changed_cols
+        """
+
+    sqls["lttb_downsample"] = """
+            WITH series AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS x,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ), g AS (
+                SELECT COUNT(*) AS n_total, MIN(x) AS x1, MAX(x) AS xn,
+                       min_by(y, x) AS y1, max_by(y, x) AS yn
+                FROM series
+            ), pts AS (
+                SELECT x, y, ROW_NUMBER() OVER (ORDER BY x) AS r FROM series
+            ), interior AS (
+                SELECT p.x, p.y, ((p.r - 2) * 48) // (g.n_total - 2) AS b
+                FROM pts p CROSS JOIN g
+                WHERE p.r >= 2 AND p.r <= g.n_total - 1
+            ), ba AS (
+                SELECT b, (1000 * SUM(x)) // COUNT(*) AS ax,
+                       (1000 * SUM(y)) // COUNT(*) AS ay
+                FROM interior GROUP BY b
+            ), an AS (
+                SELECT b,
+                       LAG(ax) OVER (ORDER BY b) AS pax,
+                       LAG(ay) OVER (ORDER BY b) AS pay,
+                       LEAD(ax) OVER (ORDER BY b) AS nax,
+                       LEAD(ay) OVER (ORDER BY b) AS nay
+                FROM ba
+            ), an2 AS (
+                SELECT b, COALESCE(pax, 1000 * g.x1) AS pax,
+                       COALESCE(pay, 1000 * g.y1) AS pay,
+                       COALESCE(nax, 1000 * g.xn) AS nax,
+                       COALESCE(nay, 1000 * g.yn) AS nay
+                FROM an CROSS JOIN g
+            ), sc AS (
+                SELECT i.x, i.y, i.b,
+                       abs((a.pax - a.nax) * (1000 * i.y - a.pay)
+                           - (a.pax - 1000 * i.x) * (a.nay - a.pay)) AS score
+                FROM interior i JOIN an2 a USING (b)
+            ), sel AS (
+                SELECT x, y FROM (
+                    SELECT x, y, ROW_NUMBER() OVER (
+                        PARTITION BY b ORDER BY score DESC, x ASC) AS rn
+                    FROM sc
+                ) WHERE rn = 1
+            )
+            SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM sel
+            UNION ALL
+            SELECT CAST(p.x AS BIGINT), CAST(p.y AS BIGINT)
+            FROM pts p CROSS JOIN g WHERE p.r = 1 OR p.r = g.n_total
+            ORDER BY x
         """
     return sqls

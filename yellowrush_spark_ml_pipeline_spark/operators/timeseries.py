@@ -415,3 +415,82 @@ def autocorrelation(
         )
         .orderBy("lag")
     )
+
+
+def lttb_downsample(
+    series: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    n_out: int = 50,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of an integer (x, y)
+    series to ``n_out`` visually-representative points — the standard
+    dashboard/preview reducer (Steinarsson 2013), in the parallel
+    fixed-anchor variant: both triangle anchors are the NEIGHBOR BUCKET
+    AVERAGES (milli-quantized to exact integers) rather than the
+    previously-selected point, which removes the sequential dependency
+    so every bucket scores independently — the variant that
+    distributes. First and last points are always kept.
+
+    Exactness: anchors are (1000·Σ) div n integers, triangle areas are
+    |cross-product| in BIGINT, ties break on smaller x — no float ever,
+    so selection is bit-stable across engines and partitionings. The
+    ordered windows run on the already-bucketed series (bounded by time
+    span); per-bucket argmax is one row_number over ~n/n_out rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(x_col)
+    g = series.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.min(x_col).alias("_x1"),
+        F.max(x_col).alias("_xn"),
+        F.expr(f"min_by({y_col}, {x_col})").alias("_y1"),
+        F.expr(f"max_by({y_col}, {x_col})").alias("_yn"),
+    )
+    pts = series.select(
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.row_number().over(w).alias("r"),
+    ).crossJoin(F.broadcast(g))
+    interior = pts.filter(
+        (F.col("r") >= 2) & (F.col("r") <= F.col("n_total") - 1)
+    ).withColumn("b", F.expr(f"((r - 2) * {n_out - 2}) div (n_total - 2)"))
+    ba = interior.groupBy("b").agg(
+        F.expr("(1000 * sum(x)) div count(*)").alias("ax"),
+        F.expr("(1000 * sum(y)) div count(*)").alias("ay"),
+    )
+    wb = Window.orderBy("b")
+    an = ba.select(
+        "b",
+        F.lag("ax").over(wb).alias("pax"),
+        F.lag("ay").over(wb).alias("pay"),
+        F.lead("ax").over(wb).alias("nax"),
+        F.lead("ay").over(wb).alias("nay"),
+    ).crossJoin(F.broadcast(g)).select(
+        "b",
+        F.coalesce("pax", F.expr("1000 * _x1")).alias("pax"),
+        F.coalesce("pay", F.expr("1000 * _y1")).alias("pay"),
+        F.coalesce("nax", F.expr("1000 * _xn")).alias("nax"),
+        F.coalesce("nay", F.expr("1000 * _yn")).alias("nay"),
+    )
+    scored = interior.join(F.broadcast(an), "b").withColumn(
+        "score",
+        F.abs(
+            (F.col("pax") - F.col("nax")) * (1000 * F.col("y") - F.col("pay"))
+            - (F.col("pax") - 1000 * F.col("x"))
+            * (F.col("nay") - F.col("pay"))
+        ),
+    )
+    wsel = Window.partitionBy("b").orderBy(
+        F.col("score").desc(), F.col("x").asc()
+    )
+    sel = (
+        scored.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select("x", "y")
+    )
+    ends = pts.filter(
+        (F.col("r") == 1) | (F.col("r") == F.col("n_total"))
+    ).select("x", "y")
+    return sel.unionByName(ends).orderBy("x")
