@@ -3013,20 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "window_ranks": q_window_ranks,
         "dedup_consensus": q_dedup_consensus,
-        # ---- (3) never driver-checked: rows-only (documented rationale) ----
-        "language_id_model": q_language_id_model,
-        "video_pipeline": q_video_pipeline,
-        "similarity_ivf": q_similarity_ivf,
-        "similarity_incremental": q_similarity_incremental,
-        "text_classifier_metrics": q_text_classifier_metrics,
-        "compression_ratio": q_compression_ratio,
-        "media_probe": q_media_probe,
-        "minhash_dedup_fast": q_minhash_dedup_fast,
-        # ---- (4) rows-only whose only driver rows predate r3 ----
-        "sketch_stats": q_sketch_stats,
-        "multimodal_features": q_multimodal_features,
-        "ml_classifier_metrics": q_ml_classifier_metrics,
-        # ---- (3b) NEW this round (round 5): never driver-checked ----
+        # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
         "promo_revenue_share": q_promo_revenue_share,
@@ -3043,6 +3030,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_fit": q_ols_fit,
         "snapshot_diff": q_snapshot_diff,
         "lttb_downsample": q_lttb_downsample,
+        # ---- (3) never driver-checked: rows-only (documented rationale) ----
+        "language_id_model": q_language_id_model,
+        "video_pipeline": q_video_pipeline,
+        "similarity_ivf": q_similarity_ivf,
+        "similarity_incremental": q_similarity_incremental,
+        "text_classifier_metrics": q_text_classifier_metrics,
+        "compression_ratio": q_compression_ratio,
+        "media_probe": q_media_probe,
+        "minhash_dedup_fast": q_minhash_dedup_fast,
+        # ---- (4) rows-only whose only driver rows predate r3 ----
+        "sketch_stats": q_sketch_stats,
+        "multimodal_features": q_multimodal_features,
+        "ml_classifier_metrics": q_ml_classifier_metrics,
         # ---- (5) rotation fill: stalest oracle-backed (last green r2) ----
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,

@@ -1,0 +1,162 @@
+"""Direct semantic tests for the round-5 operators — hand-computed
+known answers and planted behaviors the registry oracle can't pin (the
+oracle proves Spark==DuckDB; these prove both equal the MATH)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from yellowrush_spark_ml_pipeline_spark.operators import (
+    aggregates,
+    dedup,
+    mutations,
+    textstats,
+    timeseries,
+)
+
+
+def test_cdc_diff_all_op_classes_and_null_safety(spark):
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10.0),   # unchanged
+            Row(k=2, a="x", b=10.0),   # update: b changes
+            Row(k=3, a="x", b=10.0),   # delete
+            Row(k=4, a=None, b=10.0),  # update: NULL -> value (null-safe)
+            Row(k=5, a="x", b=None),   # update: value -> NULL + b NULL->value
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10.0),
+            Row(k=2, a="x", b=11.0),
+            Row(k=4, a="y", b=10.0),
+            Row(k=5, a=None, b=3.0),
+            Row(k=6, a="z", b=1.0),    # insert
+        ]
+    )
+    out = {
+        r["k"]: (r["op"], r["changed_cols"])
+        for r in mutations.cdc_diff(old, new, "k", ["a", "b"]).collect()
+    }
+    assert out[1] == ("unchanged", "")
+    assert out[2] == ("update", "b")
+    assert out[3] == ("delete", "")
+    assert out[4] == ("update", "a")
+    assert out[5] == ("update", "a,b")
+    assert out[6] == ("insert", "")
+
+
+def test_ols_fit_exact_line_and_negative_slope(spark):
+    rows = [Row(g="up", x=i, y=2 * i + 3) for i in range(10)] + [
+        Row(g="down", x=i, y=-2 * i + 10) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["g"]: (r["slope_e6"], r["intercept_e6"])
+        for r in aggregates.ols_fit(
+            df, "g", F.col("x"), F.col("y").cast("bigint")
+        ).collect()
+    }
+    assert got["up"] == (2_000_000, 3_000_000)
+    assert got["down"] == (-2_000_000, 10_000_000)
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    # v=1.00 held 10 s, v=3.00 held 20 s -> TWA = (100*10+300*20)/30 cents
+    # = 233.33.. -> 2_333_333 in value-micro units (floor).
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, event_type="a", ts="2024-01-01 00:00:00", value=1.0),
+            Row(event_id=2, event_type="a", ts="2024-01-01 00:00:10", value=3.0),
+            Row(event_id=3, event_type="a", ts="2024-01-01 00:00:30", value=9.9),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [r] = timeseries.time_weighted_avg(df).collect()
+    assert r["n_intervals"] == 2
+    assert r["total_dur_us"] == 30_000_000
+    assert r["twa_e6"] == 2_333_333
+
+
+def test_autocorrelation_perfect_alternation(spark):
+    # Hourly counts 1,3,1,3,... -> lag-1 r = -1 exactly, lag-2 r = +1.
+    rows = []
+    eid = 0
+    for h in range(8):
+        cnt = 1 if h % 2 == 0 else 3
+        for i in range(cnt):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=f"2024-01-01 {h:02d}:{i:02d}:00")
+            )
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        r["lag"]: r["signed_r2_e6"]
+        for r in timeseries.autocorrelation(df, max_lag=2).collect()
+    }
+    assert out[1] == -1_000_000
+    assert out[2] == 1_000_000
+
+
+def test_lttb_keeps_endpoints_members_and_spike(spark):
+    # 200-point series, flat y=10 except a spike at x=137: LTTB must keep
+    # both endpoints, return exactly n_out member points, and select the
+    # spike (largest triangle in its bucket by construction).
+    rows = [Row(x=i, y=(1000 if i == 137 else 10)) for i in range(200)]
+    series = spark.createDataFrame(rows)
+    out = timeseries.lttb_downsample(series, n_out=20).collect()
+    xs = [r["x"] for r in out]
+    assert len(out) == 20
+    assert xs == sorted(xs)
+    assert xs[0] == 0 and xs[-1] == 199
+    assert 137 in xs
+    src = {(r["x"], r["y"]) for r in rows}
+    assert all((r["x"], r["y"]) in src for r in out)
+
+
+def test_segment_line_dedup_strikes_frequent_segments_only(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-word seg
+    uniq = "iota kappa lambda mu nu xi omicron pi"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),
+            Row(doc_id=3, text=base),            # freq 3 -> struck everywhere
+            Row(doc_id=4, text=uniq + " " + base),  # uniq survives, base struck
+            Row(doc_id=5, text=uniq),            # oops: uniq now freq 2 - kept
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_line_dedup(df, seg_words=8, max_freq=2).collect()
+    }
+    for d in (1, 2, 3):
+        assert out[d]["n_kept"] == 0 and out[d]["new_text"] == ""
+    assert out[4]["n_segs"] == 2 and out[4]["n_kept"] == 1
+    assert out[4]["new_text"] == uniq
+    assert out[5]["new_text"] == uniq
+
+
+def test_quality_funnel_counts_are_monotone(spark, sf_dir="/root/testdata/sf0.001"):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for r in textstats.quality_funnel(docs).collect():
+        seq = [
+            r["n_docs"],
+            r["n_len_ok"],
+            r["n_words_ok"],
+            r["n_wordlen_ok"],
+            r["n_stopword_ok"],
+        ]
+        assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+
+
+def test_readability_hand_computed(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    [r] = textstats.readability(df).collect()
+    assert r["n_words"] == 2
+    assert r["n_syllables"] == 3  # he-llo: e,o ; world: o
+    assert r["syl_per_word_milli"] == 1500
+    assert r["fk_grade_milli"] == 390 * 2 + (11800 * 3) // 2 - 15590
