@@ -2995,6 +2995,53 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.lttb_downsample(series, n_out=50)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — exact integer shares
+    vs the Benford expectation in micro-units (DQ/fraud screen)."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.benford_digits(
+        orders, (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    )
+
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order revenue across customers — exact
+    integer closed form; the only sort runs on the customer-cardinality
+    relation."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.gini_coefficient(
+        orders,
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"),
+    )
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen between order priority and order
+    status — per-cell observed/expected/contribution in exact integer
+    milli/micro units."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.chi_square_independence(
+        orders, "o_orderpriority", "o_orderstatus"
+    )
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rules a→b over daily user baskets of event types:
+    support/confidence/lift in exact integer micro-units, top-20 by
+    lift."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.association_rules(ev, k=20)
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    first half-month vs second — per-bucket PSI terms in the repo's
+    integer-nanonat formulation (model/feature drift monitor)."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.psi_drift(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3030,6 +3077,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_fit": q_ols_fit,
         "snapshot_diff": q_snapshot_diff,
         "lttb_downsample": q_lttb_downsample,
+        "benford": q_benford,
+        "gini_revenue": q_gini_revenue,
+        "chi_square": q_chi_square,
+        "association_rules": q_association_rules,
+        "psi_drift": q_psi_drift,
         # ---- (3) never driver-checked: rows-only (documented rationale) ----
         "language_id_model": q_language_id_model,
         "video_pipeline": q_video_pipeline,
@@ -6703,5 +6755,139 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(p.x AS BIGINT), CAST(p.y AS BIGINT)
             FROM pts p CROSS JOIN g WHERE p.r = 1 OR p.r = g.n_total
             ORDER BY x
+        """
+
+    # ---- round-5 statistical/DQ wave ----
+    sqls["benford"] = """
+            WITH c AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS cents
+                FROM orders
+            ), cnt AS (
+                SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                           AS digit,
+                       COUNT(*) AS n
+                FROM c GROUP BY 1
+            ), t AS (SELECT SUM(n) AS nt FROM cnt)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   CAST((1000000 * n) // nt AS BIGINT) AS share_e6,
+                   CAST(CASE digit
+                        WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                        WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                        WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                        WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                        WHEN 9 THEN 45757 END AS BIGINT) AS benford_e6,
+                   CAST(abs((1000000 * n) // nt
+                            - CASE digit
+                              WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                              WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                              WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                              WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                              WHEN 9 THEN 45757 END) AS BIGINT)
+                       AS abs_dev_e6
+            FROM cnt CROSS JOIN t
+            WHERE digit >= 1
+            ORDER BY digit
+        """
+
+    sqls["gini_revenue"] = """
+            WITH pk AS (
+                SELECT o_custkey AS k,
+                       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                     AS BIGINT)) AS BIGINT) AS x
+                FROM orders GROUP BY 1
+            ), r AS (
+                SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, k ASC) AS i
+                FROM pk
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(x) AS BIGINT) AS total_cents,
+                   CAST(((2 * SUM(CAST(i AS HUGEINT) * x)
+                          - (COUNT(*) + 1) * SUM(CAST(x AS HUGEINT)))
+                         * 1000000)
+                        // (CAST(COUNT(*) AS HUGEINT) * SUM(x)) AS BIGINT)
+                       AS gini_e6
+            FROM r
+        """
+
+    sqls["chi_square"] = """
+            WITH cells AS (
+                SELECT o_orderpriority AS r, o_orderstatus AS c,
+                       COUNT(*) AS o
+                FROM orders GROUP BY 1, 2
+            ), rm AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY 1),
+            cm AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY 1),
+            t AS (SELECT SUM(o) AS nt FROM cells)
+            SELECT r AS o_orderpriority, c AS o_orderstatus,
+                   CAST(o AS BIGINT) AS observed,
+                   CAST((1000 * rt * ct) // nt AS BIGINT) AS expected_milli,
+                   CAST((CAST(o * nt - rt * ct AS HUGEINT)
+                         * (o * nt - rt * ct) * 1000000)
+                        // (CAST(nt AS HUGEINT) * rt * ct) AS BIGINT)
+                       AS contrib_e6
+            FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN t
+            ORDER BY o_orderpriority, o_orderstatus
+        """
+
+    sqls["association_rules"] = """
+            WITH basket AS (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d,
+                       event_type AS item
+                FROM events
+            ), nb AS (
+                SELECT COUNT(*) AS n_total
+                FROM (SELECT DISTINCT u, d FROM basket)
+            ), ic AS (
+                SELECT item, COUNT(*) AS n_item FROM basket GROUP BY 1
+            ), pc AS (
+                SELECT a.item AS antecedent, b.item AS consequent,
+                       COUNT(*) AS n_ab
+                FROM basket a JOIN basket b
+                  ON a.u = b.u AND a.d = b.d AND a.item != b.item
+                GROUP BY 1, 2
+            )
+            SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST((1000000 * n_ab) // n_total AS BIGINT) AS support_e6,
+                   CAST((1000000 * n_ab) // ia.n_item AS BIGINT)
+                       AS confidence_e6,
+                   CAST((CAST(n_ab AS HUGEINT) * n_total * 1000000)
+                        // (CAST(ia.n_item AS HUGEINT) * ib.n_item)
+                        AS BIGINT) AS lift_e6
+            FROM pc
+            JOIN ic ia ON antecedent = ia.item
+            JOIN ic ib ON consequent = ib.item
+            CROSS JOIN nb
+            ORDER BY lift_e6 DESC, antecedent ASC, consequent ASC
+            LIMIT 20
+        """
+
+    sqls["psi_drift"] = """
+            WITH c AS (
+                SELECT LEAST(9, CAST(FLOOR(value / 50.0) AS INT)) AS bucket,
+                       (ts < TIMESTAMP '2024-01-16') AS ref
+                FROM events
+            ), cnt AS (
+                SELECT bucket,
+                       SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS n_ref,
+                       SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS n_cur
+                FROM c GROUP BY 1
+            ), t AS (
+                SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cnt
+            ), l AS (
+                SELECT bucket, n_ref, n_cur, t_ref, t_cur,
+                       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                           CAST(round(ln((n_ref * t_cur)
+                                         / (n_cur * t_ref)) * 1e9, 0)
+                                AS BIGINT)
+                       END AS ln_nano
+                FROM cnt CROSS JOIN t
+            )
+            SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   CAST(((CAST(n_ref AS HUGEINT) * t_cur
+                          - CAST(n_cur AS HUGEINT) * t_ref) * ln_nano)
+                        // (CAST(t_ref AS HUGEINT) * t_cur) AS BIGINT)
+                       AS psi_term_nano
+            FROM l ORDER BY bucket
         """
     return sqls

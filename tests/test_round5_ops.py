@@ -160,3 +160,86 @@ def test_readability_hand_computed(spark):
     assert r["n_syllables"] == 3  # he-llo: e,o ; world: o
     assert r["syl_per_word_milli"] == 1500
     assert r["fk_grade_milli"] == 390 * 2 + (11800 * 3) // 2 - 15590
+
+
+def test_gini_hand_computed(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, c=0), Row(k=2, c=0), Row(k=3, c=10)]
+    )
+    [r] = aggregates.gini_coefficient(df, "k", F.col("c")).collect()
+    assert r["n_keys"] == 3 and r["total_cents"] == 10
+    assert r["gini_e6"] == 666_666  # true Gini of [0,0,10] = 2/3
+    eq = spark.createDataFrame([Row(k=i, c=5) for i in range(4)])
+    [r2] = aggregates.gini_coefficient(eq, "k", F.col("c")).collect()
+    assert r2["gini_e6"] == 0
+
+
+def test_chi_square_perfect_independence(spark):
+    rows = [
+        Row(r=r, c=c) for r in ("A", "B") for c in ("X", "Y")
+        for _ in range(10)
+    ]
+    out = aggregates.chi_square_independence(
+        spark.createDataFrame(rows), "r", "c"
+    ).collect()
+    assert len(out) == 4
+    for row in out:
+        assert row["observed"] == 10
+        assert row["expected_milli"] == 10_000
+        assert row["contrib_e6"] == 0
+
+
+def test_benford_digit_shares(spark):
+    df = spark.createDataFrame(
+        [Row(v=100), Row(v=1900), Row(v=2500), Row(v=900)]
+    )
+    out = {r["digit"]: r for r in aggregates.benford_digits(df, F.col("v")).collect()}
+    assert out[1]["n"] == 2 and out[1]["share_e6"] == 500_000
+    assert out[2]["n"] == 1 and out[2]["share_e6"] == 250_000
+    assert out[9]["n"] == 1
+    assert out[1]["benford_e6"] == 301_030
+
+
+def test_association_rules_hand_computed(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import events as ev_ops
+
+    rows = [
+        # basket (u=1, day 1): {a, b};  (u=2, day 1): {a, b};  (u=3): {a}
+        Row(user_id=1, ts="2024-01-01 00:00:00", event_type="a"),
+        Row(user_id=1, ts="2024-01-01 01:00:00", event_type="b"),
+        Row(user_id=2, ts="2024-01-01 00:00:00", event_type="a"),
+        Row(user_id=2, ts="2024-01-01 01:00:00", event_type="b"),
+        Row(user_id=3, ts="2024-01-01 00:00:00", event_type="a"),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in ev_ops.association_rules(df).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_ab"] == 2
+    assert ab["support_e6"] == 666_666
+    assert ab["confidence_e6"] == 666_666  # 2 of 3 a-baskets contain b
+    assert ab["lift_e6"] == 1_000_000     # 2*3 / (3*2)
+    ba = out[("b", "a")]
+    assert ba["confidence_e6"] == 1_000_000  # every b-basket contains a
+
+
+def test_psi_zero_on_identical_distributions(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import events as ev_ops
+
+    rows = []
+    eid = 0
+    for half_day in ("2024-01-10", "2024-01-20"):
+        for v, n in ((10.0, 4), (60.0, 6), (120.0, 2)):
+            for _ in range(n):
+                eid += 1
+                rows.append(Row(event_id=eid, ts=f"{half_day} 00:00:00", value=v))
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = ev_ops.psi_drift(df).collect()
+    assert len(out) == 3
+    assert all(r["psi_term_nano"] == 0 for r in out)

@@ -799,3 +799,111 @@ def ols_fit(
         )
         .orderBy(group_col)
     )
+
+
+# Benford expected first-digit shares, 1e6-scaled round(log10(1+1/d)*1e6).
+_BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_digits(df: DataFrame, cents: Column) -> DataFrame:
+    """Benford's-law first-digit audit of a positive money column — the
+    classic fraud/DQ screen. The leading significant digit is invariant
+    under the ×100 cents scaling, so it is read off the integer cents
+    string (no float log). Output per digit: observed count, observed
+    share in micro-units, Benford's expected share, and the absolute
+    deviation — all exact integers; the aggregation is a 9-key groupBy
+    with map-side combine, so it is scan-bound at any scale."""
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.select(digit.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_E6.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("(1000000 * n) div n_total").alias("share_e6"),
+            expected[F.col("digit")].alias("benford_e6"),
+        )
+        .withColumn(
+            "abs_dev_e6", F.abs(F.col("share_e6") - F.col("benford_e6"))
+        )
+        .orderBy("digit")
+    )
+
+
+def gini_coefficient(df: DataFrame, key_col: str, cents: Column) -> DataFrame:
+    """Gini concentration of a money total across keys (revenue
+    concentration — the inequality/skew health metric). Per-key cents
+    totals are ranked ascending (key tiebreak → deterministic ranks even
+    on tied totals) and the closed form G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    ships as exact integers with one 1e-6-unit floor division (numerator
+    provably ≥ 0 for ascending order). The global sort runs on the
+    KEY-cardinality relation (customers, not line items) — bounded, and
+    the only ordered step."""
+    from pyspark.sql import Window
+
+    per_key = (
+        df.select(F.col(key_col).alias("_k"), cents.alias("_c"))
+        .groupBy("_k")
+        .agg(F.sum("_c").alias("x"))
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("_k").asc())
+    ranked = per_key.select("x", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("x").alias("total_cents"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("_ix"),
+    ).select(
+        "n_keys",
+        "total_cents",
+        F.expr(
+            "CAST((2 * _ix - CAST(n_keys + 1 AS DECIMAL(38,0)) * total_cents)"
+            " * 1000000 AS DECIMAL(38,0))"
+            " div (CAST(n_keys AS DECIMAL(38,0)) * total_cents)"
+        ).alias("gini_e6"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Per-cell chi-square contributions for a two-way contingency table
+    (independence screen between two categorical columns). Expected
+    counts and contributions are exact-integer micro-units:
+    contrib_e6 = (O·N − R·C)²·1e6 div (N·R·C) through DECIMAL(38,0) —
+    engine-exact, order-independent. One groupBy over the cell keys plus
+    two broadcast margins; consumers sum contrib_e6 for the statistic."""
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rm = cells.groupBy("r").agg(F.sum("o").alias("r_tot"))
+    cm = cells.groupBy("c").agg(F.sum("o").alias("c_tot"))
+    tot = cells.agg(F.sum("o").alias("n_tot"))
+    return (
+        cells.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").alias(row_col),
+            F.col("c").alias(col_col),
+            F.col("o").alias("observed"),
+            F.expr("(1000 * r_tot * c_tot) div n_tot").alias("expected_milli"),
+            F.expr(
+                "CAST(CAST(o * n_tot - r_tot * c_tot AS DECIMAL(38,0))"
+                " * (o * n_tot - r_tot * c_tot) * 1000000 AS DECIMAL(38,0))"
+                " div (CAST(n_tot AS DECIMAL(38,0)) * r_tot * c_tot)"
+            ).alias("contrib_e6"),
+        )
+        .orderBy(row_col, col_col)
+    )

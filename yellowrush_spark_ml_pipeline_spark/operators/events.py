@@ -576,3 +576,140 @@ def linear_attribution(
         F.count(F.lit(1)).alias("n_conversions"),
         F.sum("_credit").alias("micro_credits"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k: int = 20,
+) -> DataFrame:
+    """Market-basket association rules a→b over daily per-user baskets
+    (basket = the DISTINCT event types a user produced on one day), with
+    support / confidence / lift in exact integer micro-units.
+
+    Pipeline: one shuffle builds the distinct (user, day, type) basket
+    relation; pairs come from a self-join keyed on the basket id (small
+    per-basket fan-out — the item domain is event-type-sized); item and
+    basket totals are tiny and broadcast back. Metrics avoid float:
+    conf_e6 = 1e6·n_ab div n_a, lift_e6 = 1e6·n_ab·N div (n_a·n_b)
+    through DECIMAL(38,0). Top-k by lift, pair tiebreak."""
+    basket = df.select(
+        F.col(user_col).alias("u"),
+        F.to_date(F.col(ts_col)).alias("d"),
+        F.col(type_col).alias("item"),
+    ).distinct()
+    n_baskets = basket.select("u", "d").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    item_counts = basket.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("antecedent"),
+            F.col("b.item").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ia = item_counts.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ib), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.expr("(1000000 * n_ab) div n_total").alias("support_e6"),
+            F.expr("(1000000 * n_ab) div n_a").alias("confidence_e6"),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_total * 1000000"
+                " AS DECIMAL(38,0)) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ).alias("lift_e6"),
+        )
+        .orderBy(
+            F.col("lift_e6").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(k)
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_ts: str = "2024-01-16",
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index of a metric distribution between a
+    reference window (before ``split_ts``) and a current window — the
+    standard model/feature drift monitor. Fixed-width buckets; per
+    bucket the PSI term (p−q)·ln(p/q) is computed in the repo's
+    integer-nanonat formulation: ONE libm log of the exact integer
+    ratio (np·Nq)/(nq·Np), rounded once to 1e-9 units, then all-BIGINT
+    cross-multiplied accumulation — order-independent and engine-exact.
+    Buckets empty on either side are excluded (standard practice) but
+    reported with null psi terms so the exclusion is visible. One scan,
+    one ~n_buckets-row aggregation."""
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col(value_col) / F.lit(bucket_width)),
+    ).cast("int")
+    is_ref = F.col(ts_col) < F.lit(split_ts).cast("timestamp")
+    counts = (
+        df.select(b.alias("bucket"), is_ref.alias("_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    both = F.col("n_ref") > 0
+    both = both & (F.col("n_cur") > 0)
+    ln_nano = F.round(
+        F.log(
+            (F.col("n_ref") * F.col("t_cur"))
+            / (F.col("n_cur") * F.col("t_ref"))
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    # (p - q) * ln(p/q) with p = n_ref/t_ref, q = n_cur/t_cur:
+    # ((n_ref*t_cur - n_cur*t_ref) * ln_nano) div (t_ref*t_cur), in
+    # nanonats. The numerator is provably >= 0 ((p-q) and ln(p/q) share
+    # sign; rounding ln to 0 zeroes the product), so truncating `div`
+    # and flooring `//` agree.
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_ln_nano", F.when(both, ln_nano))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.expr(
+                "CAST((CAST(n_ref AS DECIMAL(38,0)) * t_cur"
+                " - CAST(n_cur AS DECIMAL(38,0)) * t_ref) * _ln_nano"
+                " AS DECIMAL(38,0))"
+                " div (CAST(t_ref AS DECIMAL(38,0)) * t_cur)"
+            ).alias("psi_term_nano"),
+        )
+        .orderBy("bucket")
+    )
