@@ -3042,6 +3042,43 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.psi_drift(ev)
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Theil–Sen trend quartiles of the hourly event-count
+    series — all pairwise slopes in exact 1e-9 integer units, rank
+    selection on the bounded pair relation."""
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.select(F.floor(F.unix_timestamp(F.col("ts")) / 3600).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return timeseries.theil_sen(series)
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U between click and view event values —
+    tie-averaged ranks kept integral in doubled units, the running-sum
+    window on the value-domain relation."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregates.mann_whitney_u(
+        ev,
+        "event_type",
+        "click",
+        "view",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"),
+    )
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy + distinct profile of the orders
+    categorical columns — integer-nanonat formulation, one unpivot
+    scan (data-profiling / drift signal)."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.column_entropy(
+        orders, ["o_orderpriority", "o_orderstatus"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3082,6 +3119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square": q_chi_square,
         "association_rules": q_association_rules,
         "psi_drift": q_psi_drift,
+        "theil_sen": q_theil_sen,
+        "mann_whitney": q_mann_whitney,
+        "column_entropy": q_column_entropy,
         # ---- (3) never driver-checked: rows-only (documented rationale) ----
         "language_id_model": q_language_id_model,
         "video_pipeline": q_video_pipeline,
@@ -6889,5 +6929,83 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(t_ref AS HUGEINT) * t_cur) AS BIGINT)
                        AS psi_term_nano
             FROM l ORDER BY bucket
+        """
+
+    sqls["theil_sen"] = """
+            WITH series AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS x,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ), pairs AS (
+                SELECT a.x AS xi, b.x AS xj,
+                       (CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END)
+                       * ((1000000000 * abs(b.y - a.y)) // (b.x - a.x))
+                           AS slope_e9
+                FROM series a JOIN series b ON a.x < b.x
+            ), rk AS (
+                SELECT slope_e9,
+                       ROW_NUMBER() OVER (ORDER BY slope_e9, xi, xj) AS rn
+                FROM pairs
+            ), n AS (SELECT COUNT(*) AS n_pairs FROM pairs)
+            SELECT CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+                   CAST(MAX(CASE WHEN rn = GREATEST((1 * n_pairs + 2) // 4, 1)
+                                 THEN slope_e9 END) AS BIGINT) AS q1_slope_e9,
+                   CAST(MAX(CASE WHEN rn = GREATEST((2 * n_pairs + 2) // 4, 1)
+                                 THEN slope_e9 END) AS BIGINT)
+                       AS median_slope_e9,
+                   CAST(MAX(CASE WHEN rn = GREATEST((3 * n_pairs + 2) // 4, 1)
+                                 THEN slope_e9 END) AS BIGINT) AS q3_slope_e9
+            FROM rk CROSS JOIN n
+        """
+
+    sqls["mann_whitney"] = """
+            WITH m AS (
+                SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                           AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+                FROM events WHERE event_type IN ('click', 'view')
+            ), pv AS (
+                SELECT v, SUM(a) AS na_v, SUM(b) AS nb_v FROM m GROUP BY v
+            ), rk AS (
+                SELECT v, na_v, nb_v,
+                       2 * COALESCE(SUM(na_v + nb_v) OVER (
+                           ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) + (na_v + nb_v) + 1 AS rank2
+                FROM pv
+            ), s AS (
+                SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+                       CAST(SUM(nb_v) AS BIGINT) AS n_b,
+                       CAST(SUM(na_v * rank2) AS BIGINT) AS r2_a
+                FROM rk
+            )
+            SELECT n_a, n_b, r2_a,
+                   CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+                   CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT)
+                       AS u2_b,
+                   CAST(n_a * n_b AS BIGINT) AS mu2_u
+            FROM s
+        """
+
+    sqls["column_entropy"] = """
+            WITH long AS (
+                SELECT 'o_orderpriority' AS col,
+                       CAST(o_orderpriority AS VARCHAR) AS val FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR)
+                FROM orders
+            ), cnt AS (
+                SELECT col, val, COUNT(*) AS c FROM long GROUP BY 1, 2
+            ), t AS (SELECT col, SUM(c) AS n FROM cnt GROUP BY 1),
+            sc AS (
+                SELECT cnt.col, c, n,
+                       c * CAST(round(-ln(c / n) * 1e9, 0) AS BIGINT) AS nano
+                FROM cnt JOIN t USING (col)
+            )
+            SELECT col, CAST(MAX(n) AS BIGINT) AS n_values,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(nano) // MAX(n) AS BIGINT) AS entropy_nano
+            FROM sc GROUP BY col ORDER BY col
         """
     return sqls

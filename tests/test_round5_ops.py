@@ -243,3 +243,43 @@ def test_psi_zero_on_identical_distributions(spark):
     out = ev_ops.psi_drift(df).collect()
     assert len(out) == 3
     assert all(r["psi_term_nano"] == 0 for r in out)
+
+
+def test_theil_sen_exact_line(spark):
+    series = spark.createDataFrame([Row(x=i, y=3 * i) for i in range(10)])
+    [r] = timeseries.theil_sen(series).collect()
+    assert r["n_pairs"] == 45
+    assert (
+        r["q1_slope_e9"]
+        == r["median_slope_e9"]
+        == r["q3_slope_e9"]
+        == 3_000_000_000
+    )
+
+
+def test_mann_whitney_separation_and_ties(spark):
+    sep = spark.createDataFrame(
+        [Row(g="A", v=1), Row(g="A", v=2), Row(g="B", v=3), Row(g="B", v=4)]
+    )
+    [r] = aggregates.mann_whitney_u(sep, "g", "A", "B", F.col("v")).collect()
+    assert (r["n_a"], r["n_b"], r["u2_a"], r["u2_b"], r["mu2_u"]) == (
+        2, 2, 0, 8, 4,
+    )
+    tied = spark.createDataFrame(
+        [Row(g="A", v=1), Row(g="A", v=2), Row(g="B", v=2), Row(g="B", v=3)]
+    )
+    [t] = aggregates.mann_whitney_u(tied, "g", "A", "B", F.col("v")).collect()
+    assert t["u2_a"] == 1  # U_a = 0.5 with the tie at v=2
+
+
+def test_column_entropy_degenerate_and_uniform(spark):
+    df = spark.createDataFrame(
+        [Row(const="k", fair=("x" if i % 2 == 0 else "y")) for i in range(8)]
+    )
+    out = {
+        r["col"]: r for r in aggregates.column_entropy(df, ["const", "fair"]).collect()
+    }
+    assert out["const"]["n_distinct"] == 1
+    assert out["const"]["entropy_nano"] == 0
+    assert out["fair"]["n_distinct"] == 2
+    assert out["fair"]["entropy_nano"] == 693_147_181  # round(ln2 * 1e9)

@@ -907,3 +907,90 @@ def chi_square_independence(
         )
         .orderBy(row_col, col_col)
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    cents: Column,
+) -> DataFrame:
+    """Exact Mann–Whitney U (rank-sum) statistic between two groups —
+    the nonparametric A/B complement to the Welch t-test. Tie-averaged
+    ranks are kept integral by working in DOUBLED rank units:
+    2·rank(value) = 2·(count below) + (count at value) + 1, computed
+    from the per-distinct-value count relation with one running-sum
+    window (bounded by the VALUE DOMAIN, not row count). Outputs the
+    doubled rank sum and U statistics plus the doubled mean
+    (mu2 = n_a·n_b) — all exact BIGINT, no float."""
+    from pyspark.sql import Window
+
+    marked = df.select(
+        cents.alias("v"),
+        F.when(F.col(group_col) == group_a, F.lit(1)).otherwise(F.lit(0)).alias("_a"),
+        F.when(F.col(group_col) == group_b, F.lit(1)).otherwise(F.lit(0)).alias("_b"),
+    ).filter((F.col("_a") == 1) | (F.col("_b") == 1))
+    per_val = marked.groupBy("v").agg(
+        F.sum("_a").alias("na_v"), F.sum("_b").alias("nb_v")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.select(
+        "v",
+        "na_v",
+        "nb_v",
+        (
+            2 * F.coalesce(F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0))
+            + (F.col("na_v") + F.col("nb_v"))
+            + 1
+        ).alias("rank2"),
+    )
+    return ranked.agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        F.sum(F.col("na_v") * F.col("rank2")).alias("r2_a"),
+    ).select(
+        "n_a",
+        "n_b",
+        "r2_a",
+        F.expr("r2_a - n_a * (n_a + 1)").alias("u2_a"),
+        F.expr("2 * n_a * n_b - (r2_a - n_a * (n_a + 1))").alias("u2_b"),
+        F.expr("n_a * n_b").alias("mu2_u"),
+    )
+
+
+def column_entropy(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column Shannon entropy + distinct-count profile of
+    categorical columns (the data-profiling signal behind drift and
+    join-key health checks). One unpivot scan → per-(column, value)
+    counts → the integer-nanonat entropy formulation: each value
+    contributes c·round(−ln(c/N)·1e9) BIGINT nanonats, summed and
+    floor-divided by N — order-independent, engine-exact, and the
+    second shuffle is value-domain-sized."""
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col, val)")
+    )
+    counts = long.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("col").agg(F.sum("c").alias("n"))
+    return (
+        counts.join(F.broadcast(totals), "col")
+        .select(
+            "col",
+            "c",
+            "n",
+            (
+                F.col("c")
+                * F.round(-F.log(F.col("c") / F.col("n")) * F.lit(1e9), 0).cast(
+                    "long"
+                )
+            ).alias("_nano"),
+        )
+        .groupBy("col")
+        .agg(
+            F.max("n").alias("n_values"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.expr("sum(_nano) div max(n)").alias("entropy_nano"),
+        )
+        .orderBy("col")
+    )

@@ -494,3 +494,61 @@ def lttb_downsample(
         (F.col("r") == 1) | (F.col("r") == F.col("n_total"))
     ).select("x", "y")
     return sel.unionByName(ends).orderBy("x")
+
+
+def theil_sen(
+    series: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Theil–Sen robust trend estimate over an integer series: the
+    median (and quartiles) of all pairwise slopes, with slopes
+    quantized to exact 1e-9 integer units via sign-split division
+    (truncation == floor on the non-negative magnitudes, so the
+    quantized slope set is engine-identical; the estimate is the
+    documented quantized-Theil–Sen variant).
+
+    The O(n²) pair generation runs on the BUCKETED series — bounded by
+    time span, not data volume — which is the standard way Theil–Sen is
+    applied to monitoring series at scale; the rank selection is one
+    ordered window over the pair relation."""
+    from pyspark.sql import Window
+
+    a = series.select(
+        F.col(x_col).alias("xi"), F.col(y_col).alias("yi")
+    ).alias("a")
+    b = series.select(
+        F.col(x_col).alias("xj"), F.col(y_col).alias("yj")
+    ).alias("b")
+    pairs = a.join(b, F.col("xi") < F.col("xj")).select(
+        "xi",
+        "xj",
+        (
+            F.when(F.col("yj") - F.col("yi") < 0, F.lit(-1)).otherwise(
+                F.lit(1)
+            )
+            * F.expr("(1000000000 * abs(yj - yi)) div (xj - xi)")
+        ).alias("slope_e9"),
+    )
+    w = Window.orderBy(
+        F.col("slope_e9").asc(), F.col("xi").asc(), F.col("xj").asc()
+    )
+    ranked = pairs.select(
+        "slope_e9", F.row_number().over(w).alias("rn")
+    ).crossJoin(
+        F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+    )
+    # quartile ranks in exact integer arithmetic: the k/4-quantile is the
+    # ((k*n + 2) div 4)-th smallest pair slope (lower-quantile style).
+    pick = lambda k: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.expr(f"greatest(({k} * n_pairs + 2) div 4, 1)"),
+            F.col("slope_e9"),
+        )
+    )
+    return ranked.agg(
+        F.max("n_pairs").alias("n_pairs"),
+        pick(1).alias("q1_slope_e9"),
+        pick(2).alias("median_slope_e9"),
+        pick(3).alias("q3_slope_e9"),
+    )
