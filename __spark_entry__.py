@@ -3079,6 +3079,14 @@ def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for signup→purchase conversion
+    (hour-bucketed durations, right-censored at corpus end) — exact
+    integer risk sets, log-domain product in integer nanonats."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.kaplan_meier(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3122,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "mann_whitney": q_mann_whitney,
         "column_entropy": q_column_entropy,
+        "kaplan_meier": q_kaplan_meier,
         # ---- (3) never driver-checked: rows-only (documented rationale) ----
         "language_id_model": q_language_id_model,
         "video_pipeline": q_video_pipeline,
@@ -7007,5 +7016,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_distinct,
                    CAST(SUM(nano) // MAX(n) AS BIGINT) AS entropy_nano
             FROM sc GROUP BY col ORDER BY col
+        """
+
+    sqls["kaplan_meier"] = """
+            WITH starts AS (
+                SELECT user_id, MIN(ts) AS s FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), fc AS (
+                SELECT st.user_id, st.s, MIN(e.ts) AS p
+                FROM starts st LEFT JOIN events e
+                  ON e.user_id = st.user_id
+                 AND e.event_type = 'purchase' AND e.ts >= st.s
+                GROUP BY 1, 2
+            ), endt AS (SELECT MAX(ts) AS e FROM events),
+            durs AS (
+                SELECT CAST(FLOOR((FLOOR(epoch(COALESCE(p, endt.e)))
+                                   - FLOOR(epoch(s))) / 3600)
+                            AS BIGINT) AS t,
+                       CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS is_event
+                FROM fc CROSS JOIN endt
+            ), per_t AS (
+                SELECT t, SUM(is_event) AS n_events,
+                       SUM(1 - is_event) AS n_censored
+                FROM durs GROUP BY t
+            ), tot AS (
+                SELECT SUM(n_events + n_censored) AS n_total FROM per_t
+            ), risk AS (
+                SELECT t, n_events, n_censored,
+                       n_total - COALESCE(SUM(n_events + n_censored) OVER (
+                           ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS n_risk
+                FROM per_t CROSS JOIN tot
+            ), curve AS (
+                SELECT t, n_risk, n_events, n_censored,
+                       CASE WHEN n_risk > n_events THEN
+                           CAST(round(ln((n_risk - n_events) / n_risk) * 1e9,
+                                      0) AS BIGINT)
+                       END AS ln_nano
+                FROM risk WHERE n_events > 0
+            ), cum AS (
+                SELECT t, n_risk, n_events, n_censored,
+                       CASE WHEN ln_nano IS NULL THEN NULL
+                            ELSE SUM(ln_nano) OVER (
+                                ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                       END AS log_surv_nano
+                FROM curve
+            )
+            SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_censored AS BIGINT) AS n_censored,
+                   CAST(log_surv_nano AS BIGINT) AS log_surv_nano,
+                   CAST(CASE WHEN log_surv_nano IS NULL THEN 0
+                             ELSE CAST(round(exp(log_surv_nano / 1e9) * 1e6,
+                                             0) AS BIGINT)
+                        END AS BIGINT) AS surv_e6
+            FROM cum ORDER BY t
         """
     return sqls

@@ -283,3 +283,38 @@ def test_column_entropy_degenerate_and_uniform(spark):
     assert out["const"]["entropy_nano"] == 0
     assert out["fair"]["n_distinct"] == 2
     assert out["fair"]["entropy_nano"] == 693_147_181  # round(ln2 * 1e9)
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import events as ev_ops
+
+    # Four subjects: convert at t=1h (two), t=2h (one); one never
+    # converts (censored at corpus end, 3h after signup). Also one user
+    # whose only purchase PRECEDES signup: must appear as censored, not
+    # vanish (the left-join predicate regression).
+    rows = [
+        Row(user_id=1, event_type="signup", ts="2024-01-01 00:00:00"),
+        Row(user_id=1, event_type="purchase", ts="2024-01-01 01:00:00"),
+        Row(user_id=2, event_type="signup", ts="2024-01-01 00:00:00"),
+        Row(user_id=2, event_type="purchase", ts="2024-01-01 01:30:00"),
+        Row(user_id=3, event_type="signup", ts="2024-01-01 00:00:00"),
+        Row(user_id=3, event_type="purchase", ts="2024-01-01 02:00:00"),
+        Row(user_id=4, event_type="signup", ts="2024-01-01 00:00:00"),
+        Row(user_id=5, event_type="purchase", ts="2024-01-01 00:30:00"),
+        Row(user_id=5, event_type="signup", ts="2024-01-01 01:00:00"),
+        Row(user_id=9, event_type="view", ts="2024-01-01 03:00:00"),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r["t"]: r for r in ev_ops.kaplan_meier(df).collect()}
+    # t=1h: users 1,2 convert; risk set = all 5 subjects.
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 2
+    # t=2h: user 3 converts; users 4,5 still at risk (censored at 3h/2h).
+    assert out[2]["n_risk"] == 3 and out[2]["n_events"] == 1
+    import math
+
+    s1 = round(math.log(3 / 5) * 1e9)
+    assert out[1]["log_surv_nano"] == s1
+    assert out[2]["log_surv_nano"] == s1 + round(math.log(2 / 3) * 1e9)
+    assert out[1]["surv_e6"] == 600_000

@@ -713,3 +713,120 @@ def psi_drift(
         )
         .orderBy("bucket")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Kaplan–Meier survival curve for start→event conversion (time
+    from first ``start_type`` to first subsequent ``event_type``; users
+    who never convert are right-censored at the corpus end). The
+    standard funnel/retention survival estimator.
+
+    Exactness: durations are integer buckets; risk sets and event
+    counts are exact integers from one running-sum window over the
+    DISTINCT-duration relation (bounded by the time domain); the
+    product Π(1−dᵢ/nᵢ) is carried in log domain with the repo's
+    integer-nanonat pattern (one libm ln of an exact integer ratio per
+    event time, cumulative BIGINT sum), and surv_e6 applies exp to the
+    identical integer nanonat on both engines — one deterministic
+    rounding. Terms with dᵢ = nᵢ (curve hits zero) emit NULL log-terms
+    visibly rather than −∞."""
+    from pyspark.sql import Window
+
+    starts = (
+        df.filter(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_s"))
+    )
+    convs = df.filter(F.col(type_col) == event_type).select(
+        F.col(user_col).alias("_cu"), F.col(ts_col).alias("_p")
+    )
+    # the >= predicate must live IN the left join: a user whose
+    # conversions all precede the start would otherwise lose their null
+    # row to a post-join filter and vanish instead of being censored.
+    first_conv = (
+        starts.join(
+            convs,
+            (F.col(user_col) == F.col("_cu")) & (F.col("_p") >= F.col("_s")),
+            "left",
+        )
+        .groupBy(user_col, "_s")
+        .agg(F.min("_p").alias("_p"))
+    )
+    end = df.agg(F.max(ts_col).alias("_end"))
+    durations = first_conv.crossJoin(F.broadcast(end)).select(
+        (
+            (
+                F.unix_timestamp(F.coalesce(F.col("_p"), F.col("_end")))
+                - F.unix_timestamp(F.col("_s"))
+            )
+            / bucket_seconds
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.col("_p").isNotNull().cast("int").alias("is_event"),
+    )
+    per_t = durations.groupBy("t").agg(
+        F.sum("is_event").alias("n_events"),
+        F.sum(1 - F.col("is_event")).alias("n_censored"),
+    )
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    total = per_t.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("n_total")
+    )
+    risk = per_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "n_events",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_before),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    ln_term = F.when(
+        F.col("n_risk") > F.col("n_events"),
+        F.round(
+            F.log((F.col("n_risk") - F.col("n_events")) / F.col("n_risk"))
+            * F.lit(1e9),
+            0,
+        ).cast("long"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        risk.filter(F.col("n_events") > 0)
+        .withColumn("_ln_nano", ln_term)
+        .withColumn(
+            "log_surv_nano",
+            # a NULL term means the curve hit exactly zero (d == n_risk,
+            # only possible at the final event time): surface NULL log
+            # and survival 0 rather than a silently-wrong partial sum.
+            F.when(
+                F.col("_ln_nano").isNull(), F.lit(None).cast("long")
+            ).otherwise(F.sum("_ln_nano").over(w_cum)),
+        )
+    )
+    return curve.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        "log_surv_nano",
+        F.when(F.col("log_surv_nano").isNull(), F.lit(0))
+        .otherwise(
+            F.round(
+                F.exp(F.col("log_surv_nano") / F.lit(1e9)) * F.lit(1e6), 0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("surv_e6"),
+    ).orderBy("t")
