@@ -3087,6 +3087,290 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.kaplan_meier(ev)
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders from 1997-H1
+    with at least one line shipped after the order date (the EXISTS),
+    counted per priority — LEFT SEMI join carrying the non-equi ship
+    predicate, then a 5-key aggregate."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-07-01").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one-year ship
+    window, discount band, small quantities — revenue = Σ price·disc in
+    exact 1e-4 integer units, one scan-bound global row. Discount is
+    compared in DECIMAL(4,2) so the band edges are exact on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (d >= F.lit("0.05").cast("decimal(4,2)"))
+            & (d <= F.lit("0.07").cast("decimal(4,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice").cast("decimal(12,2)") * d).cast(
+                        "decimal(18,4)"
+                    )
+                    * 10000
+                ).cast("bigint")
+            ).alias("revenue_e4"),
+        )
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within the AMERICA-
+    customer STANDARD-part market, each supplier nation's revenue share
+    per order year — exact 1e-4 revenue units and integer micro-share
+    via a same-key window total (no second shuffle)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation = _t(spark, sf_dir, "nation")
+    cust_nat = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn")
+    ).select("c_custkey")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            "supp_nation",
+        )
+        .agg(F.sum(_rev_e4()).alias("nation_e4"))
+    )
+    w = Window.partitionBy("o_year")
+    return (
+        rev.select(
+            "o_year",
+            "supp_nation",
+            "nation_e4",
+            F.sum("nation_e4").over(w).alias("market_e4"),
+        )
+        .select(
+            "o_year",
+            "supp_nation",
+            "nation_e4",
+            F.expr("(1000000 * nation_e4) div market_e4").alias("share_e6"),
+        )
+        .orderBy("o_year", "supp_nation")
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    and order year, with unit cost modeled as 60% of part retail price
+    in exact integer cents ((retail_cents·3) div 5) — revenue minus
+    cost entirely in 1e-4 integer units, signed sums only (no
+    division)."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "(cast(cast(p_retailprice as decimal(12,2)) * 100 as bigint) * 3)"
+            " div 5"
+        ).alias("cost_cents"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("supp_nation", "o_year")
+        .agg(
+            F.sum(
+                _rev_e4()
+                - F.col("l_quantity").cast("bigint")
+                * F.col("cost_cents")
+                * 100
+            ).alias("profit_e4")
+        )
+        .orderBy("supp_nation", "o_year")
+    )
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping channel vs priority): 1997 lineitems
+    bucketed into weekend/weekday ship channels (no l_shipmode column
+    in this corpus), counting critical (URGENT/HIGH) vs other order
+    priorities — the orders⋈lineitem equi-join then a 2-key conditional
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    channel = F.when(
+        F.dayofweek(F.col("l_shipdate")).isin(1, 7), F.lit("weekend")
+    ).otherwise(F.lit("weekday"))
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(channel.alias("ship_channel"))
+        .agg(
+            F.sum(critical.cast("bigint")).alias("critical_count"),
+            F.sum((~critical).cast("bigint")).alias("other_count"),
+        )
+        .orderBy("ship_channel")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier per quarter): quarterly 1997
+    revenue per supplier, keeping every supplier that ties the
+    quarter's maximum (classic view+max semantics) — one supplier-keyed
+    aggregate, a quarter-keyed window max, exact 1e-4 revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = li.groupBy(
+        F.date_trunc("quarter", F.col("l_shipdate")).alias("quarter"),
+        "l_suppkey",
+    ).agg(F.sum(_rev_e4()).alias("revenue_e4"))
+    w = Window.partitionBy("quarter")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.withColumn("max_e4", F.max("revenue_e4").over(w))
+        .filter(F.col("revenue_e4") == F.col("max_e4"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("quarter", "s_suppkey", "s_name", "revenue_e4")
+        .orderBy("quarter", "s_suppkey")
+    )
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per (brand, size decile), excluding negative-balance
+    suppliers (the complaints proxy) — the distinct pair relation is
+    the one shuffle; dims broadcast."""
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.expr("(p_size - 1) div 10").alias("size_bucket")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "size_bucket")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy("p_brand", "size_bucket")
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd brand/size/quantity bands evaluated in one pass over the
+    lineitem⋈part broadcast join — exact 1e-4 revenue, one global
+    row."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 10) & q.between(1, 15))
+        | ((F.col("p_brand") == "Brand#21") & sz.between(11, 25) & q.between(10, 25))
+        | ((F.col("p_brand") == "Brand#33") & sz.between(26, 50) & q.between(20, 35))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_rev_e4()).alias("revenue_e4"),
+        )
+    )
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess inventory): suppliers whose 1997 share
+    of their all-time PROMO-part quantity exceeds 20% (well above the
+    ~14% uniform-across-7-years expectation) — the nested EXISTS
+    collapsed to one conditional aggregate per supplier with an exact
+    integer cross-multiplied share test (5·qty_1997 > qty_total)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    in97 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in97, F.col("l_quantity").cast("bigint")).otherwise(0)).alias(
+                "qty_1997"
+            ),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total"),
+        )
+    )
+    return (
+        per.filter(5 * F.col("qty_1997") > F.col("qty_total"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "qty_1997", "qty_total")
+        .orderBy("s_suppkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3131,6 +3415,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "column_entropy": q_column_entropy,
         "kaplan_meier": q_kaplan_meier,
+        "order_priority_check": q_order_priority_check,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "shipmode_priority": q_shipmode_priority,
+        "top_supplier": q_top_supplier,
+        "part_supplier_counts": q_part_supplier_counts,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "excess_suppliers": q_excess_suppliers,
         # ---- (3) never driver-checked: rows-only (documented rationale) ----
         "language_id_model": q_language_id_model,
         "video_pipeline": q_video_pipeline,
@@ -7074,5 +7367,159 @@ def oracle_sql() -> dict[str, str]:
                                              0) AS BIGINT)
                         END AS BIGINT) AS surv_e6
             FROM cum ORDER BY t
+        """
+
+    # ---- round-5 TPC-H completion, second tranche (full 22/22) ----
+    sqls["order_priority_check"] = """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+
+    sqls["forecast_revenue"] = """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                      * CAST(l_discount AS DECIMAL(4,2))
+                                      AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND CAST(l_discount AS DECIMAL(4,2)) >= CAST(0.05 AS DECIMAL(4,2))
+              AND CAST(l_discount AS DECIMAL(4,2)) <= CAST(0.07 AS DECIMAL(4,2))
+              AND l_quantity < 24
+        """
+
+    sqls["market_share"] = """
+            WITH rev AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                       n2.n_name AS supp_nation,
+                       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                                 AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                            AS BIGINT) AS nation_e4
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'AMERICA'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2
+            )
+            SELECT o_year, supp_nation, nation_e4,
+                   CAST((1000000 * nation_e4)
+                        // SUM(nation_e4) OVER (PARTITION BY o_year)
+                        AS BIGINT) AS share_e6
+            FROM rev ORDER BY o_year, supp_nation
+        """
+
+    sqls["product_profit"] = """
+            SELECT n_name AS supp_nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                                 AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                            - CAST(l_quantity AS BIGINT)
+                              * ((CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                                       * 100 AS BIGINT) * 3) // 5)
+                              * 100) AS BIGINT) AS profit_e4
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2 ORDER BY supp_nation, o_year
+        """
+
+    sqls["shipmode_priority"] = """
+            SELECT CASE WHEN dayofweek(l_shipdate) + 1 IN (1, 7)
+                        THEN 'weekend' ELSE 'weekday' END AS ship_channel,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS critical_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS other_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY ship_channel
+        """
+
+    sqls["top_supplier"] = """
+            WITH rev AS (
+                SELECT date_trunc('quarter', l_shipdate) AS quarter,
+                       l_suppkey,
+                       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                                 AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                            AS BIGINT) AS revenue_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2
+            )
+            SELECT quarter, s_suppkey, s_name, revenue_e4
+            FROM (
+                SELECT quarter, l_suppkey, revenue_e4,
+                       MAX(revenue_e4) OVER (PARTITION BY quarter) AS mx
+                FROM rev
+            ) JOIN supplier ON l_suppkey = s_suppkey
+            WHERE revenue_e4 = mx
+            ORDER BY quarter, s_suppkey
+        """
+
+    sqls["part_supplier_counts"] = """
+            SELECT p_brand, CAST((p_size - 1) // 10 AS BIGINT) AS size_bucket,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2 ORDER BY p_brand, size_bucket
+        """
+
+    sqls["disjunctive_revenue"] = """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                                 AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#21' AND p_size BETWEEN 11 AND 25
+                   AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#33' AND p_size BETWEEN 26 AND 50
+                   AND l_quantity BETWEEN 20 AND 35)
+        """
+
+    sqls["excess_suppliers"] = """
+            WITH per AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                                      AND l_shipdate < TIMESTAMP '1998-01-01'
+                                     THEN CAST(l_quantity AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS qty_1997,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS qty_total
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, qty_1997, qty_total
+            FROM per JOIN supplier ON l_suppkey = s_suppkey
+            WHERE 5 * qty_1997 > qty_total
+            ORDER BY s_suppkey
         """
     return sqls
