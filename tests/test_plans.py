@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import re
+
 import __spark_entry__ as entrymod
 from yellowrush_spark_ml_pipeline_spark.operators import joins
 from yellowrush_spark_ml_pipeline_spark.plans.explain import explain_str, plan_report
@@ -667,3 +669,62 @@ def test_customer_distribution_outer_join_double_agg(spark, sf_small):
     assert "CartesianProduct" not in plan
     rep = plan_report(df)
     assert not rep["python_udf"]
+
+
+def _no_cartesian(plan: str) -> bool:
+    return "CartesianProduct" not in plan
+
+
+def _detail_count(plan: str, op: str) -> int:
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_round5_tpch_shapes_scale_contract(spark, sf_small):
+    """The round-5 TPC-H shapes must keep dims broadcast, never go
+    cartesian, and keep Python out of the hot path."""
+    for name in (
+        "min_cost_supplier",
+        "important_stock",
+        "promo_revenue_share",
+        "large_volume_customers",
+        "market_share",
+        "product_profit",
+    ):
+        rep = plan_report(entrymod.queries()[name](spark, sf_small))
+        assert not rep["python_udf"], name
+        plan = explain_str(entrymod.queries()[name](spark, sf_small))
+        assert _no_cartesian(plan), name
+    plan = explain_str(entrymod.queries()["min_cost_supplier"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_waiting_suppliers_single_window_pass(spark, sf_small):
+    """Q21's EXISTS/NOT-EXISTS pair must stay ONE sorted window over the
+    per-(order,supplier) aggregate — a second window or join-back here
+    doubles the shuffle bill at 100 TB."""
+    plan = explain_str(entrymod.queries()["waiting_suppliers"](spark, sf_small))
+    assert _detail_count(plan, "Window") == 1, plan
+
+
+def test_line_dedup_two_shuffle_shape(spark, sf_small):
+    """Segment dedup = one window count on segment text + one doc-id
+    reassembly groupBy; any Join node means a join-back crept in."""
+    rep = plan_report(entrymod.queries()["line_dedup"](spark, sf_small))
+    assert not rep["python_udf"]
+    plan = explain_str(entrymod.queries()["line_dedup"](spark, sf_small))
+    assert "Join" not in plan, plan
+    assert _detail_count(plan, "Window") == 1, plan
+
+
+def test_single_scan_profiling_ops(spark, sf_small):
+    """filter_funnel / benford / column_entropy are single-scan
+    conditional aggregations — no fact-table self-joins, no Python,
+    no cartesian blowups (the one-row-total cross joins must plan as
+    broadcast)."""
+    for name in ("filter_funnel", "benford", "column_entropy"):
+        rep = plan_report(entrymod.queries()[name](spark, sf_small))
+        assert not rep["python_udf"], name
+        plan = explain_str(entrymod.queries()[name](spark, sf_small))
+        assert _no_cartesian(plan), name
+        assert _detail_count(plan, "Scan parquet") <= 2, name
