@@ -131,3 +131,25 @@ def test_all_queries_run(spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_no_vacuous_oracle_queries():
+    """Every oracle-backed query must return ≥1 row in the committed
+    mirror snapshot: a 0==0 hash match proves nothing (important_stock
+    shipped vacuous at round 5 until this guard — its 1.2% share bar
+    excluded every supplier)."""
+    import json
+    import pathlib
+
+    snap_path = pathlib.Path(__file__).resolve().parents[1] / "MIRROR_LOCAL.json"
+    if not snap_path.exists():
+        pytest.skip("no MIRROR_LOCAL.json snapshot")
+    snap = json.load(open(snap_path))
+    vacuous = [
+        name
+        for name, rec in snap.items()
+        if isinstance(rec, dict)
+        and rec.get("err") is None
+        and rec.get("spark_rows") == 0
+    ]
+    assert not vacuous, f"oracle queries returning zero rows: {vacuous}"
