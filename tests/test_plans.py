@@ -707,14 +707,18 @@ def test_waiting_suppliers_single_window_pass(spark, sf_small):
     assert _detail_count(plan, "Window") == 1, plan
 
 
-def test_line_dedup_two_shuffle_shape(spark, sf_small):
-    """Segment dedup = one window count on segment text + one doc-id
-    reassembly groupBy; any Join node means a join-back crept in."""
+def test_line_dedup_skew_resilient_shape(spark, sf_small):
+    """Segment dedup must count frequencies with a combinable groupBy
+    joined back (AQE-skew-splittable on the hot segments C4 exists to
+    remove) — NOT a window over seg_text, which would pin every copy of
+    a viral segment into one partition."""
     rep = plan_report(entrymod.queries()["line_dedup"](spark, sf_small))
     assert not rep["python_udf"]
     plan = explain_str(entrymod.queries()["line_dedup"](spark, sf_small))
-    assert "Join" not in plan, plan
-    assert _detail_count(plan, "Window") == 1, plan
+    assert _detail_count(plan, "Window") == 0, plan
+    assert "CartesianProduct" not in plan
+    # partial (map-side) aggregation on the frequency count
+    assert _detail_count(plan, "HashAggregate") >= 2, plan
 
 
 def test_single_scan_profiling_ops(spark, sf_small):

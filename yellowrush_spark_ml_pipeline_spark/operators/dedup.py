@@ -853,15 +853,15 @@ def segment_line_dedup(
     segments are reassembled in order into the rewritten text.
 
     Scale shape: segmentation is a narrow map (sequence + slice inside
-    codegen, rows × ~n_words/seg_words), the corpus frequency is ONE
-    window count partitioned by segment text (same shuffle a groupBy
-    would take, but no join back), and reassembly shuffles once on the
-    doc id with collect_list over the per-doc handful of segments. No
-    all-pairs anything — cost is O(total segments) through two
-    shuffles, which is how the C4 pipeline runs at web scale.
+    codegen, rows × ~n_words/seg_words); the corpus frequency is a
+    combinable groupBy joined back on the segment text — deliberately
+    NOT a window count: the hot segments C4 exists to remove would all
+    land in one window partition, while a groupBy gets map-side partial
+    counts and the join back is AQE-skew-splittable. Reassembly
+    shuffles once on the doc id with collect_list over the per-doc
+    handful of segments. No all-pairs anything — cost is O(total
+    segments), which is how the C4 pipeline runs at web scale.
     """
-    from pyspark.sql import Window
-
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"),
         lambda t: t != F.lit(""),
@@ -880,9 +880,12 @@ def segment_line_dedup(
             )
         ).alias("seg_idx", "seg_text"),
     )
-    freq = F.count(F.lit(1)).over(Window.partitionBy("seg_text"))
-    flagged = segs.select(
-        id_col, "seg_idx", "seg_text", (freq <= max_freq).alias("_keep")
+    freq = segs.groupBy("seg_text").agg(F.count(F.lit(1)).alias("_freq"))
+    flagged = segs.join(freq, "seg_text").select(
+        id_col,
+        "seg_idx",
+        "seg_text",
+        (F.col("_freq") <= max_freq).alias("_keep"),
     )
     return (
         flagged.groupBy(id_col)
