@@ -3373,6 +3373,22 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive vs seasonal-naive (24 h) forecast backtest over the hourly
+    event-count series — exact integer MAE and sMAPE micro-units, the
+    baseline pair every forecasting deployment must beat."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.seasonal_naive_backtest(ev)
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of users (recency/frequency/monetary,
+    NTILE with user-id tiebreak), rolled up to segment counts with
+    exact cents totals."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.rfm_segments(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3426,6 +3442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "disjunctive_revenue": q_disjunctive_revenue,
         "excess_suppliers": q_excess_suppliers,
+        "forecast_backtest": q_forecast_backtest,
+        "rfm_segments": q_rfm_segments,
         # ---- (3) never driver-checked: rows-only (documented rationale) ----
         "language_id_model": q_language_id_model,
         "video_pipeline": q_video_pipeline,
@@ -7523,5 +7541,78 @@ def oracle_sql() -> dict[str, str]:
             FROM per JOIN supplier ON l_suppkey = s_suppkey
             WHERE 5 * qty_1997 > qty_total
             ORDER BY s_suppkey
+        """
+
+    sqls["forecast_backtest"] = """
+            WITH hourly AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ), preds AS (
+                SELECT y,
+                       LAG(y, 1) OVER (ORDER BY bucket) AS p_naive,
+                       LAG(y, 24) OVER (ORDER BY bucket) AS p_seasonal
+                FROM hourly
+            ), na AS (
+                SELECT 'naive' AS model, COUNT(*) AS n_points,
+                       CAST(SUM(abs(y - p_naive)) AS BIGINT) AS sum_abs_err,
+                       CAST(SUM(abs(y - p_naive)) // COUNT(*) AS BIGINT)
+                           AS mae_floor,
+                       CAST(SUM(CASE WHEN y + p_naive = 0 THEN 0
+                                     ELSE (2000000 * abs(y - p_naive))
+                                          // (y + p_naive) END)
+                            // COUNT(*) AS BIGINT) AS smape_e6
+                FROM preds WHERE p_naive IS NOT NULL
+            ), se AS (
+                SELECT 'seasonal_naive' AS model, COUNT(*) AS n_points,
+                       CAST(SUM(abs(y - p_seasonal)) AS BIGINT)
+                           AS sum_abs_err,
+                       CAST(SUM(abs(y - p_seasonal)) // COUNT(*) AS BIGINT)
+                           AS mae_floor,
+                       CAST(SUM(CASE WHEN y + p_seasonal = 0 THEN 0
+                                     ELSE (2000000 * abs(y - p_seasonal))
+                                          // (y + p_seasonal) END)
+                            // COUNT(*) AS BIGINT) AS smape_e6
+                FROM preds WHERE p_seasonal IS NOT NULL
+            )
+            SELECT model, CAST(n_points AS BIGINT) AS n_points, sum_abs_err,
+                   mae_floor, smape_e6
+            FROM (SELECT * FROM na UNION ALL SELECT * FROM se)
+            ORDER BY model
+        """
+
+    sqls["rfm_segments"] = """
+            WITH endt AS (SELECT MAX(ts) AS e FROM events),
+            pu AS (
+                SELECT user_id, MAX(ts) AS last_ts,
+                       CAST(COUNT(*) AS BIGINT) AS frequency,
+                       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                     AS BIGINT)) AS BIGINT)
+                           AS monetary_cents
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT user_id,
+                       CAST(FLOOR((FLOOR(epoch(endt.e))
+                                   - FLOOR(epoch(last_ts))) / 86400)
+                            AS BIGINT) AS recency_days,
+                       frequency, monetary_cents
+                FROM pu CROSS JOIN endt
+            ), sc AS (
+                SELECT monetary_cents,
+                       CAST(NTILE(5) OVER (
+                           ORDER BY recency_days ASC, user_id ASC) AS INT)
+                           AS r_score,
+                       CAST(NTILE(5) OVER (
+                           ORDER BY frequency DESC, user_id ASC) AS INT)
+                           AS f_score,
+                       CAST(NTILE(5) OVER (
+                           ORDER BY monetary_cents DESC, user_id ASC) AS INT)
+                           AS m_score
+                FROM m
+            )
+            SELECT r_score, f_score, m_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+            FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
         """
     return sqls

@@ -318,3 +318,39 @@ def test_kaplan_meier_hand_computed(spark):
     assert out[1]["log_surv_nano"] == s1
     assert out[2]["log_surv_nano"] == s1 + round(math.log(2 / 3) * 1e9)
     assert out[1]["surv_e6"] == 600_000
+
+
+def test_seasonal_naive_backtest_perfect_seasonality(spark):
+    # Counts repeat with period 24 exactly -> seasonal-naive error 0,
+    # naive error > 0.
+    rows = []
+    eid = 0
+    for day in range(3):
+        for h in range(24):
+            cnt = 1 + (h % 4)
+            for i in range(cnt):
+                eid += 1
+                rows.append(
+                    Row(event_id=eid, ts=f"2024-01-{day+1:02d} {h:02d}:{i:02d}:00")
+                )
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r["model"]: r for r in timeseries.seasonal_naive_backtest(df).collect()}
+    assert out["seasonal_naive"]["sum_abs_err"] == 0
+    assert out["seasonal_naive"]["smape_e6"] == 0
+    assert out["naive"]["sum_abs_err"] > 0
+    assert out["naive"]["n_points"] == 71
+    assert out["seasonal_naive"]["n_points"] == 48
+
+
+def test_rfm_segments_partition_users_once(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import events as ev_ops
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = ev_ops.rfm_segments(ev).collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in out) == n_users
+    for r in out:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5

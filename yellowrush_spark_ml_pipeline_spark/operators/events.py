@@ -830,3 +830,71 @@ def kaplan_meier(
         .cast("long")
         .alias("surv_e6"),
     ).orderBy("t")
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation: per-user
+    metrics scored into quintiles with NTILE (deterministic via the
+    user-id tiebreak — NTILE's row distribution is SQL-standard
+    identical across engines given a total order), then rolled up to
+    segment counts with exact cents totals. One user-keyed aggregation;
+    the three ranking windows run over the USER-cardinality relation,
+    not raw events."""
+    from pyspark.sql import Window
+
+    end = df.agg(F.max(ts_col).alias("_end"))
+    per_user = (
+        df.groupBy(user_col)
+        .agg(
+            F.max(ts_col).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            user_col,
+            F.floor(
+                (
+                    F.unix_timestamp(F.col("_end"))
+                    - F.unix_timestamp(F.col("_last"))
+                )
+                / 86400
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = per_user.select(
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col(user_col).asc()))
+        .alias("r_score"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col(user_col).asc()))
+        .alias("f_score"),
+        F.ntile(n_tiles)
+        .over(
+            Window.orderBy(F.col("monetary_cents").desc(), F.col(user_col).asc())
+        )
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

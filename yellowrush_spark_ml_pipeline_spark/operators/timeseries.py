@@ -552,3 +552,59 @@ def theil_sen(
         pick(2).alias("median_slope_e9"),
         pick(3).alias("q3_slope_e9"),
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    season: int = 24,
+) -> DataFrame:
+    """Backtest of the two canonical zero-parameter forecasters on the
+    bucketed count series — naive (ŷ=y[t−1]) and seasonal-naive
+    (ŷ=y[t−season]) — the baselines every forecasting deployment must
+    beat. Exact integer scoring: absolute errors sum in BIGINT, sMAPE
+    terms are (2e6·|y−ŷ|) div (y+ŷ) per point (0 when both zero),
+    averaged by integer division. One bounded ordered window (the
+    bucketed series), one global row out per model."""
+    from pyspark.sql import Window
+
+    hourly = (
+        df.select(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.orderBy("bucket")
+    preds = hourly.select(
+        "y",
+        F.lag("y", 1).over(w).alias("p_naive"),
+        F.lag("y", season).over(w).alias("p_seasonal"),
+    )
+    def _score(pred_col: str, model: str) -> DataFrame:
+        p = preds.filter(F.col(pred_col).isNotNull()).select(
+            "y", F.col(pred_col).alias("p")
+        )
+        ae = F.abs(F.col("y") - F.col("p"))
+        smape_term = F.when(F.col("y") + F.col("p") == 0, F.lit(0)).otherwise(
+            F.expr(f"(2000000 * abs(y - p)) div (y + p)")
+        )
+        return p.agg(
+            F.lit(model).alias("model"),
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(ae).alias("sum_abs_err"),
+            F.expr("sum(abs(y - p)) div count(1)").alias("mae_floor"),
+            F.sum(smape_term).alias("_smape_sum"),
+        ).select(
+            "model",
+            "n_points",
+            "sum_abs_err",
+            "mae_floor",
+            F.expr("_smape_sum div n_points").alias("smape_e6"),
+        )
+    return _score("p_naive", "naive").unionByName(
+        _score("p_seasonal", "seasonal_naive")
+    ).orderBy("model")
