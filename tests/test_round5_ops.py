@@ -354,3 +354,30 @@ def test_rfm_segments_partition_users_once(spark):
     for r in out:
         for c in ("r_score", "f_score", "m_score"):
             assert 1 <= r[c] <= 5
+
+
+def test_cdc_diff_reconstructs_new_snapshot(spark):
+    """Apply-property: old + diff must reconstruct new exactly —
+    (inserts ∪ updates ∪ unchanged) with new-side values equals the new
+    snapshot, and deletes equal old∖new keys. Proves the diff is a
+    lossless changeset, not just a classification."""
+    old = spark.createDataFrame(
+        [Row(k=i, a=f"v{i % 3}", b=float(i)) for i in range(50)]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=i, a=f"v{(i + (1 if i % 7 == 0 else 0)) % 3}",
+                b=float(i) + (10.0 if i % 5 == 0 else 0.0))
+            for i in range(50) if i % 11 != 0
+        ]
+        + [Row(k=100 + i, a="new", b=1.0) for i in range(5)]
+    )
+    diff = mutations.cdc_diff(old, new, "k", ["a", "b"])
+    rebuilt = sorted(
+        (r["k"], r["new_a"], r["new_b"])
+        for r in diff.filter(F.col("op") != "delete").collect()
+    )
+    want = sorted((r["k"], r["a"], r["b"]) for r in new.collect())
+    assert rebuilt == want
+    deleted = sorted(r["k"] for r in diff.filter(F.col("op") == "delete").collect())
+    assert deleted == [i for i in range(50) if i % 11 == 0]
