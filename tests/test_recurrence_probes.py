@@ -80,11 +80,20 @@ def _trade_edges(spark):
     return graph.bipartite_edges(rel, "o_custkey", "l_suppkey")
 
 
-@pytest.mark.parametrize("iters", [2, 5])
-def test_pagerank_alternate_iterations(spark, duck, iters):
-    pr = graph.pagerank(_trade_edges(spark), iterations=iters, damping_pct=85)
+@pytest.mark.parametrize("iters,damping", [(2, 85), (5, 85), (3, 70)])
+def test_pagerank_alternate_iterations(spark, duck, iters, damping):
+    # alternate damping (70) exercises the teleport/damping arithmetic,
+    # not just the loop count — a swapped damping term passes at any
+    # iteration count but fails here.
+    pr = graph.pagerank(
+        _trade_edges(spark), iterations=iters, damping_pct=damping
+    )
     out = pr.orderBy(F.col("rank_nano").desc(), F.col("node").asc()).limit(25)
-    _assert_match(out, duck, entrymod.oracle_pagerank_sql(iterations=iters))
+    _assert_match(
+        out,
+        duck,
+        entrymod.oracle_pagerank_sql(iterations=iters, damping_pct=damping),
+    )
 
 
 def test_ppr_alternate_iterations(spark, duck):
