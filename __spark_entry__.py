@@ -2719,7 +2719,10 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ship_month",
             "promo_e4",
             "total_e4",
-            F.expr("(1000000 * promo_e4) div total_e4").alias("promo_share_e6"),
+            F.expr(
+                "CAST(CAST(promo_e4 AS DECIMAL(38,0)) * 1000000"
+                " AS DECIMAL(38,0)) div total_e4"
+            ).alias("promo_share_e6"),
         )
         .orderBy("ship_month")
     )
@@ -3195,7 +3198,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year",
             "supp_nation",
             "nation_e4",
-            F.expr("(1000000 * nation_e4) div market_e4").alias("share_e6"),
+            F.expr(
+                "CAST(CAST(nation_e4 AS DECIMAL(38,0)) * 1000000"
+                " AS DECIMAL(38,0)) div market_e4"
+            ).alias("share_e6"),
         )
         .orderBy("o_year", "supp_nation")
     )
@@ -6938,7 +6944,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_intervals,
                    CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
-                   CAST((CAST(SUM(v_cents * dur_us) AS HUGEINT) * 10000)
+                   CAST((SUM(CAST(v_cents AS HUGEINT) * dur_us) * 10000)
                         // SUM(dur_us) AS BIGINT) AS twa_e6
             FROM held WHERE dur_us IS NOT NULL
             GROUP BY event_type ORDER BY event_type
@@ -6995,7 +7001,8 @@ def oracle_sql() -> dict[str, str]:
             ), s AS (
                 SELECT o_orderpriority, COUNT(*) AS n,
                        SUM(x) AS sx, SUM(y) AS sy,
-                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx
                 FROM base GROUP BY o_orderpriority
             ), w AS (
                 SELECT o_orderpriority, n, sx, sy,
@@ -7299,14 +7306,16 @@ def oracle_sql() -> dict[str, str]:
             ), s AS (
                 SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
                        CAST(SUM(nb_v) AS BIGINT) AS n_b,
-                       CAST(SUM(na_v * rank2) AS BIGINT) AS r2_a
+                       SUM(CAST(na_v AS HUGEINT) * rank2) AS r2_a
                 FROM rk
             )
-            SELECT n_a, n_b, r2_a,
-                   CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
-                   CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT)
-                       AS u2_b,
-                   CAST(n_a * n_b AS BIGINT) AS mu2_u
+            SELECT n_a, n_b, CAST(r2_a AS BIGINT) AS r2_a,
+                   CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+                       AS u2_a,
+                   CAST(2 * CAST(n_a AS HUGEINT) * n_b
+                        - (r2_a - CAST(n_a AS HUGEINT) * (n_a + 1))
+                        AS BIGINT) AS u2_b,
+                   CAST(CAST(n_a AS HUGEINT) * n_b AS BIGINT) AS mu2_u
             FROM s
         """
 
@@ -7437,7 +7446,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT o_year, supp_nation, nation_e4,
-                   CAST((1000000 * nation_e4)
+                   CAST((CAST(nation_e4 AS HUGEINT) * 1000000)
                         // SUM(nation_e4) OVER (PARTITION BY o_year)
                         AS BIGINT) AS share_e6
             FROM rev ORDER BY o_year, supp_nation

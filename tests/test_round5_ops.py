@@ -381,3 +381,16 @@ def test_cdc_diff_reconstructs_new_snapshot(spark):
     assert rebuilt == want
     deleted = sorted(r["k"] for r in diff.filter(F.col("op") == "delete").collect())
     assert deleted == [i for i in range(50) if i % 11 == 0]
+
+
+def test_ols_fit_survives_bigint_overflow_range(spark):
+    """Row products near 2^63 must not wrap: x·y ≈ 4.6e18 per row here,
+    so a BIGINT accumulation corrupts silently — the DECIMAL(38,0) path
+    keeps the exact-line slope exact."""
+    big = 2**31  # x*y per row ~ 2^62, sum of 10 rows overflows int64
+    rows = [Row(g="up", x=i * big, y=(2 * i * big + 7)) for i in range(1, 11)]
+    [r] = aggregates.ols_fit(
+        spark.createDataFrame(rows), "g", F.col("x"), F.col("y").cast("bigint")
+    ).collect()
+    assert r["slope_e6"] == 2_000_000
+    assert r["intercept_e6"] == 7_000_000

@@ -759,8 +759,10 @@ def ols_fit(
         F.count(F.lit(1)).alias("n"),
         F.sum("_x").alias("_sx"),
         F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        # row products through DECIMAL(38,0): days x cents passes BIGINT
+        # range near 1e9 rows/group (oracle HUGEINT matches exactly)
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x")).alias("_sxx"),
     )
     wide = sums.select(
         group_col,
@@ -898,10 +900,15 @@ def chi_square_independence(
             F.col("r").alias(row_col),
             F.col("c").alias(col_col),
             F.col("o").alias("observed"),
-            F.expr("(1000 * r_tot * c_tot) div n_tot").alias("expected_milli"),
             F.expr(
-                "CAST(CAST(o * n_tot - r_tot * c_tot AS DECIMAL(38,0))"
-                " * (o * n_tot - r_tot * c_tot) * 1000000 AS DECIMAL(38,0))"
+                "CAST(1000 AS DECIMAL(38,0)) * r_tot * c_tot div n_tot"
+            ).alias("expected_milli"),
+            F.expr(
+                "CAST(CAST(CAST(o AS DECIMAL(38,0)) * n_tot"
+                " - CAST(r_tot AS DECIMAL(38,0)) * c_tot AS DECIMAL(38,0))"
+                " * (CAST(o AS DECIMAL(38,0)) * n_tot"
+                "    - CAST(r_tot AS DECIMAL(38,0)) * c_tot)"
+                " * 1000000 AS DECIMAL(38,0))"
                 " div (CAST(n_tot AS DECIMAL(38,0)) * r_tot * c_tot)"
             ).alias("contrib_e6"),
         )
@@ -945,17 +952,29 @@ def mann_whitney_u(
             + 1
         ).alias("rank2"),
     )
+    # rank-weighted sums approach 2N² — DECIMAL(38,0) through the
+    # arithmetic (oracle HUGEINT), BIGINT only on the final outputs
+    # (their documented range).
     return ranked.agg(
         F.sum("na_v").alias("n_a"),
         F.sum("nb_v").alias("n_b"),
-        F.sum(F.col("na_v") * F.col("rank2")).alias("r2_a"),
+        F.sum(F.col("na_v").cast("decimal(38,0)") * F.col("rank2")).alias(
+            "_r2a"
+        ),
     ).select(
         "n_a",
         "n_b",
-        "r2_a",
-        F.expr("r2_a - n_a * (n_a + 1)").alias("u2_a"),
-        F.expr("2 * n_a * n_b - (r2_a - n_a * (n_a + 1))").alias("u2_b"),
-        F.expr("n_a * n_b").alias("mu2_u"),
+        F.col("_r2a").cast("bigint").alias("r2_a"),
+        F.expr(
+            "CAST(_r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)"
+        ).alias("u2_a"),
+        F.expr(
+            "CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b"
+            " - (_r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) AS BIGINT)"
+        ).alias("u2_b"),
+        F.expr("CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS BIGINT)").alias(
+            "mu2_u"
+        ),
     )
 
 

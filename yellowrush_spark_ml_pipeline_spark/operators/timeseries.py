@@ -305,11 +305,12 @@ def time_weighted_avg(
     no weight).
 
     Exactness: value → integer cents (lossless for 2-decimal data),
-    hold duration → integer microseconds from ``lead()``, so the
-    weighted numerator is a BIGINT sum (≤ 5e4 cents × interval µs — no
-    float drift at any partition count); the final micro-unit average
-    is one scaled DECIMAL(38,0) integer division. One shuffle: the
-    lead() window and the aggregation share the key.
+    hold duration → integer microseconds from ``lead()``; the weighted
+    numerator accumulates in DECIMAL(38,0) (cents × µs exceeds BIGINT
+    once a key's history spans years at scale — the oracle's HUGEINT
+    matches exactly); the final micro-unit average is one scaled
+    integer division. One shuffle: the lead() window and the
+    aggregation share the key.
     """
     from pyspark.sql import Window
 
@@ -327,15 +328,16 @@ def time_weighted_avg(
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
             F.sum("dur_us").alias("total_dur_us"),
-            F.sum(F.col("v_cents") * F.col("dur_us")).alias("_num"),
+            F.sum(
+                F.col("v_cents").cast("decimal(38,0)") * F.col("dur_us")
+            ).alias("_num"),
         )
         .select(
             key_col,
             "n_intervals",
             "total_dur_us",
             F.expr(
-                "CAST(CAST(_num AS DECIMAL(38,0)) * 10000 AS DECIMAL(38,0))"
-                " div total_dur_us"
+                "CAST(_num * 10000 AS DECIMAL(38,0)) div total_dur_us"
             ).alias("twa_e6"),
         )
         .orderBy(key_col)
@@ -383,21 +385,35 @@ def autocorrelation(
     pairs = leads.select(
         "cnt", F.expr(f"stack({max_lag}, {stack_args}) AS (lag, y)")
     ).filter(F.col("y").isNotNull())
+    # products go through DECIMAL(38,0): bucket counts grow with data
+    # volume (the series is bounded, its VALUES are not), and n·Σxy
+    # overflows BIGINT once counts pass ~1e6/bucket. The oracle's
+    # HUGEINT arithmetic matches exactly; outputs cast back to BIGINT
+    # (their documented range).
     moments = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("cnt").alias("_sx"),
         F.sum("y").alias("_sy"),
-        F.sum(F.col("cnt") * F.col("y")).alias("_sxy"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("_sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("_sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("_syy"),
     )
     return (
         moments.select(
             F.col("lag").cast("int").alias("lag"),
             "n_pairs",
-            F.expr("n_pairs * _sxy - _sx * _sy").alias("cov_num"),
-            F.expr("n_pairs * _sxx - _sx * _sx").alias("den_x"),
-            F.expr("n_pairs * _syy - _sy * _sy").alias("den_y"),
+            F.expr(
+                "CAST(CAST(n_pairs AS DECIMAL(38,0)) * _sxy"
+                " - CAST(_sx AS DECIMAL(38,0)) * _sy AS BIGINT)"
+            ).alias("cov_num"),
+            F.expr(
+                "CAST(CAST(n_pairs AS DECIMAL(38,0)) * _sxx"
+                " - CAST(_sx AS DECIMAL(38,0)) * _sx AS BIGINT)"
+            ).alias("den_x"),
+            F.expr(
+                "CAST(CAST(n_pairs AS DECIMAL(38,0)) * _syy"
+                " - CAST(_sy AS DECIMAL(38,0)) * _sy AS BIGINT)"
+            ).alias("den_y"),
         )
         .select(
             "lag",
