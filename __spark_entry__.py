@@ -2686,7 +2686,10 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             "value_cents",
-            F.expr("(1000000 * value_cents) div total_cents").alias("share_e6"),
+            F.expr(
+                "CAST(CAST(value_cents AS DECIMAL(38,0)) * 1000000"
+                " AS DECIMAL(38,0)) div total_cents"
+            ).alias("share_e6"),
         )
         .orderBy(F.col("value_cents").desc(), F.col("s_suppkey").asc())
     )
@@ -4774,12 +4777,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source,
                        CAST(COUNT(*) AS BIGINT) AS n_docs,
                        CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
-                       CAST(SUM(bpe_tokens * q_centi) AS BIGINT) AS weight
+                       CAST(SUM(CAST(bpe_tokens AS HUGEINT) * q_centi)
+                            AS BIGINT) AS weight
                 FROM scored GROUP BY source
             ), tot AS (SELECT SUM(weight) AS w_total FROM per)
             SELECT source, n_docs, total_tokens, weight,
-                   CAST((1000000 * weight) // w_total AS BIGINT) AS alloc_tokens,
-                   CAST((10000 * weight) // w_total AS BIGINT) AS share_bp
+                   CAST((CAST(weight AS HUGEINT) * 1000000) // w_total
+                        AS BIGINT) AS alloc_tokens,
+                   CAST((CAST(weight AS HUGEINT) * 10000) // w_total
+                        AS BIGINT) AS share_bp
             FROM per, tot
         """,
         "pack_sequences": r"""
@@ -6707,8 +6713,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM per
             )
             SELECT s_suppkey, s_name, value_cents,
-                   CAST((1000000 * value_cents) // total_cents AS BIGINT)
-                       AS share_e6
+                   CAST((CAST(value_cents AS HUGEINT) * 1000000)
+                        // total_cents AS BIGINT) AS share_e6
             FROM per CROSS JOIN total
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE value_cents * 10000 > total_cents * 105
@@ -6970,8 +6976,9 @@ def oracle_sql() -> dict[str, str]:
             ), m AS (
                 SELECT lag, COUNT(*) AS n_pairs,
                        SUM(cnt) AS sx, SUM(y) AS sy,
-                       SUM(cnt * y) AS sxy, SUM(cnt * cnt) AS sxx,
-                       SUM(y * y) AS syy
+                       SUM(CAST(cnt AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(cnt AS HUGEINT) * cnt) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy
                 FROM pairs GROUP BY lag
             ), d AS (
                 SELECT CAST(lag AS INT) AS lag,
@@ -7139,14 +7146,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM c GROUP BY 1
             ), t AS (SELECT SUM(n) AS nt FROM cnt)
             SELECT digit, CAST(n AS BIGINT) AS n,
-                   CAST((1000000 * n) // nt AS BIGINT) AS share_e6,
+                   CAST((CAST(n AS HUGEINT) * 1000000) // nt AS BIGINT)
+                       AS share_e6,
                    CAST(CASE digit
                         WHEN 1 THEN 301030 WHEN 2 THEN 176091
                         WHEN 3 THEN 124939 WHEN 4 THEN 96910
                         WHEN 5 THEN 79181 WHEN 6 THEN 66947
                         WHEN 7 THEN 57992 WHEN 8 THEN 51153
                         WHEN 9 THEN 45757 END AS BIGINT) AS benford_e6,
-                   CAST(abs((1000000 * n) // nt
+                   CAST(abs((CAST(n AS HUGEINT) * 1000000) // nt
                             - CASE digit
                               WHEN 1 THEN 301030 WHEN 2 THEN 176091
                               WHEN 3 THEN 124939 WHEN 4 THEN 96910
@@ -7216,9 +7224,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
-                   CAST((1000000 * n_ab) // n_total AS BIGINT) AS support_e6,
-                   CAST((1000000 * n_ab) // ia.n_item AS BIGINT)
-                       AS confidence_e6,
+                   CAST((CAST(n_ab AS HUGEINT) * 1000000) // n_total
+                        AS BIGINT) AS support_e6,
+                   CAST((CAST(n_ab AS HUGEINT) * 1000000) // ia.n_item
+                        AS BIGINT) AS confidence_e6,
                    CAST((CAST(n_ab AS HUGEINT) * n_total * 1000000)
                         // (CAST(ia.n_item AS HUGEINT) * ib.n_item)
                         AS BIGINT) AS lift_e6

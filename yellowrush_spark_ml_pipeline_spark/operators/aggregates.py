@@ -834,7 +834,10 @@ def benford_digits(df: DataFrame, cents: Column) -> DataFrame:
         .select(
             "digit",
             "n",
-            F.expr("(1000000 * n) div n_total").alias("share_e6"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0))"
+                " div n_total"
+            ).alias("share_e6"),
             expected[F.col("digit")].alias("benford_e6"),
         )
         .withColumn(

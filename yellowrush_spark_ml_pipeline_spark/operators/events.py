@@ -632,8 +632,14 @@ def association_rules(
             "antecedent",
             "consequent",
             "n_ab",
-            F.expr("(1000000 * n_ab) div n_total").alias("support_e6"),
-            F.expr("(1000000 * n_ab) div n_a").alias("confidence_e6"),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0))"
+                " div n_total"
+            ).alias("support_e6"),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0))"
+                " div n_a"
+            ).alias("confidence_e6"),
             F.expr(
                 "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_total * 1000000"
                 " AS DECIMAL(38,0)) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"

@@ -516,16 +516,22 @@ def mixture_allocation(
     per = scored.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("bpe_ish_tokens").alias("total_tokens"),
-        F.sum(F.col("bpe_ish_tokens").cast("long") * q_centi).alias("weight"),
+        F.sum(
+            F.col("bpe_ish_tokens").cast("decimal(38,0)") * q_centi
+        ).alias("_weight"),
     )
-    tot = per.agg(F.sum("weight").alias("_w_total"))
+    tot = per.agg(F.sum("_weight").alias("_w_total"))
     return per.join(F.broadcast(tot)).select(
         source_col,
         "n_docs",
         "total_tokens",
-        "weight",
-        F.expr(f"({token_budget} * weight) div _w_total").alias("alloc_tokens"),
-        F.expr("(10000 * weight) div _w_total").alias("share_bp"),
+        F.col("_weight").cast("bigint").alias("weight"),
+        F.expr(
+            f"CAST({token_budget} AS DECIMAL(38,0)) * _weight div _w_total"
+        ).alias("alloc_tokens"),
+        F.expr(
+            "CAST(10000 AS DECIMAL(38,0)) * _weight div _w_total"
+        ).alias("share_bp"),
     )
 
 
