@@ -37,6 +37,7 @@ def main() -> int:
 
     rc = 0
     rc |= run([sys.executable, "tools/oracle_dtype_sweep.py"])
+    rc |= run([sys.executable, "tools/overflow_sweep.py"])
     rc |= run([sys.executable, "tools/driver_mirror.py", "--json"])
     rows_only = [
         n for n in entrymod.queries() if n not in entrymod.oracle_sql()
