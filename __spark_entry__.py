@@ -3398,6 +3398,31 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.rfm_segments(ev)
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlestick bars of event value — deterministic
+    open/close via (ts, event_id)-ordered row numbers, exact integer
+    cents, one bucket-keyed shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.ohlc_bars(ev)
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator on the hourly count series —
+    cross-multiplied integer cumulative deviations (the mean never
+    materializes), argmax with earliest-bucket tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.cusum_changepoint(ev)
+
+
+def q_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/incident runs: the top-5% busiest hours (rank-based, so
+    non-vacuous at every SF), merged into contiguous runs via
+    gaps-and-islands — exact integer rank selection, per-run extent
+    and peak."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.burst_runs(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3453,6 +3478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_suppliers": q_excess_suppliers,
         "forecast_backtest": q_forecast_backtest,
         "rfm_segments": q_rfm_segments,
+        "ohlc_bars": q_ohlc_bars,
+        "cusum_changepoint": q_cusum_changepoint,
+        "burst_runs": q_burst_runs,
         # ---- (3) never driver-checked: rows-only (documented rationale) ----
         "language_id_model": q_language_id_model,
         "video_pipeline": q_video_pipeline,
@@ -7559,6 +7587,86 @@ def oracle_sql() -> dict[str, str]:
             FROM per JOIN supplier ON l_suppkey = s_suppkey
             WHERE 5 * qty_1997 > qty_total
             ORDER BY s_suppkey
+        """
+
+    sqls["ohlc_bars"] = """
+            WITH base AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                       ts, event_id,
+                       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                           AS v
+                FROM events
+            ), fl AS (
+                SELECT bucket, v,
+                       ROW_NUMBER() OVER (PARTITION BY bucket
+                           ORDER BY ts ASC, event_id ASC) AS rf,
+                       ROW_NUMBER() OVER (PARTITION BY bucket
+                           ORDER BY ts DESC, event_id DESC) AS rl
+                FROM base
+            )
+            SELECT bucket,
+                   CAST(MAX(CASE WHEN rf = 1 THEN v END) AS BIGINT)
+                       AS "open",
+                   CAST(MAX(v) AS BIGINT) AS high,
+                   CAST(MIN(v) AS BIGINT) AS low,
+                   CAST(MAX(CASE WHEN rl = 1 THEN v END) AS BIGINT)
+                       AS "close",
+                   CAST(COUNT(*) AS BIGINT) AS volume
+            FROM fl GROUP BY bucket ORDER BY bucket
+        """
+
+    sqls["cusum_changepoint"] = """
+            WITH hourly AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1
+            ), tot AS (
+                SELECT SUM(cnt) AS total, COUNT(*) AS n_buckets FROM hourly
+            ), cum AS (
+                SELECT bucket,
+                       ROW_NUMBER() OVER (ORDER BY bucket) AS t_idx,
+                       SUM(cnt) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS prefix,
+                       total, n_buckets
+                FROM hourly CROSS JOIN tot
+            ), s AS (
+                SELECT bucket,
+                       CAST(n_buckets AS HUGEINT) * prefix
+                       - CAST(t_idx AS HUGEINT) * total AS s2
+                FROM cum
+            )
+            SELECT CAST(bucket AS BIGINT) AS changepoint_bucket,
+                   CAST(abs(s2) AS BIGINT) AS max_abs_s2,
+                   CAST(s2 AS BIGINT) AS s2_signed
+            FROM s ORDER BY abs(s2) DESC, bucket ASC LIMIT 1
+        """
+
+    sqls["burst_runs"] = """
+            WITH hourly AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1
+            ), tot AS (SELECT COUNT(*) AS n_buckets FROM hourly),
+            ranked AS (
+                SELECT bucket, cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, bucket ASC)
+                           AS rk,
+                       (n_buckets * 50 + 999) // 1000 AS k
+                FROM hourly CROSS JOIN tot
+            ), fl AS (
+                SELECT bucket, cnt FROM ranked WHERE rk <= k
+            ), isl AS (
+                SELECT bucket, cnt,
+                       bucket - ROW_NUMBER() OVER (ORDER BY bucket) AS grp
+                FROM fl
+            )
+            SELECT CAST(MIN(bucket) AS BIGINT) AS run_start,
+                   CAST(MAX(bucket) AS BIGINT) AS run_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(MAX(cnt) AS BIGINT) AS peak_cnt,
+                   CAST(SUM(cnt) AS BIGINT) AS total_cnt
+            FROM isl GROUP BY grp ORDER BY run_start
         """
 
     sqls["forecast_backtest"] = """

@@ -394,3 +394,72 @@ def test_ols_fit_survives_bigint_overflow_range(spark):
     ).collect()
     assert r["slope_e6"] == 2_000_000
     assert r["intercept_e6"] == 7_000_000
+
+
+def test_ohlc_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, ts="2024-01-01 00:05:00", value=2.00),
+            Row(event_id=2, ts="2024-01-01 00:10:00", value=9.00),
+            Row(event_id=3, ts="2024-01-01 00:20:00", value=1.00),
+            Row(event_id=4, ts="2024-01-01 00:50:00", value=5.00),
+            Row(event_id=5, ts="2024-01-01 01:10:00", value=7.00),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["bucket"]: r for r in timeseries.ohlc_bars(df).collect()}
+    h0 = out[min(out)]
+    assert (h0["open"], h0["high"], h0["low"], h0["close"], h0["volume"]) == (
+        200, 900, 100, 500, 4,
+    )
+    h1 = out[max(out)]
+    assert (h1["open"], h1["close"], h1["volume"]) == (700, 700, 1)
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    # 20 hours at 2 events, then 20 hours at 8: CUSUM |S| peaks exactly
+    # at the last pre-shift bucket.
+    rows = []
+    eid = 0
+    for h in range(40):
+        for i in range(2 if h < 20 else 8):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=f"2024-01-0{1 + h // 24}"
+                    f" {h % 24:02d}:{i:02d}:00")
+            )
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    [r] = timeseries.cusum_changepoint(df).collect()
+    buckets = sorted(
+        x["bucket"]
+        for x in df.select(
+            F.floor(F.unix_timestamp("ts") / 3600).alias("bucket")
+        ).distinct().collect()
+    )
+    assert r["changepoint_bucket"] == buckets[19]
+    assert r["s2_signed"] == -r["max_abs_s2"]  # mass below mean pre-shift
+
+
+def test_burst_runs_merge_contiguous_hours(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import events as ev_ops
+
+    # 40 quiet hours (1 event) + hours 10,11,12 and 30 busy (9 events):
+    # top-10% = 4 hours -> runs [10..12] and [30].
+    rows = []
+    eid = 0
+    for h in range(40):
+        n = 9 if h in (10, 11, 12, 30) else 1
+        for i in range(n):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=f"2024-01-0{1 + h // 24}"
+                    f" {h % 24:02d}:{i:02d}:00")
+            )
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = ev_ops.burst_runs(df, top_permille=100).collect()
+    assert len(out) == 2
+    assert (out[0]["n_hours"], out[0]["peak_cnt"], out[0]["total_cnt"]) == (3, 9, 27)
+    assert (out[1]["n_hours"], out[1]["total_cnt"]) == (1, 9)

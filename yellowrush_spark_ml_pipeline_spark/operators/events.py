@@ -904,3 +904,61 @@ def rfm_segments(
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def burst_runs(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    top_permille: int = 50,
+) -> DataFrame:
+    """Burst (incident) detection on the bucketed count series: the top
+    ``top_permille``/1000 busiest hours (rank-based — a relative-to-mean
+    threshold thins to nothing as Poisson counts concentrate with
+    scale, so the cutoff is a fraction of hours, non-vacuous at every
+    SF), merged into contiguous runs (gaps-and-islands) with per-run
+    extent and peak. Selection is exact integer rank arithmetic with a
+    (count desc, bucket asc) tiebreak; the islands key is bucket −
+    row_number over the flagged set. All windows run over the bounded
+    bucket series."""
+    from pyspark.sql import Window
+
+    hourly = (
+        df.select(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = hourly.agg(F.count(F.lit(1)).alias("n_buckets"))
+    ranked = hourly.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("bucket").asc()))
+        .alias("_rk"),
+        F.expr(f"(n_buckets * {top_permille} + 999) div 1000").alias("_k"),
+    )
+    flagged = ranked.filter(F.col("_rk") <= F.col("_k"))
+    isl = flagged.select(
+        "bucket",
+        "cnt",
+        (F.col("bucket") - F.row_number().over(Window.orderBy("bucket"))).alias(
+            "_grp"
+        ),
+    )
+    return (
+        isl.groupBy("_grp")
+        .agg(
+            F.min("bucket").alias("run_start"),
+            F.max("bucket").alias("run_end"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("cnt").alias("peak_cnt"),
+            F.sum("cnt").alias("total_cnt"),
+        )
+        .drop("_grp")
+        .select("run_start", "run_end", "n_hours", "peak_cnt", "total_cnt")
+        .orderBy("run_start")
+    )

@@ -624,3 +624,106 @@ def seasonal_naive_backtest(
     return _score("p_naive", "naive").unionByName(
         _score("p_seasonal", "seasonal_naive")
     ).orderBy("model")
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick bars per time bucket —
+    the financial-style first/last/extremes rollup. Open/close come
+    from row_number over (ts, id) ascending/descending inside the
+    bucket (deterministic under timestamp ties), high/low/volume from
+    plain aggregates; values are exact integer cents. One shuffle: the
+    two windows and the aggregation all share the bucket key."""
+    from pyspark.sql import Window
+
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    base = df.select(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+        .cast("bigint")
+        .alias("bucket"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        cents.alias("v"),
+    )
+    wa = Window.partitionBy("bucket").orderBy(
+        F.col("_ts").asc(), F.col("_id").asc()
+    )
+    wd = Window.partitionBy("bucket").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    flagged = base.select(
+        "bucket",
+        "v",
+        F.row_number().over(wa).alias("_rf"),
+        F.row_number().over(wd).alias("_rl"),
+    )
+    return (
+        flagged.groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("_rf") == 1, F.col("v"))).alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max(F.when(F.col("_rl") == 1, F.col("v"))).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """CUSUM changepoint locator on the bucketed count series: the
+    bucket where the cumulative deviation from the global mean peaks in
+    magnitude. Exact integers throughout — the mean never materializes:
+    S_t = n·prefix_t − t·total (cross-multiplied CUSUM, DECIMAL(38,0)),
+    argmax |S_t| picked by a struct-max with earliest-bucket tiebreak.
+    One bounded ordered window plus a one-row aggregate."""
+    from pyspark.sql import Window
+
+    hourly = (
+        df.select(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hourly.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    cum = hourly.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.row_number().over(Window.orderBy("bucket")).alias("t_idx"),
+        F.sum("cnt").over(w).alias("prefix"),
+        "total",
+        "n_buckets",
+    )
+    s = cum.select(
+        "bucket",
+        F.expr(
+            "CAST(CAST(n_buckets AS DECIMAL(38,0)) * prefix"
+            " - CAST(t_idx AS DECIMAL(38,0)) * total AS DECIMAL(38,0))"
+        ).alias("s2"),
+    )
+    best = s.agg(
+        F.max(
+            F.struct(F.abs(F.col("s2")).alias("a"), (-F.col("bucket")).alias("nb"))
+        ).alias("_b")
+    ).select(
+        F.expr("-_b.nb").cast("bigint").alias("changepoint_bucket"),
+        F.col("_b.a").cast("bigint").alias("max_abs_s2"),
+    )
+    return best.join(
+        s.select("bucket", F.col("s2").cast("bigint").alias("s2_signed")),
+        F.col("changepoint_bucket") == F.col("bucket"),
+    ).select("changepoint_bucket", "max_abs_s2", "s2_signed")
