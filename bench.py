@@ -136,20 +136,24 @@ def main() -> int:
             qmap = entrymod.queries()
             sf1_timings: dict[str, float] = {}
             sf1_failures: dict[str, str] = {}
-            # Size shuffle partitions to the DATA, not the session default:
-            # a real deployment holds bytes-per-partition roughly constant
-            # across decades. At 32 partitions the sf1 graph shuffles hit
-            # GC-locker thrash (measured: triangles 198 s -> 64 s at 10x
-            # partitions); AQE still coalesces small stages back down.
-            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(int(prev_parts) * int(recorded.get("factor", 10))),
+            # The scaling pass gets a FRESH SparkContext with shuffle
+            # partitions sized to the DATA: (a) bytes-per-partition held
+            # constant across decades — at 32 partitions the sf1 graph
+            # shuffles hit GC-locker thrash (measured: triangles 198 s ->
+            # 64 s at 10x partitions), AQE still coalesces small stages
+            # down; (b) 188 prior queries age the JVM heap (dead block-
+            # manager entries, checkpoint residue) and the same triangles
+            # pass measured ~4x slower on the aged context than on a
+            # fresh one — a scaling MEASUREMENT must not inherit that.
+            prev_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            spark.stop()
+            spark = get_spark(
+                "yellowrush-bench-sf1",
+                shuffle_partitions=prev_parts
+                * int(recorded.get("factor", 10)),
             )
             try:
-                for hi, name in enumerate(heavy):
-                    if hi % 4 == 0:
-                        spark.sparkContext._jvm.System.gc()  # see run_suite note
+                for name in heavy:
                     t0 = time.perf_counter()
                     try:
                         materialize(qmap[name](spark, sf1_dir))
@@ -157,7 +161,8 @@ def main() -> int:
                     except Exception as exc:  # noqa: BLE001
                         sf1_failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                spark.stop()
+                spark = get_spark("yellowrush-bench", shuffle_partitions=prev_parts)
             ratio_sf1 = recorded.get("factor", 10)
             ratios1 = {
                 q: round(sf1_timings[q] / max(timings[q], 1e-3), 2)
