@@ -1510,7 +1510,19 @@ def q_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("kind"),
         "payload",
     )
-    return extract_features(frames)
+    # Serialize the feature vector: the driver canonicalizes results by
+    # a pandas sort over every column, and a raw array<double> column is
+    # unhashable there (r5 red row). The array is still computed by the
+    # Arrow-batched featurizer; only the query OUTPUT flattens it.
+    return extract_features(frames).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform("feature", lambda v: F.format_string("%.4f", v)),
+            ",",
+        ).alias("feature_sig"),
+    )
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7282,8 +7294,10 @@ def oracle_sql() -> dict[str, str]:
             ), l AS (
                 SELECT bucket, n_ref, n_cur, t_ref, t_cur,
                        CASE WHEN n_ref > 0 AND n_cur > 0 THEN
-                           CAST(round(ln((n_ref * t_cur)
-                                         / (n_cur * t_ref)) * 1e9, 0)
+                           CAST(round(ln(
+                               CAST(CAST(n_ref AS HUGEINT) * t_cur AS DOUBLE)
+                               / CAST(CAST(n_cur AS HUGEINT) * t_ref
+                                      AS DOUBLE)) * 1e9, 0)
                                 AS BIGINT)
                        END AS ln_nano
                 FROM cnt CROSS JOIN t

@@ -140,6 +140,26 @@ def test_segment_line_dedup_strikes_frequent_segments_only(spark):
     assert out[5]["new_text"] == uniq
 
 
+def test_segment_line_dedup_drops_zero_token_docs(spark):
+    """Empty/punctuation-only docs tokenize to zero segments; Spark's
+    sequence(0, -1) would DESCEND to [0, -1] and fabricate two phantom
+    empty segments (one output row) the DuckDB oracle's range(0) never
+    emits — ADVICE r5. The guard must drop such docs entirely."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="?!., --"),
+            Row(doc_id=3, text="alpha beta gamma delta epsilon zeta eta theta"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_line_dedup(df, seg_words=8, max_freq=2).collect()
+    }
+    assert set(out) == {3}
+    assert out[3]["n_segs"] == 1 and out[3]["n_kept"] == 1
+
+
 def test_quality_funnel_counts_are_monotone(spark, sf_dir="/root/testdata/sf0.001"):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     for r in textstats.quality_funnel(docs).collect():

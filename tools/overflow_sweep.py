@@ -1,28 +1,85 @@
-"""Mechanical sweep for BIGINT-overflow-prone arithmetic in the oracle
-surface — the 1000x-scale failure class found in round 5: a scale-up
-multiplication or row-product that fits at test SF but wraps (Spark) or
-errors (DuckDB) at 100 TB row counts, unless routed through
-DECIMAL(38,0)/HUGEINT.
+"""Mechanical sweep for BIGINT-overflow-prone arithmetic in BOTH engine
+surfaces — the 1000x-scale failure class found in round 5: a scale-up
+multiplication or row-count product that fits at test SF but wraps
+(Spark, ANSI off) or errors (DuckDB) at 100 TB row counts, unless
+routed through DECIMAL(38,0)/HUGEINT.
 
-Heuristics (regex over ``oracle_sql()`` text):
-  1. ``(<big literal> * <col>) //|div`` with no HUGEINT/DECIMAL in context
-  2. ``SUM(<col> * <col>)`` over bare columns with no HUGEINT cast
+Round 6 extension (ADVICE r5): the round-5 sweep scanned only
+``oracle_sql()`` text, so Spark-side ``F.expr``/SQL strings were blind —
+the autocorrelation divisor ``div (den_x * den_y)`` was a live miss of
+exactly the stated failure class. This version additionally extracts
+every string literal from the package's operator sources and
+``__spark_entry__.py`` (the Spark-side SQL surface) and applies the same
+heuristics, plus a divisor-product heuristic that catches that miss.
 
-Every hit must either be fixed or added to ALLOWED with a bound argument.
-Run standalone or via tools/round_ritual.py; exits non-zero on new hits.
+Heuristics (regex over each SQL-ish string):
+  1. ``(<big literal> * <col>) //|div`` with no HUGEINT/DECIMAL around
+  2. ``SUM(<col> * <col>)`` with no HUGEINT cast before it
+  3. ``//|div (<col> * <col>)`` divisor products with no
+     HUGEINT/DECIMAL around (the autocorrelation class)
+
+Every hit must either be fixed or added to ALLOWED with a bound
+argument. Run standalone or via tools/round_ritual.py; exits non-zero
+on new hits.
 """
 
 from __future__ import annotations
 
+import ast
+import pathlib
 import re
 import sys
 
-# name -> reason the flagged arithmetic is bounded (reviewed by hand)
+# key -> reason the flagged arithmetic is bounded (reviewed by hand).
+# Keys are oracle names (oracle surface) or "<file>:<hit>" prefixes
+# (source surface).
 ALLOWED: dict[str, str] = {
     # per-document quantities: syllable count is bounded by doc length,
     # x11800 stays < 2^63 for any document under ~780 TB of text
     "readability": "per-doc syllable counts; 11800*syll bounded by doc size",
+    # docstring formula; n_bins*capacity ~ total corpus tokens (each bin
+    # holds <= capacity tokens), < 2^63 until ~9 exatokens
+    "yellowrush_spark_ml_pipeline_spark/operators/textstats.py:"
+    "div (n_bins * capacity)": "bins*capacity ~ corpus tokens, bounded",
+    # per-doc counts (syllables/types/hapax bounded by doc token count);
+    # x11800 < 2^63 for any single document under ~780 TB
+    "yellowrush_spark_ml_pipeline_spark/operators/textstats.py:"
+    "(1000 * n_syllables) div": "per-doc syllable count, bounded",
+    "yellowrush_spark_ml_pipeline_spark/operators/textstats.py:"
+    "(11800 * n_syllables) div": "per-doc syllable count, bounded",
+    "yellowrush_spark_ml_pipeline_spark/operators/textstats.py:"
+    "(1000 * n_types) div": "per-doc distinct-token count, bounded",
+    "yellowrush_spark_ml_pipeline_spark/operators/textstats.py:"
+    "(1000 * n_hapax) div": "per-doc hapax count, bounded",
 }
+
+_SQLISH = re.compile(r"(?i)\b(select|div|sum\s*\(|cast\s*\()")
+
+
+def _hits_in_sql(sql: str) -> list[str]:
+    found = []
+    for m in re.finditer(r"\(\s*(\d{4,})\s*\*\s*(\w+)\s*\)\s*(//|div)", sql):
+        ctx = sql[max(0, m.start() - 80) : m.end() + 40]
+        if "HUGEINT" not in ctx and "DECIMAL" not in ctx:
+            found.append(m.group(0).replace("\n", " ")[:60])
+    for m in re.finditer(r"SUM\(\s*(\w+)\s*\*\s*(\w+)\s*\)", sql):
+        if "HUGEINT" not in sql[max(0, m.start() - 60) : m.start()]:
+            found.append(f"SUM({m.group(1)}*{m.group(2)})")
+    for m in re.finditer(r"(?://|\bdiv\b)\s*\(\s*(\w+)\s*\*\s*(\w+)\s*\)", sql):
+        ctx = sql[max(0, m.start() - 40) : m.end() + 40]
+        if "HUGEINT" not in ctx and "DECIMAL" not in ctx:
+            found.append(m.group(0).replace("\n", " ")[:60])
+    return found
+
+
+def _source_strings(path: pathlib.Path) -> list[str]:
+    """All string-literal constants in a .py file (F.expr bodies, SQL)."""
+    tree = ast.parse(path.read_text())
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Constant) and isinstance(node.value, str):
+            out.append(node.value)
+    return out
 
 
 def sweep() -> dict[str, list[str]]:
@@ -30,16 +87,28 @@ def sweep() -> dict[str, list[str]]:
 
     hits: dict[str, list[str]] = {}
     for name, sql in entrymod.oracle_sql().items():
-        found = []
-        for m in re.finditer(r"\(\s*(\d{4,})\s*\*\s*(\w+)\s*\)\s*(//|div)", sql):
-            ctx = sql[max(0, m.start() - 80) : m.end() + 40]
-            if "HUGEINT" not in ctx and "DECIMAL" not in ctx:
-                found.append(m.group(0).replace("\n", " ")[:60])
-        for m in re.finditer(r"SUM\(\s*(\w+)\s*\*\s*(\w+)\s*\)", sql):
-            if "HUGEINT" not in sql[max(0, m.start() - 60) : m.start()]:
-                found.append(f"SUM({m.group(1)}*{m.group(2)})")
+        found = _hits_in_sql(sql)
         if found and name not in ALLOWED:
             hits[name] = found
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    pkg = root / "yellowrush_spark_ml_pipeline_spark"
+    sources = sorted(pkg.rglob("*.py")) + [root / "__spark_entry__.py"]
+    oracle_texts = {s.strip() for s in entrymod.oracle_sql().values()}
+    for path in sources:
+        rel = str(path.relative_to(root))
+        found: list[str] = []
+        for lit in _source_strings(path):
+            if not _SQLISH.search(lit):
+                continue
+            if rel == "__spark_entry__.py" and lit.strip() in oracle_texts:
+                # already swept above under its per-oracle name (with
+                # the oracle-name allowlist applied)
+                continue
+            found.extend(_hits_in_sql(lit))
+        found = [h for h in found if f"{rel}:{h}" not in ALLOWED]
+        if found:
+            hits[rel] = found
     return hits
 
 

@@ -659,8 +659,10 @@ def dq_report(checks: dict[str, DataFrame]) -> DataFrame:
     Each check stays an independent single-pass aggregate (count
     distinct, anti-join count, conditional count — all combinable);
     the union is |checks| one-row relations, so the report costs
-    exactly the sum of its checks and parallelizes across them. Order
-    of the output is by check name (deterministic).
+    exactly the sum of its checks and parallelizes across them. The
+    output is sorted by check name (a final orderBy over the |checks|-
+    row result — free), so the contract holds even when a fused
+    :func:`dq_column_checks` group contributes rows under one label.
 
     A check value may also be a PRE-SHAPED (check, violations) relation
     — the output of :func:`dq_column_checks`, which fuses several
@@ -683,7 +685,7 @@ def dq_report(checks: dict[str, DataFrame]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out.orderBy("check")
 
 
 def dq_column_checks(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:

@@ -873,7 +873,14 @@ def segment_line_dedup(
         id_col,
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), n_segs - 1),
+                # sequence(0, -1) DESCENDS to [0, -1] for a zero-token
+                # doc (n_segs = 0), emitting phantom empty segments the
+                # oracle's range(0) never produces — guard to an empty
+                # array so empty/punctuation-only docs drop out of
+                # posexplode on both engines.
+                F.when(
+                    n_segs > F.lit(0), F.sequence(F.lit(0), n_segs - 1)
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.array_join(
                     F.slice(F.col("_toks"), i * seg_words + 1, seg_words), " "
                 ),

@@ -690,10 +690,15 @@ def psi_drift(
     )
     both = F.col("n_ref") > 0
     both = both & (F.col("n_cur") > 0)
+    # Cross products routed through DECIMAL(38,0) (exact), each cast to
+    # DOUBLE once just before the IEEE division feeding ln() — bare
+    # BIGINT*BIGINT wraps silently past 2^63 (~3e9-row windows) while
+    # the DuckDB oracle's HUGEINT errors loudly; exact-then-double on
+    # both engines keeps the rounded nanonat bit-identical.
     ln_nano = F.round(
         F.log(
-            (F.col("n_ref") * F.col("t_cur"))
-            / (F.col("n_cur") * F.col("t_ref"))
+            F.expr("CAST(CAST(n_ref AS DECIMAL(38,0)) * t_cur AS DOUBLE)")
+            / F.expr("CAST(CAST(n_cur AS DECIMAL(38,0)) * t_ref AS DOUBLE)")
         )
         * F.lit(1e9),
         0,

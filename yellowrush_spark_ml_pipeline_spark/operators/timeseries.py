@@ -425,7 +425,8 @@ def autocorrelation(
                 F.when(F.col("cov_num") < 0, F.lit(-1)).otherwise(F.lit(1))
                 * F.expr(
                     "CAST(CAST(cov_num AS DECIMAL(38,0)) * cov_num * 1000000"
-                    " AS DECIMAL(38,0)) div (den_x * den_y)"
+                    " AS DECIMAL(38,0))"
+                    " div (CAST(den_x AS DECIMAL(38,0)) * den_y)"
                 )
             ).alias("signed_r2_e6"),
         )
