@@ -43,6 +43,7 @@ from yellowrush_spark_ml_pipeline_spark.operators import (
     mutations,
     pruning,
     similarity,
+    sketches,
     textstats,
     timeseries,
 )
@@ -3435,6 +3436,28 @@ def q_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.burst_runs(ev)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type NEXT TO the exact
+    count — the whole sketch (md5_hash60 registers, trailing-zero rank,
+    integer inverse-power sum, linear-counting branch) replays in
+    DuckDB, so the oracle checks every register-level decision, not a
+    tolerance band. Two combinable single-scan aggs."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.hll_distinct(ev, ["event_type"], "user_id")
+
+
+def q_bitmap_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid-style activity bitmaps: each user's January activity packs
+    into one BIGINT (bit d = active on day d) via bit_or; cohort rollup
+    reports entity counts, popcount totals, and distinct activity
+    patterns (bitmap-as-grouping-key). Per-user state is 8 bytes no
+    matter the event volume — the 100 TB retention-rollup shape."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.bitmap_activity(
+        ev, "user_id", "ts", "2024-01-01", cohort_mod=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3453,6 +3476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "window_ranks": q_window_ranks,
         "dedup_consensus": q_dedup_consensus,
+        # ---- (2a) NEW round 6, oracle-backed: never driver-checked ----
+        "hll_distinct": q_hll_distinct,
+        "bitmap_activity": q_bitmap_activity,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -7721,6 +7747,77 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY model
         """
 
+    _hm, _hp, _ha = sketches.HLL_M, sketches.HLL_POW, sketches.HLL_ALPHA_E9
+    sqls["hll_distinct"] = f"""
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                           ::BIGINT AS h
+                FROM events
+            ), rho AS (
+                SELECT event_type,
+                       CAST(h % {_hm} AS INT) AS register,
+                       CASE WHEN h // {_hm} = 0 THEN 53
+                            ELSE CAST(bit_count(
+                                     ((h // {_hm}) & -(h // {_hm})) - 1
+                                 ) AS INT) + 1
+                       END AS rho
+                FROM h
+            ), regs AS (
+                SELECT event_type, register, MAX(rho) AS max_rho
+                FROM rho GROUP BY 1, 2
+            ), agg AS (
+                SELECT event_type,
+                       COUNT(*) AS n_nonzero,
+                       SUM({_hp} // (CAST(1 AS BIGINT) << max_rho))
+                           AS s_nonzero
+                FROM regs GROUP BY 1
+            ), est AS (
+                SELECT event_type, n_nonzero,
+                       CAST((CAST({_ha} AS HUGEINT) * {_hm} * {_hm}
+                             * {_hp} * 1000)
+                            // (CAST(s_nonzero + ({_hm} - n_nonzero)
+                                     * CAST({_hp} AS BIGINT) AS HUGEINT)
+                               * 1000000000) AS BIGINT) AS raw_milli
+                FROM agg
+            ), fin AS (
+                SELECT event_type, n_nonzero,
+                       CASE WHEN raw_milli <= {2500 * _hm}
+                                 AND n_nonzero < {_hm}
+                            THEN CAST(round(ln({float(_hm)}
+                                               / ({_hm} - n_nonzero))
+                                            * {_hm} * 1000.0, 0) AS BIGINT)
+                            ELSE raw_milli END AS hll_est_milli
+                FROM est
+            )
+            SELECT e.event_type,
+                   CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+                   CAST(f.n_nonzero AS BIGINT) AS n_nonzero,
+                   f.hll_est_milli
+            FROM (SELECT event_type, COUNT(DISTINCT user_id)
+                         AS exact_distinct
+                  FROM events GROUP BY 1) e
+            JOIN fin f USING (event_type)
+            ORDER BY event_type
+        """
+    sqls["bitmap_activity"] = """
+            WITH m AS (
+                SELECT user_id AS entity,
+                       bit_or(CAST(1 AS BIGINT)
+                              << date_diff('day', DATE '2024-01-01',
+                                           CAST(ts AS DATE))) AS mask
+                FROM events
+                WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                      BETWEEN 0 AND 62
+                GROUP BY 1
+            )
+            SELECT entity % 50 AS cohort,
+                   CAST(COUNT(*) AS BIGINT) AS n_entities,
+                   CAST(SUM(bit_count(mask)) AS BIGINT) AS total_active_days,
+                   CAST(COUNT(DISTINCT mask) AS BIGINT) AS n_patterns,
+                   CAST(MAX(bit_count(mask)) AS BIGINT) AS max_active_days
+            FROM m GROUP BY 1 ORDER BY 1
+        """
     sqls["rfm_segments"] = """
             WITH endt AS (SELECT MAX(ts) AS e FROM events),
             pu AS (
