@@ -1018,3 +1018,47 @@ def column_entropy(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_col: str,
+    salt_expr: Column,
+    n_salts: int,
+    sum_cols: dict[str, Column],
+) -> DataFrame:
+    """Two-stage SALTED aggregation for hot grouping keys — the explicit
+    skew treatment for when AQE can't help (AQE splits skewed JOIN
+    partitions, but a skewed partial-agg reduce task has no runtime
+    rescue if the combiner ratio is poor, e.g. high-cardinality
+    secondary state per key).
+
+    Stage 1 groups on (key, salt mod ``n_salts``) so a key whose rows
+    would all land in one reduce task spread across ``n_salts`` tasks;
+    stage 2 re-aggregates the n_salts partial rows per key — a
+    |keys| x n_salts relation, trivially small. Every aggregate must be
+    COMBINABLE (sums/counts here; the same trick carries any
+    commutative monoid). Result is EXACTLY the plain groupBy — which is
+    what the differential oracle checks — while the physical plan swaps
+    one skew-bound exchange for two balanced ones.
+
+    ``salt_expr`` must be deterministic (a row id mod N, never rand())
+    so re-execution after task retry aggregates each row once.
+    """
+    salted = df.groupBy(
+        F.col(key_col), (salt_expr % F.lit(n_salts)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[expr.alias(f"_s_{name}") for name, expr in sum_cols.items()],
+    )
+    return (
+        salted.groupBy(key_col)
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            *[
+                F.sum(f"_s_{name}").alias(name)
+                for name in sum_cols
+            ],
+        )
+        .orderBy(key_col)
+    )

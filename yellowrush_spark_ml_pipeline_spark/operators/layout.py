@@ -152,3 +152,63 @@ def add_hilbert_key(
             *passthrough, nx.alias(tx), ny.alias(ty), d.alias(key_name)
         )
     return out.drop(tx, ty)
+
+
+def zone_map_stats(
+    df: DataFrame,
+    bucket_col: str,
+    bucket_width: int,
+    stat_col: str,
+    ndv_col: str,
+) -> DataFrame:
+    """Zone maps (per-slice min/max/count/ndv), the data-skipping
+    artifact behind Parquet row-group pruning and ClickHouse/ORC
+    indexes — computed as a first-class relation so skipping
+    effectiveness is measurable instead of assumed.
+
+    Buckets are fixed-width ranges of ``bucket_col`` (the file/row-group
+    surrogate: at write time rows land in ``bucket_col div width``
+    slices; zone extent is what a reader's predicate would consult).
+    Output per bucket: row count, min/max of ``stat_col``, exact ndv of
+    ``ndv_col``, plus the zone WIDTH RATIO ``(max - min)`` of the
+    bucket's stat range in days — wide zones are the unclustered ones a
+    z-order rewrite would tighten.
+
+    One combinable aggregation keyed on the bucket id (ndv is exact via
+    two-level groupBy — count-distinct rewrites to a partial-aggregated
+    expand, no naive shuffle of raw values). Bucket count scales as
+    key-range/width — bounded metadata, the zone-map property.
+    """
+    b = F.expr(f"{bucket_col} div {bucket_width}").alias("bucket")
+    return (
+        df.groupBy(b)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(stat_col).alias("stat_min"),
+            F.max(stat_col).alias("stat_max"),
+            F.countDistinct(ndv_col).alias("ndv"),
+            F.datediff(F.max(stat_col), F.min(stat_col)).alias(
+                "zone_width_days"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def zone_prune_summary(
+    zones: DataFrame, predicate_min: str
+) -> DataFrame:
+    """Skipping effectiveness of a zone map for ``stat_col >= X``: how
+    many zones (and rows) a reader skips because the zone's max falls
+    below the predicate bound. One row; the number a table-layout
+    decision is made on."""
+    lit = F.lit(predicate_min).cast("timestamp")
+    prunable = F.col("stat_max") < lit
+    return zones.agg(
+        F.count(F.lit(1)).alias("n_zones"),
+        F.sum(prunable.cast("bigint")).alias("n_prunable"),
+        F.sum(F.when(prunable, F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "rows_skipped"
+        ),
+        F.sum("n_rows").alias("rows_total"),
+    )

@@ -728,3 +728,57 @@ def cusum_changepoint(
         s.select("bucket", F.col("s2").cast("bigint").alias("s2_signed")),
         F.col("changepoint_bucket") == F.col("bucket"),
     ).select("changepoint_bucket", "max_abs_s2", "s2_signed")
+
+
+def range_window_stats(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    range_seconds: int = 10800,
+) -> DataFrame:
+    """Time-RANGE windowed rollup: per (group, bucket), the count and
+    exact integer cent-sum of everything in the trailing
+    ``range_seconds`` — a RANGE frame over epoch seconds, which differs
+    from a ROWS frame exactly when buckets are MISSING (a 3-bucket rows
+    frame would reach past a gap; the range frame honors wall-clock
+    time). The semantics behind "3h trailing volume" dashboards and
+    rate-limit features.
+
+    Scale shape: raw events first collapse to per-bucket partials (one
+    combinable groupBy — the only pass over the fact table), and the
+    range window then runs over the BUCKETED series: |groups| x
+    |buckets| rows, partitioned by group, ordered by bucket epoch. The
+    window never sees raw events, so its sort is bounded by the time
+    span, not the data volume.
+    """
+    secs = F.unix_timestamp(F.col(ts_col))
+    bucket = secs - (secs % F.lit(bucket_seconds))
+    cents = F.expr(
+        f"CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    )
+    buckets = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket_epoch"),
+            cents.alias("_cents"),
+        )
+        .groupBy("grp", "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_bucket"),
+            F.sum("_cents").alias("cents_bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket_epoch")
+        .rangeBetween(-range_seconds, 0)
+    )
+    return buckets.select(
+        "grp",
+        "bucket_epoch",
+        "n_bucket",
+        F.sum("n_bucket").over(w).alias("n_trailing"),
+        F.sum("cents_bucket").over(w).alias("cents_trailing"),
+    ).orderBy("grp", "bucket_epoch")
