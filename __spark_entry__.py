@@ -3436,6 +3436,77 @@ def q_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.burst_runs(ev)
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 70/15/15 split keyed on md5(source) — every doc of
+    a source lands in one split (the property that keeps eval honest
+    under within-source correlation), stable as the corpus grows.
+    Output: per-split doc/source counts + checksums."""
+    docs = _t(spark, sf_dir, "documents")
+    split = cleaning.hash_split(
+        docs, "source",
+        buckets=(("train", 700), ("val", 850), ("test", 1000)),
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold leakage-safe target encoding of order priority against a
+    high-value label: fold f's encoding is the other folds' label mean
+    (exact milli integers). Folds are md5(orderkey) mod 5 —
+    deterministic and engine-replayable, so the oracle checks the
+    leakage guard itself, not just the means."""
+    orders = _t(spark, sf_dir, "orders")
+    return features.target_encoding(
+        orders, "o_orderpriority", "o_orderkey",
+        (F.col("o_totalprice") > 150000).cast("int"), k_folds=5,
+    )
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of quantity
+    buckets against the returned-line label — integer nanonats via the
+    psi_drift recipe (one double ln, DECIMAL cross products)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.lit(9), F.floor(F.col("l_quantity") / F.lit(5))
+    ).cast("int")
+    return features.woe_iv(li, bucket, F.col("l_returnflag") == "R")
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between two deterministic quality
+    raters (length vs e-frequency) over documents — the 2x2 confusion
+    in one pass, kappa in exact milli via DECIMAL(38,0) products."""
+    docs = _t(spark, sf_dir, "documents")
+    rater_a = F.col("n_chars") > 800
+    rater_b = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("e")))
+    ) > 40
+    return aggregates.cohens_kappa(docs, rater_a, rater_b)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median discount per return flag: rows collapse
+    to (group, value) weight sums before the cumulative window — the
+    window never sees the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.weighted_median(
+        li,
+        "l_returnflag",
+        F.expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 1000 AS BIGINT)"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation over the 5 hot event types — the
     explicit skew treatment for hot grouping keys (AQE rescues skewed
@@ -3532,6 +3603,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_maps": q_zone_maps,
         "zone_prune": q_zone_prune,
         "range_windows": q_range_windows,
+        "group_split": q_group_split,
+        "target_encoding": q_target_encoding,
+        "woe_iv": q_woe_iv,
+        "cohens_kappa": q_cohens_kappa,
+        "weighted_median": q_weighted_median,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -7800,6 +7876,142 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY model
         """
 
+    sqls["group_split"] = """
+            WITH s AS (
+                SELECT CASE
+                         WHEN ('0x' || substr(md5(source), 1, 15))::BIGINT
+                              % 1000 < 700 THEN 'train'
+                         WHEN ('0x' || substr(md5(source), 1, 15))::BIGINT
+                              % 1000 < 850 THEN 'val'
+                         ELSE 'test'
+                       END AS split,
+                       source, doc_id, n_chars
+                FROM documents
+            )
+            SELECT split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM s GROUP BY 1 ORDER BY 1
+        """
+    sqls["target_encoding"] = """
+            WITH base AS (
+                SELECT o_orderpriority AS category,
+                       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                            1, 15))::BIGINT % 5 AS INT)
+                           AS fold,
+                       CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+                FROM orders
+            ), pf AS (
+                SELECT category, fold,
+                       COUNT(*) AS n_fold, SUM(y) AS s_fold
+                FROM base GROUP BY 1, 2
+            ), t AS (
+                SELECT category,
+                       SUM(n_fold) AS n_all, SUM(s_fold) AS s_all
+                FROM pf GROUP BY 1
+            )
+            SELECT category, fold,
+                   CAST(n_fold AS BIGINT) AS n_fold,
+                   CASE WHEN n_all > n_fold THEN
+                       CAST(1000 * (s_all - s_fold) AS BIGINT)
+                       // CAST(n_all - n_fold AS BIGINT)
+                   END AS enc_milli
+            FROM pf JOIN t USING (category)
+            ORDER BY category, fold
+        """
+    sqls["woe_iv"] = """
+            WITH c AS (
+                SELECT LEAST(9, CAST(FLOOR(l_quantity / 5) AS INT))
+                           AS bucket,
+                       (l_returnflag = 'R') AS y
+                FROM lineitem
+            ), cnt AS (
+                SELECT bucket,
+                       SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+                       SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg
+                FROM c GROUP BY 1
+            ), t AS (
+                SELECT SUM(n_pos) AS t_pos, SUM(n_neg) AS t_neg FROM cnt
+            ), l AS (
+                SELECT bucket, n_pos, n_neg, t_pos, t_neg,
+                       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                           CAST(round(ln(
+                               CAST(CAST(n_pos AS HUGEINT) * t_neg AS DOUBLE)
+                               / CAST(CAST(n_neg AS HUGEINT) * t_pos
+                                      AS DOUBLE)) * 1e9, 0) AS BIGINT)
+                       END AS woe_nano
+                FROM cnt CROSS JOIN t
+            )
+            SELECT bucket, CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   woe_nano,
+                   CAST(((CAST(n_pos AS HUGEINT) * t_neg
+                          - CAST(n_neg AS HUGEINT) * t_pos) * woe_nano)
+                        // (CAST(t_pos AS HUGEINT) * t_neg) AS BIGINT)
+                       AS iv_term_nano
+            FROM l ORDER BY bucket
+        """
+    sqls["cohens_kappa"] = """
+            WITH r AS (
+                SELECT (n_chars > 800) AS a,
+                       (length(text) - length(replace(text, 'e', '')) > 40)
+                           AS b
+                FROM documents
+            ), c AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n11,
+                       CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n10,
+                       CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n01,
+                       CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n00
+                FROM r
+            )
+            , k AS (
+                SELECT n, n00, n01, n10, n11,
+                       CAST(n AS HUGEINT) * (n00 + n11)
+                       - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                          + CAST(n00 + n01 AS HUGEINT) * (n00 + n10))
+                           AS num,
+                       CAST(n AS HUGEINT) * n
+                       - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                          + CAST(n00 + n01 AS HUGEINT) * (n00 + n10))
+                           AS den
+                FROM c
+            )
+            SELECT n, n00, n01, n10, n11,
+                   -- sign factored out: Spark div truncates, DuckDB //
+                   -- floors; they agree only on non-negative numerators
+                   CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                        * ((1000 * abs(num)) // den) AS BIGINT)
+                       AS kappa_milli
+            FROM k
+        """
+    sqls["weighted_median"] = """
+            WITH c AS (
+                SELECT l_returnflag AS grp,
+                       CAST(CAST(l_discount AS DECIMAL(4,2)) * 1000
+                            AS BIGINT) AS val,
+                       SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT)) AS w
+                FROM lineitem GROUP BY 1, 2
+            ), r AS (
+                SELECT grp, val,
+                       SUM(w) OVER (PARTITION BY grp ORDER BY val
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                       SUM(w) OVER (PARTITION BY grp) AS tot
+                FROM c
+            )
+            SELECT grp, CAST(MIN(val) AS BIGINT) AS weighted_median,
+                   CAST(MAX(tot) AS BIGINT) AS total_weight
+            FROM r WHERE cum * 2 >= tot
+            GROUP BY grp ORDER BY grp
+        """
     sqls["salted_agg"] = """
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

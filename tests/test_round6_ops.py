@@ -197,3 +197,149 @@ def test_range_window_differs_from_rows_at_gaps(spark):
     # hour 0 (-4h) is not; a 3-row ROWS frame would have counted all 3
     assert out[epochs[2]]["n_trailing"] == 2
     assert out[epochs[2]]["cents_trailing"] == 600
+
+
+def test_hash_split_is_group_pure_and_deterministic(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import cleaning
+
+    df = spark.createDataFrame(
+        [Row(g=f"grp{i % 13}", i=i) for i in range(260)]
+    )
+    out = cleaning.hash_split(df, "g")
+    # group purity: each group maps to exactly one split
+    per_group = (
+        out.groupBy("g")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
+    # stability: recomputing on a superset never moves an old group
+    bigger = spark.createDataFrame(
+        [Row(g=f"grp{i % 29}", i=i) for i in range(580)]
+    )
+    first = {
+        r["g"]: r["split"]
+        for r in cleaning.hash_split(df, "g").select("g", "split")
+        .distinct().collect()
+    }
+    second = {
+        r["g"]: r["split"]
+        for r in cleaning.hash_split(bigger, "g").select("g", "split")
+        .distinct().collect()
+    }
+    assert all(second[g] == s for g, s in first.items())
+
+
+def test_target_encoding_leave_fold_out_math(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import features
+
+    # one category, ids chosen across folds; verify enc for each fold
+    rows = [Row(c="A", i=i, y=(i % 3 == 0)) for i in range(60)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["fold"]: r
+        for r in features.target_encoding(
+            df, "c", "i", F.col("y").cast("int"), k_folds=5
+        ).collect()
+    }
+    folds: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        f = _md5_hash60(str(r.i)) % 5
+        n, s = folds.get(f, (0, 0))
+        folds[f] = (n + 1, s + int(r.y))
+    n_all = sum(n for n, _ in folds.values())
+    s_all = sum(s for _, s in folds.values())
+    for f, (n, s) in folds.items():
+        want = (1000 * (s_all - s)) // (n_all - n)
+        assert out[f]["enc_milli"] == want
+        assert out[f]["n_fold"] == n
+
+
+def test_target_encoding_single_fold_category_is_null(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import features
+
+    # a category whose only rows share one fold -> no other-fold data
+    one_id = 7
+    df = spark.createDataFrame(
+        [Row(c="only", i=one_id, y=1), Row(c="only", i=one_id, y=0)]
+    )
+    out = features.target_encoding(
+        df, "c", "i", F.col("y"), k_folds=5
+    ).collect()
+    assert len(out) == 1 and out[0]["enc_milli"] is None
+
+
+def test_woe_iv_hand_computed(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import features
+
+    # bucket 0: 30 pos / 10 neg; bucket 1: 10 pos / 30 neg;
+    # bucket 2: 5 pos / 0 neg (one-sided -> NULL woe/iv)
+    rows = (
+        [Row(b=0, y=True)] * 30 + [Row(b=0, y=False)] * 10
+        + [Row(b=1, y=True)] * 10 + [Row(b=1, y=False)] * 30
+        + [Row(b=2, y=True)] * 5
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r["bucket"]: r
+        for r in features.woe_iv(df, "b", F.col("y")).collect()
+    }
+    t_pos, t_neg = 45, 40
+    for b, (np_, nn) in {0: (30, 10), 1: (10, 30)}.items():
+        woe = round(math.log((np_ * t_neg) / (nn * t_pos)) * 1e9)
+        assert out[b]["woe_nano"] == woe
+        iv = ((np_ * t_neg - nn * t_pos) * woe) // (t_pos * t_neg)
+        assert out[b]["iv_term_nano"] == iv
+        assert out[b]["iv_term_nano"] >= 0
+    assert out[2]["woe_nano"] is None and out[2]["iv_term_nano"] is None
+
+
+def test_cohens_kappa_known_values_including_negative(spark):
+    # perfect agreement -> 1000
+    perfect = spark.createDataFrame(
+        [Row(a=True, b=True)] * 6 + [Row(a=False, b=False)] * 4
+    )
+    r = aggregates.cohens_kappa(
+        perfect, F.col("a"), F.col("b")
+    ).collect()[0]
+    assert r["kappa_milli"] == 1000
+    # systematic disagreement -> negative kappa; pins the sign-split div
+    anti = spark.createDataFrame(
+        [Row(a=True, b=False)] * 5 + [Row(a=False, b=True)] * 5
+    )
+    r2 = aggregates.cohens_kappa(anti, F.col("a"), F.col("b")).collect()[0]
+    assert r2["kappa_milli"] == -1000
+    # textbook mixed case: po=0.6, pe=0.5 -> kappa=0.2 -> 200 exactly
+    mixed = spark.createDataFrame(
+        [Row(a=True, b=True)] * 3
+        + [Row(a=True, b=False)] * 2
+        + [Row(a=False, b=True)] * 2
+        + [Row(a=False, b=False)] * 3
+    )
+    r3 = aggregates.cohens_kappa(mixed, F.col("a"), F.col("b")).collect()[0]
+    assert r3["kappa_milli"] == 200
+
+
+def test_weighted_median_boundary_and_weighting(spark):
+    # values 1,2,3 with weights 1,1,2: cum at 2 is 2, tot=4 ->
+    # 2*2 >= 4 -> lower weighted median is 2 (boundary inclusive)
+    df = spark.createDataFrame(
+        [
+            Row(g="x", v=1, w=1),
+            Row(g="x", v=2, w=1),
+            Row(g="x", v=3, w=2),
+            # group y: heavy weight drags the median up vs unweighted
+            Row(g="y", v=1, w=1),
+            Row(g="y", v=2, w=1),
+            Row(g="y", v=3, w=10),
+        ]
+    )
+    out = {
+        r["grp"]: r
+        for r in aggregates.weighted_median(
+            df, "g", F.col("v"), F.col("w")
+        ).collect()
+    }
+    assert out["x"]["weighted_median"] == 2
+    assert out["x"]["total_weight"] == 4
+    assert out["y"]["weighted_median"] == 3

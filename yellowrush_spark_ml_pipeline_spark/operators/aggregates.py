@@ -1062,3 +1062,115 @@ def salted_aggregate(
         )
         .orderBy(key_col)
     )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a: Column, rater_b: Column
+) -> DataFrame:
+    """Cohen's kappa between two binary raters (e.g. two label
+    heuristics being reconciled before one becomes training signal) —
+    chance-corrected agreement, exact integer milli-units:
+
+        kappa = (po - pe) / (1 - pe)
+              = (n*(n00 + n11) - (a1*b1 + a0*b0))
+                / (n^2 - (a1*b1 + a0*b0))
+
+    computed entirely from the ONE-pass 2x2 confusion counts; the
+    n^2-scale products route through DECIMAL(38,0)/HUGEINT (BIGINT
+    wraps past ~3e9 rows). kappa may be NEGATIVE (worse-than-chance
+    agreement), and Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors — so the division runs on |numerator| with
+    the sign factored out, where the two semantics agree. One scan,
+    one single-row aggregate.
+    """
+    a = rater_a.cast("boolean")
+    bb = rater_b.cast("boolean")
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a & bb).cast("bigint")).alias("n11"),
+        F.sum((a & ~bb).cast("bigint")).alias("n10"),
+        F.sum((~a & bb).cast("bigint")).alias("n01"),
+        F.sum((~a & ~bb).cast("bigint")).alias("n00"),
+    )
+    with_terms = counts.select(
+        "n",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * (n00 + n11)"
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            "    + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10))"
+        ).alias("_num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * n"
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            "    + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10))"
+        ).alias("_den"),
+    )
+    return with_terms.select(
+        "n",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        (
+            F.when(F.col("_num") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr("(1000 * abs(_num)) div _den")
+        )
+        .cast("long")
+        .alias("kappa_milli"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_expr: Column,
+    weight_expr: Column,
+) -> DataFrame:
+    """Exact weighted (lower) median per group: the smallest value v
+    with cumulative weight(<= v) * 2 >= total weight — e.g. the
+    revenue-weighted median discount, where an unweighted median would
+    let million-row penny lines outvote the revenue.
+
+    Scale shape: raw rows first COLLAPSE to (group, value) weight sums
+    — one combinable pass over the fact table — and the cumulative
+    window runs over the collapsed relation only (|groups| x |distinct
+    values| rows). Integer weights in, integer comparisons throughout;
+    ties are impossible by construction (values are distinct post-
+    collapse and the ordering is total).
+    """
+    from pyspark.sql import Window
+
+    collapsed = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            value_expr.alias("val"),
+            weight_expr.alias("_w"),
+        )
+        .groupBy("grp", "val")
+        .agg(F.sum("_w").alias("w"))
+    )
+    win = (
+        Window.partitionBy("grp")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("grp")
+    ranked = collapsed.select(
+        "grp",
+        "val",
+        F.sum("w").over(win).alias("_cum"),
+        F.sum("w").over(tot).alias("_tot"),
+    ).filter(F.col("_cum") * 2 >= F.col("_tot"))
+    first = (
+        ranked.groupBy("grp")
+        .agg(
+            F.min("val").alias("weighted_median"),
+            F.max("_tot").alias("total_weight"),
+        )
+        .orderBy("grp")
+    )
+    return first

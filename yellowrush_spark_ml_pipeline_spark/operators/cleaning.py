@@ -227,3 +227,38 @@ def quantile_normalize(
         (rank - F.lit(1)) / (n - F.lit(1))
     )
     return df.withColumn(out_col, pct)
+
+
+def hash_split(
+    df: DataFrame,
+    group_col: str,
+    buckets: Sequence[tuple[str, int]] = (
+        ("train", 980),
+        ("val", 990),
+        ("test", 1000),
+    ),
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of md5_hash60(group key) mod 1000, so EVERY row of a group
+    (domain, author, near-dup cluster representative...) lands in the
+    same split — the property that keeps eval honest when documents
+    within a group are correlated. Stateless and stable: re-running on
+    grown data never moves an old group across splits (the eval-set
+    contamination failure of fraction-based randomSplit).
+
+    ``buckets`` are (name, upper_bound_exclusive) over [0, 1000),
+    ordered; e.g. the default is 98/1/1. One narrow projection — the
+    assignment adds no shuffle to whatever consumes it.
+    """
+    from ..functions.hashing import md5_hash60
+
+    b = md5_hash60(F.col(group_col).cast("string")) % F.lit(1000)
+    expr = None
+    for name, hi in buckets:
+        cond = b < F.lit(hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn("split", expr)

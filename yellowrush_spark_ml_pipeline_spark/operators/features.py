@@ -133,3 +133,114 @@ def label_exceeds(df: DataFrame, col: str, reference_col: str, out_col: str,
     return df.withColumn(
         out_col, binary_flag(F.col(col) > F.col(reference_col) * F.lit(multiplier))
     )
+
+
+def target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    id_col: str,
+    label_col,
+    k_folds: int = 5,
+) -> DataFrame:
+    """K-fold leakage-safe target (mean) encoding: rows in fold f get
+    their category's label mean computed over the OTHER folds —
+    enc(cat, f) = (sum(cat) - sum(cat, f)) / (n(cat) - n(cat, f)) —
+    the standard guard against the target leaking into its own
+    encoding. Folds are md5_hash60(id) mod k: deterministic,
+    engine-portable, stable under re-runs.
+
+    Output per (category, fold): fold row count and the exact
+    milli-unit encoding (integer div; NULL when a category exists only
+    in that fold). Two aggregations: (cat, fold) partials — ONE pass
+    over the fact table — and a tiny |cats| rollup of those partials
+    joined back; nothing re-scans the input.
+    """
+    from ..functions.hashing import md5_hash60
+
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    fold = (md5_hash60(F.col(id_col).cast("string")) % F.lit(k_folds)).cast(
+        "int"
+    )
+    per_fold = (
+        df.select(
+            F.col(cat_col).alias("category"),
+            fold.alias("fold"),
+            lab.cast("bigint").alias("_y"),
+        )
+        .groupBy("category", "fold")
+        .agg(F.count(F.lit(1)).alias("n_fold"), F.sum("_y").alias("_s_fold"))
+    )
+    totals = per_fold.groupBy("category").agg(
+        F.sum("n_fold").alias("_n_all"), F.sum("_s_fold").alias("_s_all")
+    )
+    enc = F.when(
+        F.col("_n_all") > F.col("n_fold"),
+        F.expr(
+            "(1000 * (_s_all - _s_fold)) div (_n_all - n_fold)"
+        ),
+    )
+    return (
+        per_fold.join(F.broadcast(totals), "category")
+        .select("category", "fold", "n_fold", enc.alias("enc_milli"))
+        .orderBy("category", "fold")
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    bucket_col,
+    label_col,
+) -> DataFrame:
+    """Weight-of-evidence / information-value profile of a bucketed
+    feature against a binary label — the classic scorecard / feature-
+    screening statistic. Per bucket b:
+
+        woe_b = ln( (pos_b/pos_tot) / (neg_b/neg_tot) )
+        iv_b  = (pos_b/pos_tot - neg_b/neg_tot) * woe_b
+
+    in integer nanonats via the psi_drift recipe (events.py): cross
+    products through DECIMAL(38,0)/HUGEINT, ONE double ln() with
+    identical expression order in the oracle, one truncating div whose
+    numerator is provably >= 0 ((p-q) and ln(p/q) share sign). Buckets
+    empty on either side report NULL woe/iv (visible exclusion).
+    One scan, one ~|buckets|-row aggregation, one broadcast of totals.
+    """
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    b = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
+    counts = (
+        df.select(b.alias("bucket"), lab.alias("_y"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("n_neg"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
+    )
+    both = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    woe_nano = F.round(
+        F.log(
+            F.expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * t_neg AS DOUBLE)")
+            / F.expr("CAST(CAST(n_neg AS DECIMAL(38,0)) * t_pos AS DOUBLE)")
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_woe_nano", F.when(both, woe_nano))
+        .select(
+            "bucket",
+            "n_pos",
+            "n_neg",
+            F.col("_woe_nano").alias("woe_nano"),
+            F.expr(
+                "CAST((CAST(n_pos AS DECIMAL(38,0)) * t_neg"
+                " - CAST(n_neg AS DECIMAL(38,0)) * t_pos) * _woe_nano"
+                " AS DECIMAL(38,0))"
+                " div (CAST(t_pos AS DECIMAL(38,0)) * t_neg)"
+            ).alias("iv_term_nano"),
+        )
+        .orderBy("bucket")
+    )
