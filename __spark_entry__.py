@@ -3436,6 +3436,32 @@ def q_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.burst_runs(ev)
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard for signup→purchase conversion —
+    shares kaplan_meier's risk-set relation (survival_risk_sets);
+    hazard increments are one exact truncating div each, cumulated in
+    BIGINT. No float until the reader exponentiates."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.nelson_aalen(ev)
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per doc (λ=0.7 bigram + 0.3
+    unigram) — the order-sensitive quality signal unigram_nll can't
+    see. Counts collapse before joins; DECIMAL(38,0) rationals feed one
+    ln per distinct bigram."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bigram_nll(docs)
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger breach flags on the hourly count series in pure
+    integer arithmetic — the k-sigma comparison cross-multiplies to
+    (m·x - S)² vs k²·(m·Q - S²), so no sqrt/float boundary flips."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.bollinger_bands(ev)
+
+
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe 70/15/15 split keyed on md5(source) — every doc of
     a source lands in one split (the property that keeps eval honest
@@ -3603,6 +3629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_maps": q_zone_maps,
         "zone_prune": q_zone_prune,
         "range_windows": q_range_windows,
+        "nelson_aalen": q_nelson_aalen,
+        "bigram_nll": q_bigram_nll,
+        "bollinger": q_bollinger,
         "group_split": q_group_split,
         "target_encoding": q_target_encoding,
         "woe_iv": q_woe_iv,
@@ -7876,6 +7905,125 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY model
         """
 
+    sqls["nelson_aalen"] = """
+            WITH starts AS (
+                SELECT user_id, MIN(ts) AS s FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), fc AS (
+                SELECT st.user_id, st.s, MIN(e.ts) AS p
+                FROM starts st LEFT JOIN events e
+                  ON e.user_id = st.user_id
+                 AND e.event_type = 'purchase' AND e.ts >= st.s
+                GROUP BY 1, 2
+            ), endt AS (SELECT MAX(ts) AS e FROM events),
+            durs AS (
+                SELECT CAST(FLOOR((FLOOR(epoch(COALESCE(p, endt.e)))
+                                   - FLOOR(epoch(s))) / 3600)
+                            AS BIGINT) AS t,
+                       CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS is_event
+                FROM fc CROSS JOIN endt
+            ), per_t AS (
+                SELECT t, SUM(is_event) AS n_events,
+                       SUM(1 - is_event) AS n_censored
+                FROM durs GROUP BY t
+            ), tot AS (
+                SELECT SUM(n_events + n_censored) AS n_total FROM per_t
+            ), risk AS (
+                SELECT t, n_events, n_censored,
+                       n_total - COALESCE(SUM(n_events + n_censored) OVER (
+                           ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS n_risk
+                FROM per_t CROSS JOIN tot
+            ), hz AS (
+                SELECT t, n_risk, n_events, n_censored,
+                       (n_events * CAST(1000000000 AS BIGINT)) // n_risk
+                           AS hazard_nano
+                FROM risk WHERE n_events > 0
+            )
+            SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_censored AS BIGINT) AS n_censored,
+                   CAST(hazard_nano AS BIGINT) AS hazard_nano,
+                   CAST(SUM(hazard_nano) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_hazard_nano
+            FROM hz ORDER BY t
+        """
+    sqls["bigram_nll"] = f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         {tokclass}),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ), bgl AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, length(ts)),
+                                             i -> {{'w1': ts[i],
+                                                    'w2': ts[i + 1]}}))
+                           AS bg
+                FROM toks WHERE length(ts) >= 2
+            ), bgs AS (
+                SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bgl
+            ), doc_bg AS (
+                SELECT doc_id, w1, w2, COUNT(*) AS n_dbg
+                FROM bgs GROUP BY 1, 2, 3
+            ), bg AS (
+                SELECT w1, w2, SUM(n_dbg) AS c_bg FROM doc_bg GROUP BY 1, 2
+            ), ctx AS (
+                SELECT w1, SUM(c_bg) AS c_w1 FROM bg GROUP BY 1
+            ), uni AS (
+                SELECT w2, SUM(c_bg) AS c_w2 FROM bg GROUP BY 1
+            ), total AS (SELECT SUM(c_w1) AS n FROM ctx),
+            scored AS (
+                SELECT d.doc_id, d.n_dbg,
+                       d.n_dbg * CAST(ROUND(-ln(
+                           CAST(CAST(700 AS HUGEINT) * b.c_bg * t.n
+                                + CAST(300 AS HUGEINT) * u.c_w2 * c.c_w1
+                                AS DOUBLE)
+                           / CAST(CAST(1000 AS HUGEINT) * c.c_w1 * t.n
+                                  AS DOUBLE)) * 1e9, 0) AS BIGINT)
+                           AS nanonats
+                FROM doc_bg d JOIN bg b USING (w1, w2)
+                JOIN ctx c USING (w1) JOIN uni u USING (w2)
+                CROSS JOIN total t
+            )
+            SELECT doc_id, CAST(SUM(n_dbg) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(nanonats) AS BIGINT)
+                       // CAST(SUM(n_dbg) AS BIGINT) AS avg_nll_nano
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """
+    sqls["bollinger"] = """
+            WITH g AS (
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - (CAST(FLOOR(epoch(ts)) AS BIGINT) % 3600)
+                           AS bucket_epoch,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events GROUP BY 1
+            ), s AS (
+                SELECT bucket_epoch, x,
+                       CAST(COUNT(*) OVER w AS BIGINT) AS m,
+                       CAST(SUM(x) OVER w AS BIGINT) AS s,
+                       SUM(CAST(x AS HUGEINT) * x) OVER w AS q
+                FROM g
+                WINDOW w AS (ORDER BY bucket_epoch
+                             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            )
+            SELECT bucket_epoch, x, m, s,
+                   ((CAST(m AS HUGEINT) * x - s)
+                    * (CAST(m AS HUGEINT) * x - s)
+                    > 4 * (CAST(m AS HUGEINT) * q
+                           - CAST(s AS HUGEINT) * s))
+                   AND (CAST(m AS HUGEINT) * x - s) > 0 AS breach_hi,
+                   ((CAST(m AS HUGEINT) * x - s)
+                    * (CAST(m AS HUGEINT) * x - s)
+                    > 4 * (CAST(m AS HUGEINT) * q
+                           - CAST(s AS HUGEINT) * s))
+                   AND (CAST(m AS HUGEINT) * x - s) < 0 AS breach_lo
+            FROM s ORDER BY bucket_epoch
+        """
     sqls["group_split"] = """
             WITH s AS (
                 SELECT CASE

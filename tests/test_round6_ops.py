@@ -343,3 +343,87 @@ def test_weighted_median_boundary_and_weighting(spark):
     assert out["x"]["weighted_median"] == 2
     assert out["x"]["total_weight"] == 4
     assert out["y"]["weighted_median"] == 3
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import events as ev_ops
+
+    # 4 users sign up at t=0h; conversions at +1h, +1h, +3h; one never
+    # converts (censored at corpus end = +3h).
+    rows = []
+    for u in range(4):
+        rows.append(Row(user_id=u, event_type="signup",
+                        ts="2024-01-01 00:00:00"))
+    rows += [
+        Row(user_id=0, event_type="purchase", ts="2024-01-01 01:00:00"),
+        Row(user_id=1, event_type="purchase", ts="2024-01-01 01:30:00"),
+        Row(user_id=2, event_type="purchase", ts="2024-01-01 03:00:00"),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["t"]: r for r in ev_ops.nelson_aalen(df).collect()}
+    # t=1: 2 events, 4 at risk -> h = 0.5; t=3: 1 event, 2 at risk -> 0.5
+    assert out[1]["n_risk"] == 4 and out[1]["n_events"] == 2
+    assert out[1]["hazard_nano"] == 500_000_000
+    assert out[3]["n_risk"] == 2 and out[3]["n_events"] == 1
+    assert out[3]["hazard_nano"] == 500_000_000
+    assert out[3]["cum_hazard_nano"] == 1_000_000_000
+
+
+def test_bigram_nll_hand_computed(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import textstats
+
+    # corpus: doc1 "a b a b" (bigrams ab, ba, ab), doc2 "a c" (ac)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a c")]
+    )
+    out = {r["doc_id"]: r for r in textstats.bigram_nll(df).collect()}
+    # counts: c(a,b)=2, c(b,a)=1, c(a,c)=1; c(a.)=3, c(b.)=1; N=4
+    # unigram (as w2): c(b)=2, c(a)=1, c(c)=1
+    def nll(c_bg, c_w2, c_w1, n=4):
+        p = (700 * c_bg * n + 300 * c_w2 * c_w1) / (1000 * c_w1 * n)
+        return round(-math.log(p) * 1e9)
+
+    ab = nll(2, 2, 3)
+    ba = nll(1, 1, 1)
+    ac = nll(1, 1, 3)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_nll_nano"] == (2 * ab + ba) // 3
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_nll_nano"] == ac
+
+
+def test_bigram_nll_penalizes_shuffled_tokens(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import textstats
+
+    # a corpus dominated by fluent word order, plus ONE doc with the
+    # same unigram bag but shuffled transitions: the shuffled doc's
+    # bigrams are corpus-rare, so its bigram NLL must be higher even
+    # though a unigram scorer sees identical token frequencies
+    base = "the cat sat on the mat"
+    shuf = "the the cat mat sat on"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in range(10)]
+        + [Row(doc_id=99, text=shuf)]
+    )
+    out = {r["doc_id"]: r for r in textstats.bigram_nll(df).collect()}
+    assert out[99]["avg_nll_nano"] > out[0]["avg_nll_nano"]
+
+
+def test_bollinger_flags_only_the_spike(spark):
+    # 30 calm hours of 5 events, then one 55-event spike hour
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        Row(ts=t0 + timedelta(hours=h, minutes=i))
+        for h in range(30)
+        for i in range(5)
+    ]
+    rows += [Row(ts=t0 + timedelta(hours=30, minutes=i)) for i in range(55)]
+    df = spark.createDataFrame(rows)
+    out = timeseries.bollinger_bands(df).collect()
+    hi = [r for r in out if r["breach_hi"]]
+    assert len(hi) == 1 and hi[0]["x"] == 55
+    assert not any(r["breach_lo"] for r in out)

@@ -726,7 +726,7 @@ def psi_drift(
     )
 
 
-def kaplan_meier(
+def survival_risk_sets(
     df: DataFrame,
     user_col: str = "user_id",
     type_col: str = "event_type",
@@ -735,20 +735,17 @@ def kaplan_meier(
     event_type: str = "purchase",
     bucket_seconds: int = 3600,
 ) -> DataFrame:
-    """Kaplan–Meier survival curve for start→event conversion (time
-    from first ``start_type`` to first subsequent ``event_type``; users
-    who never convert are right-censored at the corpus end). The
-    standard funnel/retention survival estimator.
+    """Shared risk-set relation for survival estimators (Kaplan–Meier,
+    Nelson–Aalen): per distinct duration bucket t, the exact integer
+    (n_events, n_censored, n_risk) triple — time measured from each
+    user's first ``start_type`` to their first subsequent
+    ``event_type``, right-censored at corpus end.
 
-    Exactness: durations are integer buckets; risk sets and event
-    counts are exact integers from one running-sum window over the
-    DISTINCT-duration relation (bounded by the time domain); the
-    product Π(1−dᵢ/nᵢ) is carried in log domain with the repo's
-    integer-nanonat pattern (one libm ln of an exact integer ratio per
-    event time, cumulative BIGINT sum), and surv_e6 applies exp to the
-    identical integer nanonat on both engines — one deterministic
-    rounding. Terms with dᵢ = nᵢ (curve hits zero) emit NULL log-terms
-    visibly rather than −∞."""
+    The per-user reduction is two tiny aggregates and one left join
+    carrying the >= predicate (censoring correctness — see inline
+    note); risk sets come from ONE running-sum window over the
+    distinct-duration relation, bounded by the time domain, never the
+    user count."""
     from pyspark.sql import Window
 
     starts = (
@@ -792,7 +789,7 @@ def kaplan_meier(
     total = per_t.agg(
         F.sum(F.col("n_events") + F.col("n_censored")).alias("n_total")
     )
-    risk = per_t.crossJoin(F.broadcast(total)).select(
+    return per_t.crossJoin(F.broadcast(total)).select(
         "t",
         "n_events",
         "n_censored",
@@ -803,6 +800,37 @@ def kaplan_meier(
                 F.lit(0),
             )
         ).alias("n_risk"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Kaplan–Meier survival curve for start→event conversion (time
+    from first ``start_type`` to first subsequent ``event_type``; users
+    who never convert are right-censored at the corpus end). The
+    standard funnel/retention survival estimator.
+
+    Exactness: durations are integer buckets; risk sets and event
+    counts are exact integers from one running-sum window over the
+    DISTINCT-duration relation (bounded by the time domain); the
+    product Π(1−dᵢ/nᵢ) is carried in log domain with the repo's
+    integer-nanonat pattern (one libm ln of an exact integer ratio per
+    event time, cumulative BIGINT sum), and surv_e6 applies exp to the
+    identical integer nanonat on both engines — one deterministic
+    rounding. Terms with dᵢ = nᵢ (curve hits zero) emit NULL log-terms
+    visibly rather than −∞."""
+    from pyspark.sql import Window
+
+    risk = survival_risk_sets(
+        df, user_col, type_col, ts_col, start_type, event_type,
+        bucket_seconds,
     )
     ln_term = F.when(
         F.col("n_risk") > F.col("n_events"),
@@ -966,4 +994,51 @@ def burst_runs(
         .drop("_grp")
         .select("run_start", "run_end", "n_hours", "peak_cnt", "total_cnt")
         .orderBy("run_start")
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard for start→event conversion —
+    the sibling of :func:`kaplan_meier` on the SAME risk-set relation
+    (shared via :func:`survival_risk_sets`): H(t) = Σ_{tᵢ<=t} dᵢ/nᵢ.
+    Preferred over KM when hazard INCREMENTS are the signal (spotting
+    when conversion pressure changes) and as the exp(-H) survival
+    estimate that behaves better at small risk sets.
+
+    Exactness: each hazard increment is ONE truncating division
+    (dᵢ * 1e9) div nᵢ — both operands exact integers, numerator
+    non-negative so Spark div and DuckDB // agree — and the cumulative
+    sum is BIGINT. No float anywhere until the reader exponentiates.
+    """
+    from pyspark.sql import Window
+
+    risk = survival_risk_sets(
+        df, user_col, type_col, ts_col, start_type, event_type,
+        bucket_seconds,
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.filter(F.col("n_events") > 0)
+        .withColumn(
+            "_h_nano",
+            F.expr("(n_events * CAST(1000000000 AS BIGINT)) div n_risk"),
+        )
+        .select(
+            "t",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            "_h_nano",
+            F.sum("_h_nano").over(w_cum).alias("cum_hazard_nano"),
+        )
+        .withColumnRenamed("_h_nano", "hazard_nano")
+        .orderBy("t")
     )

@@ -1178,3 +1178,86 @@ def ttr_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambda_milli: int = 700,
+) -> DataFrame:
+    """Per-document INTERPOLATED bigram language-model score — the
+    next-order sibling of :func:`unigram_nll`: each bigram (w1, w2)
+    scores -ln(λ·p(w2|w1) + (1-λ)·p(w2)) under the corpus's own MLE
+    counts, with λ in exact milli (default 0.7). Catches repetitive /
+    shuffled-token text that fools a unigram scorer (likely unigrams in
+    unlikely orders score high here).
+
+    Exactness: the interpolated probability is ONE exact rational —
+      (λm·c(w1,w2)·N + (1000-λm)·c(w2)·c(w1·)) / (1000·c(w1·)·N)
+    — whose numerator/denominator build in DECIMAL(38,0) (c·N products
+    overflow BIGINT at ~1e13 tokens), each cast to DOUBLE once for the
+    single libm ln, rounded once to integer nanonats; per-doc totals
+    are BIGINT sums of those integers (order-independent).
+
+    Scale shape: (doc, bigram) pair counts collapse repeats before any
+    join; the bigram and unigram-context relations are |distinct
+    bigrams| / |vocab| — both join back on their keys (AQE broadcasts
+    when small); the corpus total enters as a 1-row broadcast. Same
+    three-shuffle skeleton as unigram_nll, zero Python.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_ts")
+    ).filter(F.size("_ts") >= 2)
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ts"), 1, F.size("_ts") - 1),
+                F.slice(F.col("_ts"), 2, F.size("_ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+    doc_bg = pairs.groupBy(id_col, "_w1", "_w2").agg(
+        F.count(F.lit(1)).alias("_n_dbg")
+    )
+    bg = doc_bg.groupBy("_w1", "_w2").agg(F.sum("_n_dbg").alias("_c_bg"))
+    ctx = bg.groupBy("_w1").agg(F.sum("_c_bg").alias("_c_w1"))
+    uni = bg.groupBy("_w2").agg(F.sum("_c_bg").alias("_c_w2"))
+    total = ctx.agg(F.sum("_c_w1").alias("_n"))
+    lm, lc = lambda_milli, 1000 - lambda_milli
+    prob = (
+        F.expr(
+            f"CAST(CAST({lm} AS DECIMAL(38,0)) * _c_bg * _n"
+            f" + CAST({lc} AS DECIMAL(38,0)) * _c_w2 * _c_w1 AS DOUBLE)"
+        )
+        / F.expr("CAST(CAST(1000 AS DECIMAL(38,0)) * _c_w1 * _n AS DOUBLE)")
+    )
+    scored = (
+        doc_bg.join(bg, ["_w1", "_w2"])
+        .join(ctx, "_w1")
+        .join(uni, "_w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("_n_dbg"),
+            (
+                F.col("_n_dbg")
+                * F.round(-F.log(prob) * F.lit(1e9), 0).cast("long")
+            ).alias("_nanonats"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("_n_dbg").alias("n_bigrams"),
+            F.sum("_nanonats").alias("_tot"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("_tot div n_bigrams").alias("avg_nll_nano"),
+        )
+        .orderBy(id_col)
+    )

@@ -782,3 +782,66 @@ def range_window_stats(
         F.sum("n_bucket").over(w).alias("n_trailing"),
         F.sum("cents_bucket").over(w).alias("cents_trailing"),
     ).orderBy("grp", "bucket_epoch")
+
+
+def bollinger_bands(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    window_buckets: int = 24,
+    k: int = 2,
+) -> DataFrame:
+    """Bollinger-band breach detection on the hourly count series, in
+    EXACT integer arithmetic: each bucket's count x is scored against
+    the trailing ``window_buckets`` observed buckets' mean/variance,
+    and flagged when |x - mean| > k·stddev — but the comparison is the
+    cross-multiplied square
+
+        (m·x - S)² > k² · (m·Q - S²)   [m buckets, S = Σx, Q = Σx²]
+
+    so no division, no sqrt, no float — bit-identical in any engine,
+    and immune to the near-boundary rounding flips a float z-score
+    has. Products route through DECIMAL(38,0): at 100 TB an hourly
+    count reaches ~1e10 and (m·x)² ~ 1e23 wraps BIGINT.
+
+    Scale shape: the fact table collapses to the bucket grid first
+    (one combinable shuffle); the window runs over |buckets| rows of
+    (x, x²) partials — running sums, not re-scans.
+    """
+    from pyspark.sql import Window
+
+    secs = F.unix_timestamp(F.col(ts_col))
+    bucket = secs - (secs % F.lit(bucket_seconds))
+    grid = (
+        df.select(bucket.alias("bucket_epoch"))
+        .groupBy("bucket_epoch")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = (
+        Window.orderBy("bucket_epoch")
+        .rowsBetween(-(window_buckets - 1), 0)
+    )
+    stats = grid.select(
+        "bucket_epoch",
+        "x",
+        F.count(F.lit(1)).over(w).alias("m"),
+        F.sum("x").over(w).alias("s"),
+        # x^2 in DECIMAL before the sum: a 100 TB hourly count (~3e9)
+        # squares past 2^63; q stays internal (not emitted)
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).over(w).alias("_q"),
+    )
+    dev = F.expr("CAST(m AS DECIMAL(38,0)) * x - s")
+    breach = F.expr(
+        f"CAST((CAST(m AS DECIMAL(38,0)) * x - s)"
+        f" * (CAST(m AS DECIMAL(38,0)) * x - s) AS DECIMAL(38,0))"
+        f" > CAST({k * k} AS DECIMAL(38,0))"
+        f" * (CAST(m AS DECIMAL(38,0)) * _q - CAST(s AS DECIMAL(38,0)) * s)"
+    )
+    return stats.select(
+        "bucket_epoch",
+        "x",
+        "m",
+        "s",
+        (breach & (dev > 0)).alias("breach_hi"),
+        (breach & (dev < 0)).alias("breach_lo"),
+    ).orderBy("bucket_epoch")
