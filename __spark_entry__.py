@@ -3436,6 +3436,29 @@ def q_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.burst_runs(ev)
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the md5-mode MinHash pipeline against the
+    planted ground truth (the 40 tail-suffix twins minhash_dedup
+    plants): the dedup path's QUALITY becomes an oracle-checked number
+    — DuckDB replays the full shingle→band→verify chain AND the eval
+    join, so a silent recall regression fails the hash, not a
+    notebook eyeball."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = _plant_docs(
+        docs, 40, 800000,
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")),
+    )
+    found = dedup.minhash_dedup_pairs(
+        docs.unionByName(planted), jaccard_threshold=0.4,
+        hash_fn="md5", round_digits=None,
+    ).select(F.col("id_a"), F.col("id_b"))
+    truth = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 800000).alias("id_b"),
+    )
+    return dedup.dedup_eval(found, truth)
+
+
 def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson–Aalen cumulative hazard for signup→purchase conversion —
     shares kaplan_meier's risk-set relation (survival_risk_sets);
@@ -3629,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_maps": q_zone_maps,
         "zone_prune": q_zone_prune,
         "range_windows": q_range_windows,
+        "dedup_eval": q_dedup_eval,
         "nelson_aalen": q_nelson_aalen,
         "bigram_nll": q_bigram_nll,
         "bollinger": q_bollinger,
@@ -7905,6 +7929,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY model
         """
 
+    sqls["dedup_eval"] = (
+        "WITH " + _minhash_ctes(minhash_src, 0.4)
+        + """
+            , found AS (SELECT DISTINCT id_a, id_b FROM verified),
+            truth AS (
+                SELECT doc_id AS id_a, doc_id + 800000 AS id_b
+                FROM documents WHERE doc_id < 40
+            ), j AS (
+                SELECT (f.id_a IS NOT NULL) AS in_f,
+                       (t.id_a IS NOT NULL) AS in_t
+                FROM found f FULL OUTER JOIN truth t
+                  ON f.id_a = t.id_a AND f.id_b = t.id_b
+            ), c AS (
+                SELECT CAST(SUM(CASE WHEN in_f AND in_t THEN 1 ELSE 0 END)
+                            AS BIGINT) AS tp,
+                       CAST(SUM(CASE WHEN in_f AND NOT in_t THEN 1 ELSE 0 END)
+                            AS BIGINT) AS fp,
+                       CAST(SUM(CASE WHEN NOT in_f AND in_t THEN 1 ELSE 0 END)
+                            AS BIGINT) AS fn
+                FROM j
+            )
+            SELECT tp, fp, fn,
+                   CASE WHEN tp + fp > 0
+                        THEN (1000 * tp) // (tp + fp) END AS precision_milli,
+                   CASE WHEN tp + fn > 0
+                        THEN (1000 * tp) // (tp + fn) END AS recall_milli
+            FROM c
+        """
+    )
     sqls["nelson_aalen"] = """
             WITH starts AS (
                 SELECT user_id, MIN(ts) AS s FROM events

@@ -427,3 +427,21 @@ def test_bollinger_flags_only_the_spike(spark):
     hi = [r for r in out if r["breach_hi"]]
     assert len(hi) == 1 and hi[0]["x"] == 55
     assert not any(r["breach_lo"] for r in out)
+
+
+def test_dedup_eval_counts_and_degenerate_nulls(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import dedup
+
+    found = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=3, id_b=4), Row(id_a=5, id_b=6)]
+    )
+    truth = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=3, id_b=4), Row(id_a=7, id_b=8)]
+    )
+    r = dedup.dedup_eval(found, truth).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+    assert r["precision_milli"] == 666 and r["recall_milli"] == 666
+    # nothing found -> precision NULL, recall 0
+    empty = found.filter(F.lit(False))
+    r2 = dedup.dedup_eval(empty, truth).collect()[0]
+    assert r2["precision_milli"] is None and r2["recall_milli"] == 0

@@ -916,3 +916,51 @@ def segment_line_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def dedup_eval(
+    found: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Precision/recall of a candidate-pair generator against planted
+    ground truth — "measure, don't guess" for the dedup path itself:
+    a banding config is only as good as the recall it buys, and this
+    makes that number a first-class (and oracle-checkable) relation
+    instead of a notebook anecdote.
+
+    Both inputs are (id_a, id_b) pair relations (canonical order
+    expected); the eval is one full-outer join on the pair key plus a
+    single-row aggregate: tp/fp/fn counts and exact milli
+    precision/recall (truncating div on non-negative integers — engine
+    agnostic). NULL precision when nothing was found; NULL recall when
+    truth is empty (degenerate evals stay visible, not 0-or-crash).
+    """
+    f = found.select(id_a, id_b).distinct().withColumn("_f", F.lit(1))
+    t = truth.select(id_a, id_b).distinct().withColumn("_t", F.lit(1))
+    j = f.join(t, [id_a, id_b], "full_outer")
+    agg = j.agg(
+        F.sum(
+            (F.col("_f").isNotNull() & F.col("_t").isNotNull()).cast("bigint")
+        ).alias("tp"),
+        F.sum(
+            (F.col("_f").isNotNull() & F.col("_t").isNull()).cast("bigint")
+        ).alias("fp"),
+        F.sum(
+            (F.col("_f").isNull() & F.col("_t").isNotNull()).cast("bigint")
+        ).alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(1000 * tp) div (tp + fp)"),
+        ).alias("precision_milli"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("(1000 * tp) div (tp + fn)"),
+        ).alias("recall_milli"),
+    )
