@@ -48,7 +48,7 @@ from yellowrush_spark_ml_pipeline_spark.operators import (
     timeseries,
 )
 from yellowrush_spark_ml_pipeline_spark.operators import events as events_ops
-from yellowrush_spark_ml_pipeline_spark.functions import langid
+from yellowrush_spark_ml_pipeline_spark.functions import hashing, langid
 from yellowrush_spark_ml_pipeline_spark.sources import load_table
 from yellowrush_spark_ml_pipeline_spark.streaming import (
     hypertable_rollup,
@@ -3627,6 +3627,40 @@ def q_bitmap_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over (user, event_type) pairs with
+    the exact count alongside — every counter in the depth-4 x width-128
+    sketch replays in DuckDB via the md5_hash60 + universal-hash
+    contract, so the oracle checks collisions and the min-estimate, not
+    a tolerance band. Sketch build is one combinable agg producing
+    <= 512 rows regardless of input size."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("pair")
+    )
+    return sketches.cms_heavy_hitters(keyed, "pair")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes from 3 rounds of deterministic label propagation
+    over the customer--supplier trade graph (most-frequent neighbor
+    label, ties to smallest — partition-invariant, so the DuckDB oracle
+    replays the exact recurrence unrolled). Top 25 communities."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rel = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_suppkey"
+    )
+    edges = graph.bipartite_edges(rel, "o_custkey", "l_suppkey")
+    lab = graph.label_propagation(edges, rounds=3)
+    return (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("label").asc())
+        .limit(25)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3661,6 +3695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_iv": q_woe_iv,
         "cohens_kappa": q_cohens_kappa,
         "weighted_median": q_weighted_median,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "label_propagation": q_label_propagation,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -8340,6 +8376,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT mask) AS BIGINT) AS n_patterns,
                    CAST(MAX(bit_count(mask)) AS BIGINT) AS max_active_days
             FROM m GROUP BY 1 ORDER BY 1
+        """
+    _cms_coefs = hashing.minhash_coefficients(sketches.CMS_DEPTH, seed=7)
+    _cms_p, _cms_w = hashing.MINHASH_P, sketches.CMS_WIDTH
+    _cms_buckets = "\n                UNION ALL ".join(
+        f"SELECT key, (({a} * h + {b}) % {_cms_p}) % {_cms_w} AS bucket,"
+        f" {i} AS rowi FROM h"
+        for i, (a, b) in enumerate(_cms_coefs)
+    )
+    sqls["cms_heavy_hitters"] = f"""
+            WITH keyed AS (
+                SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key
+                FROM events
+            ), h AS (
+                SELECT key,
+                       ('0x' || substr(md5(key), 1, 15))::BIGINT % {_cms_p}
+                           AS h
+                FROM keyed
+            ), bucketed AS (
+                {_cms_buckets}
+            ), sketch AS (
+                SELECT rowi, bucket, COUNT(*) AS counter
+                FROM bucketed GROUP BY 1, 2
+            ), truth AS (
+                SELECT key, COUNT(*) AS true_count
+                FROM keyed GROUP BY 1
+                ORDER BY true_count DESC, key ASC LIMIT 20
+            ), probes AS (
+                SELECT DISTINCT t.key, t.true_count, b.rowi, b.bucket
+                FROM truth t JOIN bucketed b USING (key)
+            ), est AS (
+                SELECT p.key, p.true_count,
+                       MIN(s.counter) AS cms_count
+                FROM probes p
+                JOIN sketch s ON s.rowi = p.rowi AND s.bucket = p.bucket
+                GROUP BY 1, 2
+            )
+            SELECT key, CAST(true_count AS BIGINT) AS true_count,
+                   CAST(cms_count AS BIGINT) AS cms_count,
+                   CAST(cms_count - true_count AS BIGINT) AS overcount
+            FROM est
+            ORDER BY true_count DESC, key ASC
+        """
+    _lpa_rounds = "".join(
+        f""", l{r} AS (
+                SELECT node, label FROM (
+                    SELECT node, label,
+                           ROW_NUMBER() OVER (PARTITION BY node
+                               ORDER BY cnt DESC, label ASC) AS rn
+                    FROM (
+                        SELECT node, label, COUNT(*) AS cnt FROM (
+                            SELECT e.d AS node, p.label
+                            FROM und e JOIN l{r - 1} p ON p.node = e.s
+                            UNION ALL
+                            SELECT node, label FROM l{r - 1}
+                        ) v GROUP BY 1, 2
+                    ) c
+                ) w WHERE rn = 1
+            )"""
+        for r in range(1, 4)
+    )
+    sqls["label_propagation"] = f"""
+            WITH rel AS (
+                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS l,
+                                's' || CAST(l_suppkey AS VARCHAR) AS r
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ), und AS (
+                SELECT l AS s, r AS d FROM rel
+                UNION
+                SELECT r AS s, l AS d FROM rel
+            ), l0 AS (
+                SELECT DISTINCT s AS node, s AS label FROM und
+            ){_lpa_rounds}
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM l3 GROUP BY 1
+            ORDER BY n_members DESC, label ASC LIMIT 25
         """
     sqls["rfm_segments"] = """
             WITH endt AS (SELECT MAX(ts) AS e FROM events),

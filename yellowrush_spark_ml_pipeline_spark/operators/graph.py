@@ -385,3 +385,69 @@ def k_core_membership(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return final_deg.filter(F.col("degree") >= k)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    persist_labels: bool = True,
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan et al. 2007)
+    — the cheap community detector behind spam-cluster and account-ring
+    screens — in a fully DETERMINISTIC variant: each round every node
+    adopts the most frequent label among its neighbors plus itself,
+    ties broken by smallest label. Classic LPA tie-breaks randomly;
+    breaking by label order instead makes the result a pure function of
+    the graph, hence partition-invariant and cross-engine replayable
+    (the DuckDB oracle unrolls the same ``rounds`` recurrence).
+
+    Input edges are canonicalized (self-loops dropped, both directions
+    added, distinct), so callers may pass either orientation. The
+    self-vote keeps the two-coloring oscillation bipartite graphs
+    otherwise exhibit under synchronous updates from erasing progress.
+
+    Output: (node, label) — every node's community label after
+    ``rounds`` rounds; labels are node ids, so communities are named by
+    a member.
+
+    Scale shape per round: one edges⋈labels hash join on the node key
+    (the label table is |V| rows — AQE broadcasts it while it fits),
+    one combinable (node, label) count, one per-node top-1 window whose
+    partitions are node-sized (bounded by degree, never data-sized).
+    Labels are ``localCheckpoint``-ed each round: the recurrence
+    otherwise re-derives round r-1 for every reference in round r, and
+    a fresh leaf relation lets AQE re-plan each round's join strategy
+    (same lesson as pagerank/triangles)."""
+    from pyspark.sql import Window
+
+    s, d = F.col(src_col), F.col(dst_col)
+    fwd = edges.filter(s != d).select(s.alias("_s"), d.alias("_d"))
+    und = (
+        fwd.union(fwd.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("_s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("_cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.select(F.col("node").alias("_s"), "label"), "_s"
+            ).select(F.col("_d").alias("node"), "label")
+        ).union(labels)
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_rn", F.row_number().over(top1))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if persist_labels:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

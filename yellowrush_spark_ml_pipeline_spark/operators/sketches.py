@@ -190,3 +190,79 @@ def bitmap_activity(
         )
         .orderBy("cohort")
     )
+
+
+#: Count-Min Sketch shape: depth rows x width buckets. Width is a power
+#: of two only for cache friendliness — the bucket map is a universal
+#: hash mod width, not a bit mask, so any width is correct.
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) heavy hitters with
+    the estimate reported NEXT TO the exact count — the streaming
+    frequency sketch behind top-k dashboards, rate limiters, and corpus
+    token-frequency screens, rebuilt on the cross-engine `md5_hash60` +
+    universal-hash contract so every counter is replayable in DuckDB.
+
+    Sketch: ``depth`` independent hash rows; row i maps a key to bucket
+    ``((a_i * h + b_i) mod p) mod width`` where h = md5_hash60(key) mod p
+    and (a_i, b_i) come from the deterministic coefficient generator
+    (functions/hashing.py, seed 7). A key's estimate is the MIN of its
+    ``depth`` bucket counters — always >= the true count (counters only
+    ever include extra colliding keys, never miss their own).
+
+    Output, for the ``top_k`` keys by TRUE count (ties broken by key):
+    (key, true_count, cms_count, overcount), ordered by true_count desc.
+
+    Scale shape: the sketch is ONE combinable aggregation producing at
+    most depth*width rows NO MATTER the input size — the mergeable
+    artifact a 100 TB pipeline keeps per (hour, source) and unions into
+    daily rollups. The probe side is top_k*depth rows joined against
+    the tiny sketch (broadcast). Exact-truth comparison obviously
+    re-scans (this is the verification-grade twin, like hll_distinct);
+    production keeps only the sketch.
+    """
+    from ..functions.hashing import MINHASH_P, minhash_coefficients
+
+    coefs = minhash_coefficients(depth, seed=7)
+    keyed = df.select(F.col(key_col).cast("string").alias("key"))
+    h = md5_hash60(F.col("key")) % F.lit(MINHASH_P)
+
+    def bucket(i: int):
+        a, b = coefs[i]
+        return ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)) % F.lit(width)
+
+    buckets = F.array(*[bucket(i) for i in range(depth)])
+    sketch = (
+        keyed.select(F.posexplode(buckets).alias("_row", "_bucket"))
+        .groupBy("_row", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_counter"))
+    )
+    truth = (
+        keyed.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+    probes = truth.select(
+        "key", "true_count", F.posexplode(buckets).alias("_row", "_bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["_row", "_bucket"])
+        .groupBy("key", "true_count")
+        .agg(F.min("_counter").alias("cms_count"))
+    )
+    return est.select(
+        "key",
+        "true_count",
+        "cms_count",
+        (F.col("cms_count") - F.col("true_count")).alias("overcount"),
+    ).orderBy(F.col("true_count").desc(), F.col("key").asc())
