@@ -3661,6 +3661,23 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing (SIGMOD 2003) passage-overlap candidates: char
+    8-gram md5_hash60 fingerprints, window-4 rightmost-min selection,
+    df-capped posting-list pair join. Planted ``doc || ' copied tail'``
+    twins for doc_id < 20 guarantee non-vacuous hits; the oracle replays
+    every window argmin in DuckDB. Top 100 pairs by shared count."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" copied tail")).alias("text"),
+    )
+    src = d.unionByName(planted)
+    return dedup.winnow_overlap_pairs(
+        src, min_shared=2, max_fp_df=50
+    ).limit(100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3697,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "label_propagation": q_label_propagation,
+        "winnow_pairs": q_winnow_pairs,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -8451,6 +8469,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
             FROM l3 GROUP BY 1
             ORDER BY n_members DESC, label ASC LIMIT 25
+        """
+    _w60 = "(('0x' || substr(md5(g), 1, 15))::BIGINT)"
+    sqls["winnow_pairs"] = f"""
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 400000, text || ' copied tail'
+                FROM documents WHERE doc_id < 20
+            ), norm AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM src
+            ), gs AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 8 THEN
+                                list_transform(range(1, len(t) - 6),
+                                               i -> substr(t, i, 8))
+                            ELSE [t] END AS gl
+                FROM norm
+            ), posed AS (
+                SELECT doc_id, len(gl) AS n, unnest(gl) AS g,
+                       unnest(range(0, len(gl))) AS pos
+                FROM gs
+            ), hx AS (
+                SELECT doc_id, n, pos, {_w60} AS h FROM posed
+            ), fan AS (
+                SELECT doc_id, pos, h, pos - o.off AS wstart,
+                       greatest(n - 4, 0) AS maxstart
+                FROM hx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off) o
+            ), sel AS (
+                SELECT DISTINCT doc_id, h FROM (
+                    SELECT doc_id, wstart, h, pos,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id, wstart
+                               ORDER BY h ASC, pos DESC) AS rn
+                    FROM fan
+                    WHERE wstart >= 0 AND wstart <= maxstart
+                ) WHERE rn = 1
+            ), elig AS (
+                SELECT h FROM sel GROUP BY h HAVING COUNT(*) <= 50
+            ), post AS (
+                SELECT doc_id, h FROM sel
+                WHERE h IN (SELECT h FROM elig)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM post a JOIN post b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ORDER BY n_shared DESC, id_a ASC, id_b ASC LIMIT 100
         """
     sqls["rfm_segments"] = """
             WITH endt AS (SELECT MAX(ts) AS e FROM events),

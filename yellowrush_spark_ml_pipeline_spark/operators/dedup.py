@@ -964,3 +964,121 @@ def dedup_eval(
             F.expr("(1000 * tp) div (tp + fn)"),
         ).alias("recall_milli"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram,
+    slide a window of ``w`` consecutive hashes, and keep each window's
+    minimum (ties to the RIGHTMOST position, the paper's rule that makes
+    overlapping windows re-select the same gram). Guarantees: any shared
+    substring of length >= k + w - 1 between two documents yields at
+    least one shared fingerprint, while storing ~2/(w+1) of all grams —
+    the local-sampling property that makes winnowing the standard
+    plagiarism / near-dup screen where MinHash (a GLOBAL sample) can
+    miss short shared passages.
+
+    Hashes are `md5_hash60` on the whitespace-normalized lowercased
+    gram, so the whole selection — every window argmin — replays in
+    DuckDB. Documents shorter than ``k`` chars contribute their single
+    truncated gram; documents with fewer than ``w`` grams get one
+    partial window (global min).
+
+    Output: (id, pos, fp_hash), one row per SELECTED fingerprint —
+    distinct (gram position, hash) pairs per document.
+
+    Scale shape: a narrow per-document expansion (n_grams x w rows — w
+    is a small constant) followed by ONE combinable per-(doc, window)
+    argmin and a distinct; everything keys on the document id, no
+    cross-document shuffle at all. The fingerprint relation this emits
+    is the bounded artifact downstream overlap joins consume."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_hash60
+    from ..functions.text import char_ngrams
+
+    grams = docs.select(
+        F.col(id_col).alias("_id"), char_ngrams(F.col(text_col), k).alias("_gs")
+    ).select(
+        "_id",
+        F.size("_gs").alias("_n"),
+        F.posexplode("_gs").alias("pos", "_g"),
+    )
+    hashed = grams.select(
+        "_id", "_n", "pos", md5_hash60(F.col("_g")).alias("fp_hash")
+    )
+    # each gram participates in the w windows starting at pos-w+1 .. pos,
+    # clipped to valid starts [0, max(n-w, 0)]
+    windowed = hashed.select(
+        "_id",
+        "pos",
+        "fp_hash",
+        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("_off"),
+        F.greatest(F.col("_n") - F.lit(w), F.lit(0)).alias("_maxstart"),
+    ).withColumn("_wstart", F.col("pos") - F.col("_off"))
+    valid = windowed.filter(
+        (F.col("_wstart") >= 0) & (F.col("_wstart") <= F.col("_maxstart"))
+    )
+    win = Window.partitionBy("_id", "_wstart").orderBy(
+        F.col("fp_hash").asc(), F.col("pos").desc()
+    )
+    selected = (
+        valid.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_id").alias(id_col), "pos", "fp_hash")
+        .distinct()
+    )
+    return selected
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 50,
+) -> DataFrame:
+    """Cross-document overlap candidates from winnowing fingerprints:
+    pairs of documents sharing >= ``min_shared`` DISTINCT fingerprint
+    hashes — the passage-level near-dup screen (shared substrings of
+    length >= k+w-1 are guaranteed to collide; see
+    :func:`winnow_fingerprints`).
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b, ordered by
+    n_shared desc then ids.
+
+    Scale shape: posting-list self-join on the fingerprint hash with a
+    document-frequency cap (hashes present in > ``max_fp_df`` documents
+    are boilerplate and dropped BEFORE the join — the same quadratic
+    guard as containment_pairs), then one combinable pair count. Never
+    all-pairs."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).alias("_id"), "fp_hash"
+    ).distinct()
+    eligible = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_fp_df)
+        .select("fp_hash")
+    )
+    posting = fps.join(eligible, "fp_hash")
+    a = posting.select(F.col("fp_hash"), F.col("_id").alias("id_a"))
+    b = posting.select(F.col("fp_hash"), F.col("_id").alias("id_b"))
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.orderBy(
+        F.col("n_shared").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
