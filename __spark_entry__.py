@@ -3678,6 +3678,33 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def q_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8-dequantized cosine top-k vs full precision, per
+    query — the eval that certifies the 4x storage cut. Both rankings
+    are deterministic (ties to vec_id), so DuckDB replays quantize ->
+    dequantize -> rank -> set overlap; output is integer counts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.quantized_recall(emb, qs, k=10)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customer quasi-identifiers (nation, market
+    segment, account-balance band): equivalence-class size histogram
+    with the at-risk flag (class_size < 5). Two combinable aggs."""
+    c = _t(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+    )
+    return aggregates.k_anonymity_profile(
+        qi, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3715,6 +3742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "label_propagation": q_label_propagation,
         "winnow_pairs": q_winnow_pairs,
+        "quantize_recall": q_quantize_recall,
+        "k_anonymity": q_k_anonymity,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -8518,6 +8547,74 @@ def oracle_sql() -> dict[str, str]:
               ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
             ORDER BY n_shared DESC, id_a ASC, id_b ASC LIMIT 100
+        """
+    _qr_cos = (
+        "list_dot_product({q}, {c})"
+        " / (sqrt(list_dot_product({q}, {q}))"
+        " * sqrt(list_dot_product({c}, {c})))"
+    )
+    sqls["quantize_recall"] = f"""
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), s AS (
+                SELECT vec_id, e,
+                       list_aggregate(e, 'min') AS q_offset,
+                       CASE WHEN list_aggregate(e, 'max')
+                                 = list_aggregate(e, 'min') THEN 1.0
+                            ELSE (list_aggregate(e, 'max')
+                                  - list_aggregate(e, 'min')) / 255.0
+                       END AS q_scale
+                FROM v
+            ), dq AS (
+                SELECT vec_id,
+                       list_transform(e, x ->
+                           CAST(CAST(floor((x - q_offset) / q_scale + 0.5)
+                                     AS INT) AS DOUBLE)
+                           * q_scale + q_offset) AS d
+                FROM s
+            ), q AS (
+                SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5
+            ), ex AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT q.query_id, c.vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                               ORDER BY {_qr_cos.format(q='q.qe', c='c.e')}
+                                        DESC, c.vec_id ASC) AS rank
+                    FROM v c CROSS JOIN q
+                ) WHERE rank <= 10
+            ), ap AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT q.query_id, c.vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                               ORDER BY {_qr_cos.format(q='q.qe', c='c.d')}
+                                        DESC, c.vec_id ASC) AS rank
+                    FROM dq c CROSS JOIN q
+                ) WHERE rank <= 10
+            ), ov AS (
+                SELECT query_id, COUNT(*) AS n
+                FROM ex JOIN ap USING (query_id, vec_id)
+                GROUP BY 1
+            )
+            SELECT q.query_id,
+                   CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                   round(coalesce(ov.n, 0) / 10.0, 4) AS recall
+            FROM (SELECT DISTINCT query_id FROM ex) q
+            LEFT JOIN ov USING (query_id)
+            ORDER BY q.query_id
+        """
+    sqls["k_anonymity"] = """
+            WITH classes AS (
+                SELECT c_nationkey, c_mktsegment,
+                       floor(c_acctbal / 1000.0) AS bal_band,
+                       COUNT(*) AS class_size
+                FROM customer GROUP BY 1, 2, 3
+            )
+            SELECT CAST(class_size AS BIGINT) AS class_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                   CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END
+                        AS INT) AS at_risk
+            FROM classes GROUP BY class_size ORDER BY class_size
         """
     sqls["rfm_segments"] = """
             WITH endt AS (SELECT MAX(ts) AS e FROM events),

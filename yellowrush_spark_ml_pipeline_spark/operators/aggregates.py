@@ -1174,3 +1174,42 @@ def weighted_median(
         .orderBy("grp")
     )
     return first
+
+
+def k_anonymity_profile(
+    df: DataFrame, qi_cols: list, k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    re-identification screen run before releasing or training on
+    user-adjacent tables (Sweeney 2002): every row in an equivalence
+    class of size < k is linkable to at most k-1 candidates, i.e. at
+    risk.
+
+    Output: one row per distinct equivalence-CLASS SIZE —
+    (class_size, n_classes, n_rows, at_risk) where at_risk = 1 iff
+    class_size < k — ordered by class_size. The histogram form keeps
+    the output bounded (sizes, not classes) while preserving exactly
+    the numbers a privacy review needs: min class size is row 1,
+    rows-at-risk is SUM(n_rows) WHERE at_risk.
+
+    Scale shape: two combinable aggregations (rows -> classes ->
+    size histogram), both map-side partial, no window, no collect.
+    NULL quasi-identifier values group as their own class (Spark and
+    SQL GROUP BY agree on null grouping)."""
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            F.when(F.col("class_size") < k, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("at_risk"),
+        )
+        .orderBy("class_size")
+    )
