@@ -3705,6 +3705,43 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue through the EXPLICIT key-salting join (fact side
+    salted, dim replicated x8, hot keys split across 8 tasks) — the
+    skew tool when AQE's sort-merge split doesn't apply. The oracle is
+    the PLAIN join: salting must be result-invisible."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = joins.salted_join(li, p, on="l_partkey", salt_buckets=8)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    ).cast("decimal(18,4)")
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins + Brier for a deterministic pseudo-probability
+    (discount x 10) against the returned-flag label — decimal-exact
+    sums, one double division per ratio, so the hash matches with no
+    tolerance band."""
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        (F.col("l_discount") * F.lit(10.0)).alias("score"),
+        (F.col("l_returnflag") == F.lit("R")).cast("int").alias("label"),
+    ).filter((F.col("score") >= 0) & (F.col("score") <= 1))
+    return aggregates.calibration_bins(scored, "score", "label", n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3744,6 +3781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "quantize_recall": q_quantize_recall,
         "k_anonymity": q_k_anonymity,
+        "skew_join": q_skew_join,
+        "calibration_bins": q_calibration_bins,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -8615,6 +8654,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END
                         AS INT) AS at_risk
             FROM classes GROUP BY class_size ORDER BY class_size
+        """
+    sqls["skew_join"] = """
+            SELECT p_brand,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(1 - l_discount AS DECIMAL(4,2))
+                            AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """
+    sqls["calibration_bins"] = """
+            WITH scored AS (
+                SELECT l_discount * 10.0 AS score,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS label
+                FROM lineitem
+                WHERE l_discount * 10.0 >= 0 AND l_discount * 10.0 <= 1
+            ), binned AS (
+                SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+                       CAST(score AS DECIMAL(18,6)) AS s,
+                       label,
+                       CAST((CAST(score AS DECIMAL(18,6)) - label)
+                            * (CAST(score AS DECIMAL(18,6)) - label)
+                            AS DECIMAL(28,12)) AS sq
+                FROM scored
+            ), agg AS (
+                SELECT bin, COUNT(*) AS n,
+                       CAST(SUM(label) AS BIGINT) AS n_pos,
+                       SUM(s) AS sum_s, SUM(sq) AS sum_sq
+                FROM binned GROUP BY 1
+            )
+            SELECT bin, n, n_pos,
+                   round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+                   round(CAST(sum_s AS DOUBLE) / n, 6) AS mean_score,
+                   round(CAST(sum_sq AS DOUBLE) / n, 6) AS brier
+            FROM agg ORDER BY bin
         """
     sqls["rfm_segments"] = """
             WITH endt AS (SELECT MAX(ts) AS e FROM events),

@@ -1213,3 +1213,59 @@ def k_anonymity_profile(
         )
         .orderBy("class_size")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic score against a
+    binary label — the calibration eval (is a 0.8 score right 80% of
+    the time?) run before trusting a quality-classifier threshold, plus
+    the per-bin Brier contribution. Scores must lie in [0, 1]; the top
+    edge folds into the last bin.
+
+    Exactness: scores and squared errors are accumulated as
+    DECIMAL(18, 6)/(28, 12) — bitwise-identical across engines and
+    partition orders where a float SUM would drift in the last ulp —
+    and each ratio is ONE double division of exact sums, so the oracle
+    hash-matches without tolerance bands.
+
+    Output per bin: (bin, n, n_pos, frac_pos, mean_score, brier),
+    ordered by bin. Single combinable aggregation, one shuffle on the
+    bin id."""
+    s = F.col(score_col)
+    lbl = F.col(label_col).cast("int")
+    bin_id = F.least(
+        F.floor(s * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    )
+    s_dec = s.cast("decimal(18,6)")
+    diff = s_dec - lbl.cast("decimal(18,6)")
+    sq = (diff * diff).cast("decimal(28,12)")
+    agg = (
+        df.select(bin_id.alias("bin"), s_dec.alias("_s"), lbl.alias("_l"),
+                  sq.alias("_sq"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_l").cast("long").alias("n_pos"),
+            F.sum("_s").alias("_sum_s"),
+            F.sum("_sq").alias("_sum_sq"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+            "frac_pos"
+        ),
+        F.round(F.col("_sum_s").cast("double") / F.col("n"), 6).alias(
+            "mean_score"
+        ),
+        F.round(F.col("_sum_sq").cast("double") / F.col("n"), 6).alias(
+            "brier"
+        ),
+    ).orderBy("bin")
