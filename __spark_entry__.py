@@ -3742,6 +3742,16 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.calibration_bins(scored, "score", "label", n_bins=10)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 byte-pair-encoding training merges over the document
+    corpus — tokenizer fitting as declarative DataFrame rounds on the
+    word-frequency dictionary. Deterministic (ties by symbol order);
+    the oracle unrolls every round, replaying pair counts and the
+    5-pass replace merge exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bpe_merge_rounds(d, rounds=3).orderBy("merge_round")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3783,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "skew_join": q_skew_join,
         "calibration_bins": q_calibration_bins,
+        "bpe_merges": q_bpe_merges,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -8691,6 +8702,60 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum_sq AS DOUBLE) / n, 6) AS brier
             FROM agg ORDER BY bin
         """
+    # BPE: unrolled 3-round merge chain; each round = pair-count CTE,
+    # top-1 CTE, and a 5-pass replace merge CTE (leftmost replace defers
+    # separator-sharing neighbors; 5 passes reach fixpoint for <=24-char
+    # words — matches textstats.bpe_merge_rounds exactly).
+    _bpe_parts = [
+        f"""
+            WITH tok AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text), {tokclass}),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), w0 AS (
+                SELECT substr(unnest(ws), 1, 24) AS word FROM tok
+            ), wf AS (
+                SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                           AS sym,
+                       COUNT(*) AS n
+                FROM w0 GROUP BY 1
+            )"""
+    ]
+    _bpe_prev = "wf"
+    _bpe_sels = []
+    for _r in range(1, 4):
+        _rep = "sym"
+        for _ in range(5):
+            _rep = (
+                f"replace({_rep}, ' ' || t.l || ' ' || t.r || ' ',"
+                f" ' ' || t.l || t.r || ' ')"
+            )
+        _bpe_parts.append(f""", p{_r} AS (
+                SELECT a[i] AS l, a[i+1] AS r, SUM(n) AS cnt FROM (
+                    SELECT string_split(trim(sym), ' ') AS a, n,
+                           unnest(range(1, len(string_split(trim(sym), ' '))))
+                               AS i
+                    FROM {_bpe_prev}
+                ) GROUP BY 1, 2
+            ), t{_r} AS (
+                SELECT l, r, cnt FROM p{_r}
+                ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+            ), w{_r} AS (
+                SELECT {_rep} AS sym, n
+                FROM {_bpe_prev} CROSS JOIN t{_r} t
+            )""")
+        _bpe_sels.append(
+            f"SELECT {_r} AS merge_round, l AS left_sym, r AS right_sym,"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM t{_r}"
+        )
+        _bpe_prev = f"w{_r}"
+    sqls["bpe_merges"] = (
+        "".join(_bpe_parts)
+        + " "
+        + " UNION ALL ".join(_bpe_sels)
+        + " ORDER BY merge_round"
+    )
     sqls["rfm_segments"] = """
             WITH endt AS (SELECT MAX(ts) AS e FROM events),
             pu AS (

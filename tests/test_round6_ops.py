@@ -445,3 +445,61 @@ def test_dedup_eval_counts_and_degenerate_nulls(spark):
     empty = found.filter(F.lit(False))
     r2 = dedup.dedup_eval(empty, truth).collect()[0]
     assert r2["precision_milli"] is None and r2["recall_milli"] == 0
+
+
+def test_bpe_merge_rounds_match_canonical_reference(spark):
+    """The 5-pass replace merge must equal canonical left-to-right
+    greedy BPE (Sennrich 2016) on a corpus with overlapping-occurrence
+    words ('aaaa', 'ababab') that stress the separator-sharing defer."""
+    import re
+    from collections import Counter
+
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        bpe_merge_rounds,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "aaaa aaaa ababab ababab ababab",
+        "banana bandana banana",
+        "low lower lowest low low",
+    ]
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                words[w[:24]] += 1
+
+    def canonical(words, rounds):
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for r in range(rounds):
+            pc = Counter()
+            for w, n in words.items():
+                s = vocab[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += n
+            if not pc:
+                break
+            (l, rr), cnt = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            merges.append((r + 1, l, rr, cnt))
+            for w in vocab:
+                s, out, i = vocab[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == rr:
+                        out.append(l + rr)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    got = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merge_rounds(df, rounds=4).orderBy("merge_round").collect()
+    ]
+    assert got == canonical(words, 4)

@@ -1261,3 +1261,102 @@ def bigram_nll(
         )
         .orderBy(id_col)
     )
+
+
+def bpe_merge_rounds(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Distributed byte-pair-encoding TRAINING rounds (Sennrich et al.
+    2016) — the tokenizer-fitting step of an LLM data pipeline, run as
+    declarative DataFrame ops: collapse the corpus to a word-frequency
+    table, then per round (a) count adjacent symbol pairs weighted by
+    word frequency, (b) pick the most frequent pair (ties by symbol
+    order — deterministic), (c) merge it everywhere.
+
+    Words are space-separated symbol strings (' h e l l o '); the merge
+    is string ``replace(' l r ' -> ' lr ')`` applied 5 times — leftmost
+    non-overlapping replace defers an occurrence that shares a
+    separator with a just-merged neighbor to the next pass, and 5
+    passes reach the fixpoint for words <= ``max_word_len`` chars
+    (occurrences per word <= 12, halved per pass). The fixpoint equals
+    canonical left-to-right greedy BPE (verified against a pure-Python
+    reference in tests); replace() has identical leftmost semantics in
+    Spark and DuckDB, so the oracle replays every round exactly.
+
+    Output: (merge_round, left_sym, right_sym, pair_count) — the merge
+    table, one row per round.
+
+    Scale shape: the corpus collapses to |distinct words| rows ONCE
+    (the classic BPE trick — merging operates on the word dictionary,
+    never the corpus); each round is one combinable pair-count shuffle
+    + a 1-row TakeOrdered + a broadcast-joined narrow map. The
+    dictionary is localCheckpoint-ed per round (the recurrence lesson
+    from pagerank/label_propagation)."""
+    from ..functions.text import tokens
+
+    wf = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.substring("w", 1, max_word_len).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+            ).alias("sym"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    cur = wf
+    for r in range(1, rounds + 1):
+        syms = F.split(F.trim(F.col("sym")), " ")
+        pairs_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pc = (
+            cur.select(F.explode(pairs_arr).alias("p"), "n")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pc.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("merge_round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if r < rounds:
+            pat = F.concat(
+                F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" ")
+            )
+            to = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+            new_sym = F.col("sym")
+            for _ in range(5):
+                new_sym = F.replace(new_sym, pat, to)
+            cur = (
+                cur.crossJoin(F.broadcast(top.select("l", "r")))
+                .select(new_sym.alias("sym"), "n")
+                .localCheckpoint(eager=True)
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
