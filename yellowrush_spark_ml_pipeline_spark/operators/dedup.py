@@ -1060,9 +1060,15 @@ def winnow_overlap_pairs(
     are boilerplate and dropped BEFORE the join — the same quadratic
     guard as containment_pairs), then one combinable pair count. Never
     all-pairs."""
-    fps = winnow_fingerprints(docs, text_col, id_col, k=k, w=w).select(
-        F.col(id_col).alias("_id"), "fp_hash"
-    ).distinct()
+    # distinct (id, hash) fingerprints feed BOTH the df-cap count and the
+    # posting join; checkpoint so the whole winnowing pipeline (explode +
+    # window argmin) runs once, not once per branch
+    fps = (
+        winnow_fingerprints(docs, text_col, id_col, k=k, w=w)
+        .select(F.col(id_col).alias("_id"), "fp_hash")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     eligible = (
         fps.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("_df"))
