@@ -3752,6 +3752,57 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_merge_rounds(d, rounds=3).orderBy("merge_round")
 
 
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of deterministically-nulled event values
+    (event_id % 7) per event-type series — the trend-preserving gap
+    repair LOCF can't do. One fixed double expression per row, so the
+    oracle hash-matches with no tolerance."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return timeseries.interpolate_linear(
+        s, ["event_type"], "event_id", "value"
+    )
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit of customer -> nation over the order
+    fact (every order of one customer must carry one nation), with
+    three planted violating rows — the data satisfies the FD by
+    construction, so the plant proves detection is non-vacuous. One
+    combinable agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    src = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_custkey", F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    planted = (
+        src.select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(3)
+        .select("o_custkey", F.lit(99).alias("nationkey"))
+    )
+    return aggregates.fd_violations(
+        src.unionByName(planted), ["o_custkey"], "nationkey"
+    )
+
+
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs over documents: rare-term posting-list
+    candidates, exact integer-weighted scoring over ALL shared terms.
+    Top 50 pairs with cosine >= 0.3."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_cosine_pairs(
+        d, threshold=0.3, max_term_df=50, top_n=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3794,6 +3845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "calibration_bins": q_calibration_bins,
         "bpe_merges": q_bpe_merges,
+        "interpolate_linear": q_interpolate_linear,
+        "fd_violations": q_fd_violations,
+        "tfidf_pairs": q_tfidf_pairs,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -8756,6 +8810,119 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL ".join(_bpe_sels)
         + " ORDER BY merge_round"
     )
+    sqls["interpolate_linear"] = """
+            WITH s AS (
+                SELECT event_type, event_id,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE value END AS value
+                FROM events
+            ), w AS (
+                SELECT event_type, event_id, value,
+                       last_value(value IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS pv,
+                       last_value(CASE WHEN value IS NOT NULL
+                                       THEN CAST(event_id AS DOUBLE) END
+                                  IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS pt,
+                       first_value(value IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING) AS nv,
+                       first_value(CASE WHEN value IS NOT NULL
+                                        THEN CAST(event_id AS DOUBLE) END
+                                   IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING) AS nt
+                FROM s
+            )
+            SELECT event_type, event_id, value,
+                   round(CASE WHEN value IS NOT NULL THEN value
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL THEN pv
+                              ELSE pv + (nv - pv)
+                                   * (CAST(event_id AS DOUBLE) - pt)
+                                   / (nt - pt) END, 6) AS filled,
+                   CAST(CASE WHEN value IS NULL THEN 1 ELSE 0 END
+                        AS INT) AS was_null
+            FROM w
+        """
+    sqls["fd_violations"] = """
+            WITH base AS (
+                SELECT o_custkey, CAST(c_nationkey AS INT) AS nationkey
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ), b AS (
+                SELECT DISTINCT o_custkey FROM base
+                ORDER BY o_custkey LIMIT 3
+            ), src AS (
+                SELECT o_custkey, nationkey FROM base
+                UNION ALL
+                SELECT o_custkey, 99 FROM b
+            ), agg AS (
+                SELECT o_custkey,
+                       COUNT(DISTINCT nationkey) AS n_dependents,
+                       COUNT(*) AS n_rows,
+                       MIN(nationkey) AS example_a,
+                       MAX(nationkey) AS example_b
+                FROM src GROUP BY 1
+            )
+            SELECT o_custkey, CAST(n_dependents AS BIGINT) AS n_dependents,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(example_a AS INT) AS example_a,
+                   CAST(example_b AS INT) AS example_b
+            FROM agg WHERE n_dependents > 1 ORDER BY o_custkey
+        """
+    sqls["tfidf_pairs"] = f"""
+            WITH tok AS (
+                SELECT doc_id AS id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), {tokclass}),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), dfx AS (
+                SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1
+            ), nn AS (
+                SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+            ), wgt AS (
+                SELECT id, term, dfc,
+                       tf * CAST(floor(ln(CAST(n AS DOUBLE) / dfc)
+                                       * 1000.0 + 0.5) AS BIGINT) AS w
+                FROM tf JOIN dfx USING (term) CROSS JOIN nn
+            ), norms AS (
+                SELECT id, SUM(CAST(w * w AS HUGEINT)) AS nrm
+                FROM wgt GROUP BY 1
+            ), rare AS (
+                SELECT term, id FROM wgt WHERE dfc <= 50
+            ), cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM rare a JOIN rare b
+                  ON a.term = b.term AND a.id < b.id
+            ), num AS (
+                SELECT c.id_a, c.id_b,
+                       SUM(CAST(wa.w * wb.w AS HUGEINT)) AS num
+                FROM cand c
+                JOIN wgt wa ON wa.id = c.id_a
+                JOIN wgt wb ON wb.id = c.id_b AND wb.term = wa.term
+                GROUP BY 1, 2
+            ), sc AS (
+                SELECT id_a, id_b,
+                       round(CAST(num AS DOUBLE)
+                             / (sqrt(CAST(na.nrm AS DOUBLE))
+                                * sqrt(CAST(nb.nrm AS DOUBLE))), 6)
+                           AS cosine
+                FROM num
+                JOIN norms na ON na.id = num.id_a
+                JOIN norms nb ON nb.id = num.id_b
+            )
+            SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.3
+            ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50
+        """
     sqls["rfm_segments"] = """
             WITH endt AS (SELECT MAX(ts) AS e FROM events),
             pu AS (

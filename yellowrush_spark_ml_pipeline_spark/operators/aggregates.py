@@ -1269,3 +1269,31 @@ def calibration_bins(
             "brier"
         ),
     ).orderBy("bin")
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant_cols: list,
+    dependent_col: str,
+) -> DataFrame:
+    """Functional-dependency audit: determinant values that map to MORE
+    THAN ONE dependent value — the consistency check behind reference-
+    data quality gates (does brand always imply one manufacturer? does
+    zip imply one state?) and a standard profiling primitive (TANE-style
+    FD verification, run for one declared FD).
+
+    Output: (determinant..., n_dependents, n_rows, example_a, example_b)
+    — one row per violating determinant, with the two smallest distinct
+    dependent values as human-actionable evidence, ordered by the
+    determinant.
+
+    Scale shape: one combinable aggregation on the determinant key
+    (min/max/count distinct all partial-aggregate); no window, no
+    self-join."""
+    agg = df.groupBy(*determinant_cols).agg(
+        F.countDistinct(dependent_col).alias("n_dependents"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(dependent_col).alias("example_a"),
+        F.max(dependent_col).alias("example_b"),
+    )
+    return agg.filter(F.col("n_dependents") > 1).orderBy(*determinant_cols)

@@ -1360,3 +1360,119 @@ def bpe_merge_rounds(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_term_df: int = 50,
+    top_n: int = 50,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs — the lexical near-dup /
+    related-document measure computed WITHOUT dense vectors: documents
+    are bags of (term, weight) postings and the dot product runs
+    term-at-a-time through a posting-list join, the sparse-retrieval
+    shape (term partials, never a dense crossJoin).
+
+    Weights are integer: ``w = tf * idf_milli`` with
+    ``idf_milli = floor(ln(N / df) * 1000 + 0.5)`` (floor rounds
+    identically everywhere; round() half-rule differs) — one double ln
+    identically evaluated by both engines, then BIGINT arithmetic, so
+    numerators and norms are EXACT (norm accumulation in DECIMAL(38,0)
+    — w*w stays under 2^63 but a 100 TB-scale document could push the
+    SUM past it). Final cosine is two sqrt's and one division, round 6.
+
+    Candidate pairs come from terms shared by <= ``max_term_df``
+    documents (rare terms; boilerplate terms would explode the
+    quadratic and contribute least weight) — then each candidate pair's
+    cosine is computed over ALL its shared terms via two id-keyed joins
+    back to the postings, so the SCORE is exact even though candidate
+    GENERATION is blocked (same discipline as containment_pairs).
+
+    Output: (id_a, id_b, cosine) with cosine >= threshold, ordered by
+    cosine desc then ids, limited to ``top_n``."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    n_docs = docs.select(
+        F.countDistinct(id_col).alias("_n")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    weighted = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "term",
+            "_df",
+            (
+                F.col("_tf")
+                * F.floor(
+                    F.log(F.col("_n").cast("double") / F.col("_df"))
+                    * F.lit(1000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("_w"),
+        )
+        .localCheckpoint(eager=True)  # feeds candidates, norms, and both
+        # sides of the pair-scoring join
+    )
+    norms = weighted.groupBy("_id").agg(
+        F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,0)")).alias(
+            "_norm"
+        )
+    )
+    rare = weighted.filter(F.col("_df") <= max_term_df)
+    cand = (
+        rare.select("term", F.col("_id").alias("id_a"))
+        .join(rare.select("term", F.col("_id").alias("id_b")), "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pa = weighted.select(
+        F.col("_id").alias("id_a"), "term", F.col("_w").alias("_wa")
+    )
+    pb = weighted.select(
+        F.col("_id").alias("id_b"), "term", F.col("_w").alias("_wb")
+    )
+    num = (
+        cand.join(pa, "id_a")
+        .join(pb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("_wa") * F.col("_wb")).cast("decimal(38,0)")).alias(
+                "_num"
+            )
+        )
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("_norm").alias("_na"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("_norm").alias("_nb"))
+    scored = (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_num").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(top_n)

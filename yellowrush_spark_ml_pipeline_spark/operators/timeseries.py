@@ -845,3 +845,63 @@ def bollinger_bands(
         (breach & (dev > 0)).alias("breach_hi"),
         (breach & (dev < 0)).alias("breach_lo"),
     ).orderBy("bucket_epoch")
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series LINEAR interpolation of missing values — pandas'
+    ``interpolate(method='linear')`` as a distributed window program,
+    the gap repair for sensor/metric series where LOCF (:func:`gap_fill`)
+    would flatten trends.
+
+    For each NULL value the nearest non-null neighbors in ``order_col``
+    order bracket it::
+
+        v = prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+
+    Leading NULLs (no prev) take the next value; trailing NULLs take
+    prev — pandas' default edge behavior. The arithmetic is one fixed
+    double expression per row (no accumulation), so results are
+    bit-identical across engines and partitionings.
+
+    Output: input keys + order + original value + ``filled`` (round 6)
+    + ``was_null`` flag.
+
+    Scale shape: two window passes over the same (keys, order)
+    partitioning — one forward (last non-null value/position), one
+    backward (first non-null) — a single shuffle total; Spark plans
+    consecutive frames over one sort."""
+    v, t = F.col(value_col), F.col(order_col).cast("double")
+    kp = [F.col(k) for k in keys]
+    w_prev = (
+        Window.partitionBy(*kp)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*kp)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+        )
+    )
+    return df.select(
+        *keys,
+        order_col,
+        value_col,
+        F.round(interp, 6).alias("filled"),
+        v.isNull().cast("int").alias("was_null"),
+    )
