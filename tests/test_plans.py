@@ -732,3 +732,58 @@ def test_single_scan_profiling_ops(spark, sf_small):
         plan = explain_str(entrymod.queries()[name](spark, sf_small))
         assert _no_cartesian(plan), name
         assert _detail_count(plan, "Scan parquet") <= 2, name
+
+
+def test_winnow_pairs_posting_join_no_cartesian(spark, sf_small):
+    """Winnowing pair generation must be the df-capped posting-list
+    self-join on fingerprint hashes — never all-pairs."""
+    df = entrymod.queries()["winnow_pairs"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 14  # checkpointed fingerprints: 28 -> 12
+    assert not rep["python_udf"]
+
+
+def test_tfidf_pairs_posting_join_no_cartesian(spark, sf_small):
+    """Sparse TF-IDF scoring: rare-term posting candidates + id-keyed
+    verify joins; the only crossJoin is the broadcast 1-row N."""
+    df = entrymod.queries()["tfidf_pairs"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+
+
+def test_label_propagation_bounded_plan(spark, sf_small):
+    """Per-round labels relation is checkpointed, so the visible plan is
+    one round: join + count + top-1 window, no cartesian."""
+    df = entrymod.queries()["label_propagation"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 6
+    assert not rep["python_udf"]
+
+
+def test_cms_sketch_combinable_aggs(spark, sf_small):
+    """CMS build and truth are combinable hash aggregations with a
+    broadcast probe join — no sort of the fact side before aggregation."""
+    df = entrymod.queries()["cms_heavy_hitters"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 8
+    assert not rep["python_udf"]
+
+
+def test_bpe_merges_dictionary_rounds(spark, sf_small):
+    """BPE rounds operate on the checkpointed word dictionary: the final
+    visible plan is unions of 1-row TakeOrdered tops — no cartesian, no
+    Python in the data path."""
+    df = entrymod.queries()["bpe_merges"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
