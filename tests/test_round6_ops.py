@@ -503,3 +503,166 @@ def test_bpe_merge_rounds_match_canonical_reference(spark):
         for r in bpe_merge_rounds(df, rounds=4).orderBy("merge_round").collect()
     ]
     assert got == canonical(words, 4)
+
+
+def test_cms_estimate_upper_bounds_and_exact_singletons(spark):
+    """CMS estimates are always >= true counts (one-sided error), and a
+    key whose buckets collide with nothing in some row is exact."""
+    rows = [Row(k="hot")] * 50 + [Row(k=f"cold{i}") for i in range(10)]
+    got = {
+        r["key"]: (r["true_count"], r["cms_count"])
+        for r in sketches.cms_heavy_hitters(
+            spark.createDataFrame(rows), "k", top_k=11
+        ).collect()
+    }
+    assert got["hot"][0] == 50
+    for key, (true, est) in got.items():
+        assert est >= true
+    # with 11 keys across 4x128 buckets, the min-of-rows estimate for the
+    # hot key is exact unless every one of its 4 buckets collides
+    assert got["hot"][1] == 50
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles converge to per-clique min labels."""
+    from yellowrush_spark_ml_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    lab = {r["node"]: r["label"] for r in label_propagation(df, 3).collect()}
+    assert {lab[1], lab[2], lab[3]} == {1}
+    assert {lab[10], lab[11], lab[12]} == {10}
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Any shared substring of length >= k + w - 1 (= 11) must produce
+    at least one shared fingerprint — the paper's core guarantee."""
+    from yellowrush_spark_ml_pipeline_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    shared = "zqxjkwvbnmp"  # 11 chars, appears in both docs
+    rows = [
+        Row(doc_id=1, text=f"alpha beta {shared} gamma delta"),
+        Row(doc_id=2, text=f"completely different prefix {shared} and tail"),
+        Row(doc_id=3, text="no overlap here at all whatsoever today"),
+    ]
+    pairs = winnow_overlap_pairs(
+        spark.createDataFrame(rows), min_shared=1, max_fp_df=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+
+
+def test_interpolate_linear_hand_computed(spark):
+    """Interior gap is the exact linear bracket; edges take the nearest
+    non-null neighbor."""
+    from yellowrush_spark_ml_pipeline_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = [
+        Row(g="a", t=0, v=None),   # leading -> next = 10.0
+        Row(g="a", t=1, v=10.0),
+        Row(g="a", t=2, v=None),   # 10 + (40-10)*(2-1)/(4-1) = 20
+        Row(g="a", t=3, v=None),   # 10 + 30*2/3 = 30
+        Row(g="a", t=4, v=40.0),
+        Row(g="a", t=5, v=None),   # trailing -> prev = 40.0
+    ]
+    got = {
+        r["t"]: r["filled"]
+        for r in interpolate_linear(
+            spark.createDataFrame(rows), ["g"], "t", "v"
+        ).collect()
+    }
+    assert got == {0: 10.0, 1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0, 5: 40.0}
+
+
+def test_fd_violations_detects_only_planted(spark):
+    """A clean FD yields zero rows; one planted conflict yields exactly
+    that determinant with both example values."""
+    clean = [Row(k=i, d=i * 10) for i in range(20)]
+    df = spark.createDataFrame(clean)
+    assert aggregates.fd_violations(df, ["k"], "d").count() == 0
+    dirty = spark.createDataFrame(clean + [Row(k=7, d=999)])
+    got = aggregates.fd_violations(dirty, ["k"], "d").collect()
+    assert len(got) == 1
+    assert got[0]["k"] == 7
+    assert (got[0]["example_a"], got[0]["example_b"]) == (70, 999)
+    assert got[0]["n_dependents"] == 2
+
+
+def test_calibration_bins_perfectly_calibrated_score(spark):
+    """A score that equals the empirical positive rate per bin has
+    frac_pos == mean_score and Brier == score*(1-score)."""
+    rows = []
+    for _ in range(80):
+        rows.append(Row(score=0.25, label=0))
+    for _ in range(20):
+        rows.append(Row(score=0.25, label=1))
+    for _ in range(30):
+        rows.append(Row(score=0.85, label=1))
+    for _ in range(10):
+        rows.append(Row(score=0.85, label=0))
+    got = {
+        r["bin"]: r
+        for r in aggregates.calibration_bins(
+            spark.createDataFrame(rows), "score", "label"
+        ).collect()
+    }
+    assert got[2]["n"] == 100 and got[2]["frac_pos"] == 0.2
+    assert got[2]["mean_score"] == 0.25
+    assert abs(got[2]["brier"] - (0.75**2 * 0.2 + 0.25**2 * 0.8)) < 1e-9
+    assert got[8]["n"] == 40 and got[8]["frac_pos"] == 0.75
+
+
+def test_k_anonymity_histogram(spark):
+    """Hand-built classes: sizes 1,1,3 -> histogram rows (1,2,2,at_risk)
+    and (3,1,3,ok for k<=3... at_risk under k=5)."""
+    rows = [
+        Row(a="x", b=1),
+        Row(a="y", b=1),
+        Row(a="z", b=1),
+        Row(a="z", b=1),
+        Row(a="z", b=1),
+    ]
+    got = {
+        r["class_size"]: r
+        for r in aggregates.k_anonymity_profile(
+            spark.createDataFrame(rows), ["a"], k=5
+        ).collect()
+    }
+    assert got[1]["n_classes"] == 2 and got[1]["n_rows"] == 2
+    assert got[1]["at_risk"] == 1
+    assert got[3]["n_classes"] == 1 and got[3]["at_risk"] == 1
+
+
+def test_quantized_recall_identity_when_lossless(spark):
+    """Vectors already on the quantization lattice dequantize exactly,
+    so recall@k must be 1.0 for every query."""
+    from yellowrush_spark_ml_pipeline_spark.operators.similarity import (
+        quantized_recall,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    # pin 0 and 255 into every vector so scale == 1 exactly: quantization
+    # is then the identity and the approx ranking must equal the exact one
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[0.0, 255.0]
+            + [float(rnd.randint(0, 255)) for _ in range(6)],
+        )
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = quantized_recall(corpus, queries, k=5).collect()
+    assert len(got) == 3
+    assert all(r["recall"] == 1.0 for r in got)
