@@ -3803,6 +3803,37 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship: collapse each user's event rows into one golden
+    record taking the most recent NON-NULL value per column (values are
+    deterministically nulled at event_id % 3, so backfill is exercised).
+    One window pass, ties broken by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return mutations.golden_record(
+        src, ["user_id"], ["event_type", "value"], "ts",
+        tiebreak_col="event_id",
+    )
+
+
+def q_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of extended price from a 256-bin equi-width histogram
+    (the mergeable 100 TB percentile shape) next to the exact rank
+    percentile — estimate, exact, and error all hash-checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sketches.histogram_percentiles(
+        li, "l_extendedprice", ps=(0.5, 0.9, 0.99), n_bins=256
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3848,6 +3879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": q_interpolate_linear,
         "fd_violations": q_fd_violations,
         "tfidf_pairs": q_tfidf_pairs,
+        "golden_record": q_golden_record,
+        "percentile_sketch": q_percentile_sketch,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -8922,6 +8955,87 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.3
             ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50
+        """
+    sqls["golden_record"] = """
+            WITH src AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN event_id % 3 = 0 THEN NULL
+                            ELSE value END AS value
+                FROM events
+            ), w AS (
+                SELECT user_id,
+                       first_value(event_type IGNORE NULLS) OVER win
+                           AS event_type,
+                       first_value(value IGNORE NULLS) OVER win AS value,
+                       COUNT(*) OVER win AS n_sources,
+                       ts AS last_seen,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM src
+                WINDOW win AS (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, event_type, value,
+                   CAST(n_sources AS BIGINT) AS n_sources, last_seen
+            FROM w WHERE rn = 1 ORDER BY user_id
+        """
+    sqls["percentile_sketch"] = """
+            WITH stats AS (
+                SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                       MAX(CAST(l_extendedprice AS DOUBLE)) AS mx,
+                       COUNT(l_extendedprice) AS n
+                FROM lineitem
+            ), binned AS (
+                SELECT CASE WHEN mx = mn THEN 0
+                            ELSE least(CAST(floor(
+                                     (CAST(l_extendedprice AS DOUBLE) - mn)
+                                     / ((mx - mn) / 256.0)) AS INT), 255)
+                       END AS bin,
+                       mn, mx, n
+                FROM lineitem CROSS JOIN stats
+            ), hist AS (
+                SELECT bin, mn, mx, n, COUNT(*) AS cnt
+                FROM binned GROUP BY 1, 2, 3, 4
+            ), cum AS (
+                SELECT bin, mn, mx, n, cnt,
+                       COALESCE(SUM(cnt) OVER (ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS before
+                FROM hist
+            ), ps AS (
+                SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                               CAST(0.99 AS DOUBLE)]) AS p
+            ), est AS (
+                SELECT p,
+                       CAST(ceil(p * n) AS BIGINT) AS rank,
+                       round(mn + ((mx - mn) / 256.0) * bin
+                             + ((mx - mn) / 256.0)
+                               * ((CAST(ceil(p * n) AS BIGINT) - before)
+                                  / cnt), 6) AS est_value
+                FROM cum CROSS JOIN ps
+                WHERE before < CAST(ceil(p * n) AS BIGINT)
+                  AND CAST(ceil(p * n) AS BIGINT) <= before + cnt
+            ), vals AS (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS val,
+                       COUNT(*) AS c
+                FROM lineitem GROUP BY 1
+            ), vcum AS (
+                SELECT val, SUM(c) OVER (ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+                FROM vals
+            ), ranks AS (
+                SELECT p, CAST(ceil(p * n) AS BIGINT) AS rank
+                FROM ps CROSS JOIN stats
+            ), ex AS (
+                SELECT p, round(MIN(val), 6) AS exact_value
+                FROM vcum JOIN ranks ON vcum.cum >= ranks.rank
+                GROUP BY p
+            )
+            SELECT est.p, est.rank, est.est_value, ex.exact_value,
+                   round(est.est_value - ex.exact_value, 6) AS err
+            FROM est JOIN ex USING (p) ORDER BY p
         """
     sqls["rfm_segments"] = """
             WITH endt AS (SELECT MAX(ts) AS e FROM events),

@@ -666,3 +666,46 @@ def test_quantized_recall_identity_when_lossless(spark):
     got = quantized_recall(corpus, queries, k=5).collect()
     assert len(got) == 3
     assert all(r["recall"] == 1.0 for r in got)
+
+
+def test_golden_record_per_column_backfill(spark):
+    """The newest row's null columns backfill from older rows — the
+    behavior that distinguishes survivorship from latest-row-wins."""
+    from yellowrush_spark_ml_pipeline_spark.operators.mutations import (
+        golden_record,
+    )
+
+    rows = [
+        Row(k=1, t=1, a="old_a", b=1.0),
+        Row(k=1, t=2, a="new_a", b=None),   # newest: b must backfill to 1.0
+        Row(k=2, t=5, a=None, b=7.0),
+        Row(k=2, t=9, a=None, b=None),      # both backfill
+    ]
+    got = {
+        r["k"]: r
+        for r in golden_record(
+            spark.createDataFrame(rows), ["k"], ["a", "b"], "t",
+            tiebreak_col="t",
+        ).collect()
+    }
+    assert (got[1]["a"], got[1]["b"]) == ("new_a", 1.0)
+    assert got[1]["n_sources"] == 2 and got[1]["last_seen"] == 2
+    assert (got[2]["a"], got[2]["b"]) == (None, 7.0)
+    assert got[2]["last_seen"] == 9
+
+
+def test_histogram_percentiles_exact_on_uniform(spark):
+    """On 0..255 repeated, every value is its own bin boundary: the
+    estimate must land within one bin width of the exact percentile,
+    and exact must be the type-1 quantile."""
+    rows = [Row(v=float(i % 256)) for i in range(2560)]
+    got = {
+        r["p"]: r
+        for r in sketches.histogram_percentiles(
+            spark.createDataFrame(rows), "v", ps=(0.5, 0.99)
+        ).collect()
+    }
+    assert got[0.5]["exact_value"] == 127.0  # rank 1280 -> value 127
+    assert abs(got[0.5]["err"]) <= (255.0 / 256.0) + 1e-9
+    assert got[0.99]["exact_value"] == 253.0
+    assert abs(got[0.99]["err"]) <= (255.0 / 256.0) + 1e-9

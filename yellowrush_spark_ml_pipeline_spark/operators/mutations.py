@@ -187,3 +187,49 @@ def cdc_diff(
         *[F.col(f"old_{c}") for c in compare_cols],
         *[F.col(f"new_{c}") for c in compare_cols],
     )
+
+
+def golden_record(
+    df: DataFrame,
+    key_cols: list,
+    value_cols: list,
+    order_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Survivorship / golden-record consolidation — the MDM step after
+    entity resolution: collapse each entity's conflicting source rows
+    into ONE record by taking, PER COLUMN, the most recent non-null
+    value (recency survivorship, the standard default rule). A column
+    missing in the newest row backfills from older rows instead of
+    going null — that per-column independence is what distinguishes
+    this from a plain "latest row wins" dedup.
+
+    Output: key_cols + value_cols (one row per entity) + n_sources
+    (how many rows merged) + last_seen (max of ``order_col``).
+
+    Scale shape: ONE window pass per entity partition (first
+    IGNORE NULLS over the recency-descending frame for every value
+    column in the same window) followed by a row_number dedup in the
+    SAME partitioning — Spark plans a single shuffle + sort for all of
+    it. No self-joins, no per-column passes."""
+    # ``tiebreak_col`` (a unique row id) makes equal-recency rows
+    # deterministic; key columns are constant within a partition and
+    # cannot break ties
+    order = [F.col(order_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    picked = df.select(
+        *key_cols,
+        *[
+            F.first(F.col(c), ignorenulls=True).over(frame).alias(c)
+            for c in value_cols
+        ],
+        F.count(F.lit(1)).over(frame).alias("n_sources"),
+        # the surviving row is the recency-max, so its own order value
+        # IS last_seen — no extra full-partition window needed
+        F.col(order_col).alias("last_seen"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    return picked.filter(F.col("_rn") == 1).drop("_rn").orderBy(*key_cols)

@@ -266,3 +266,115 @@ def cms_heavy_hitters(
         "cms_count",
         (F.col("cms_count") - F.col("true_count")).alias("overcount"),
     ).orderBy(F.col("true_count").desc(), F.col("key").asc())
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: tuple = (0.5, 0.95, 0.99),
+    n_bins: int = 256,
+) -> DataFrame:
+    """Percentile estimation from a fixed equi-width histogram, reported
+    NEXT TO the exact rank-based percentile — the mergeable-sketch
+    answer to "p99 latency per hour over 100 TB" (a histogram is ``n_bins``
+    counters per group: combinable, unionable across days, constant
+    size), with the exact twin as the verification-grade baseline (the
+    exact side sorts distinct values — fine at test scale, deliberately
+    NOT the 100 TB path).
+
+    Estimate: locate the bin holding rank ``ceil(p * n)``, then
+    linearly interpolate inside it by rank fraction. Exact: the
+    smallest value whose cumulative count reaches the rank (type-1
+    quantile). All arithmetic is fixed-order doubles + integer ranks,
+    so both engines agree bitwise.
+
+    Output per p: (p, rank, est_value, exact_value, err) — est/exact/
+    err rounded to 6."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.min(v).alias("_mn"), F.max(v).alias("_mx"),
+        F.count(v).alias("_n"),
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(n_bins))
+    binned = df.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            F.col("_mx") == F.col("_mn"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.floor((v - F.col("_mn")) / width).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        ).alias("_bin"),
+        "_mn", "_mx", "_n",
+    )
+    hist = binned.groupBy("_bin", "_mn", "_mx", "_n").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cum = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "_bin", "_mn", "_mx", "_n", "_cnt",
+        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_before"),
+    )
+    ps_df = df.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], "p double"
+    )
+    est = (
+        cum.crossJoin(F.broadcast(ps_df))
+        .withColumn("_rank", F.ceil(F.col("p") * F.col("_n")).cast("long"))
+        .filter(
+            (F.col("_before") < F.col("_rank"))
+            & (F.col("_rank") <= F.col("_before") + F.col("_cnt"))
+        )
+        .select(
+            "p",
+            "_rank",
+            F.round(
+                F.col("_mn")
+                + width * F.col("_bin")
+                + width
+                * ((F.col("_rank") - F.col("_before")) / F.col("_cnt")),
+                6,
+            ).alias("est_value"),
+        )
+    )
+    # exact type-1 quantile over the distinct-value cumulative counts;
+    # single-partition window over DISTINCT values — verification twin
+    vals = df.select(v.alias("_val")).groupBy("_val").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_v = Window.orderBy("_val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    vcum = vals.select("_val", F.sum("_c").over(w_v).alias("_cum"))
+    exact = (
+        vcum.crossJoin(
+            F.broadcast(
+                ps_df.crossJoin(F.broadcast(stats)).select(
+                    "p",
+                    F.ceil(F.col("p") * F.col("_n"))
+                    .cast("long")
+                    .alias("_rank"),
+                )
+            )
+        )
+        .filter(F.col("_cum") >= F.col("_rank"))
+        .groupBy("p")
+        .agg(F.round(F.min("_val"), 6).alias("exact_value"))
+    )
+    return (
+        est.join(exact, "p")
+        .select(
+            "p",
+            F.col("_rank").alias("rank"),
+            "est_value",
+            "exact_value",
+            F.round(F.col("est_value") - F.col("exact_value"), 6).alias(
+                "err"
+            ),
+        )
+        .orderBy("p")
+    )
