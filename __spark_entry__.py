@@ -4110,6 +4110,98 @@ def _trade_graph_head_sql(base: int) -> str:
             )""".format(base=base)
 
 
+def oracle_lpa_sql(rounds: int = 3, limit: int = 25) -> str:
+    """DuckDB oracle for graph.label_propagation at any round count."""
+    body = "".join(
+        f""", l{r} AS (
+                SELECT node, label FROM (
+                    SELECT node, label,
+                           ROW_NUMBER() OVER (PARTITION BY node
+                               ORDER BY cnt DESC, label ASC) AS rn
+                    FROM (
+                        SELECT node, label, COUNT(*) AS cnt FROM (
+                            SELECT e.d AS node, p.label
+                            FROM und e JOIN l{r - 1} p ON p.node = e.s
+                            UNION ALL
+                            SELECT node, label FROM l{r - 1}
+                        ) v GROUP BY 1, 2
+                    ) c
+                ) w WHERE rn = 1
+            )"""
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+            WITH rel AS (
+                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS l,
+                                's' || CAST(l_suppkey AS VARCHAR) AS r
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ), und AS (
+                SELECT l AS s, r AS d FROM rel
+                UNION
+                SELECT r AS s, l AS d FROM rel
+            ), l0 AS (
+                SELECT DISTINCT s AS node, s AS label FROM und
+            ){body}
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM l{rounds} GROUP BY 1
+            ORDER BY n_members DESC, label ASC LIMIT {limit}
+        """
+
+
+def oracle_bpe_sql(rounds: int = 3, tokclass: str = r"'[^\p{L}\p{N}]+'") -> str:
+    """DuckDB oracle for textstats.bpe_merge_rounds at any round count."""
+    parts = [
+        f"""
+            WITH tok AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text), {tokclass}),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), w0 AS (
+                SELECT substr(unnest(ws), 1, 24) AS word FROM tok
+            ), wf AS (
+                SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                           AS sym,
+                       COUNT(*) AS n
+                FROM w0 GROUP BY 1
+            )"""
+    ]
+    prev = "wf"
+    sels = []
+    for r in range(1, rounds + 1):
+        rep = "sym"
+        for _ in range(5):
+            rep = (
+                f"replace({rep}, ' ' || t.l || ' ' || t.r || ' ',"
+                f" ' ' || t.l || t.r || ' ')"
+            )
+        parts.append(f""", p{r} AS (
+                SELECT a[i] AS l, a[i+1] AS r, SUM(n) AS cnt FROM (
+                    SELECT string_split(trim(sym), ' ') AS a, n,
+                           unnest(range(1, len(string_split(trim(sym), ' '))))
+                               AS i
+                    FROM {prev}
+                ) GROUP BY 1, 2
+            ), t{r} AS (
+                SELECT l, r, cnt FROM p{r}
+                ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+            ), w{r} AS (
+                SELECT {rep} AS sym, n
+                FROM {prev} CROSS JOIN t{r} t
+            )""")
+        sels.append(
+            f"SELECT {r} AS merge_round, l AS left_sym, r AS right_sym,"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+        )
+        prev = f"w{r}"
+    return (
+        "".join(parts)
+        + " "
+        + " UNION ALL ".join(sels)
+        + " ORDER BY merge_round"
+    )
+
+
 def oracle_pagerank_sql(
     iterations: int = 3,
     damping_pct: int = 85,
@@ -8172,9 +8264,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tp, fp, fn,
                    CASE WHEN tp + fp > 0
-                        THEN (1000 * tp) // (tp + fp) END AS precision_milli,
+                        THEN CAST((CAST(1000 AS HUGEINT) * tp) // (tp + fp)
+                                  AS BIGINT) END AS precision_milli,
                    CASE WHEN tp + fn > 0
-                        THEN (1000 * tp) // (tp + fn) END AS recall_milli
+                        THEN CAST((CAST(1000 AS HUGEINT) * tp) // (tp + fn)
+                                  AS BIGINT) END AS recall_milli
             FROM c
         """
     )
@@ -8602,40 +8696,7 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             ORDER BY true_count DESC, key ASC
         """
-    _lpa_rounds = "".join(
-        f""", l{r} AS (
-                SELECT node, label FROM (
-                    SELECT node, label,
-                           ROW_NUMBER() OVER (PARTITION BY node
-                               ORDER BY cnt DESC, label ASC) AS rn
-                    FROM (
-                        SELECT node, label, COUNT(*) AS cnt FROM (
-                            SELECT e.d AS node, p.label
-                            FROM und e JOIN l{r - 1} p ON p.node = e.s
-                            UNION ALL
-                            SELECT node, label FROM l{r - 1}
-                        ) v GROUP BY 1, 2
-                    ) c
-                ) w WHERE rn = 1
-            )"""
-        for r in range(1, 4)
-    )
-    sqls["label_propagation"] = f"""
-            WITH rel AS (
-                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS l,
-                                's' || CAST(l_suppkey AS VARCHAR) AS r
-                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-            ), und AS (
-                SELECT l AS s, r AS d FROM rel
-                UNION
-                SELECT r AS s, l AS d FROM rel
-            ), l0 AS (
-                SELECT DISTINCT s AS node, s AS label FROM und
-            ){_lpa_rounds}
-            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
-            FROM l3 GROUP BY 1
-            ORDER BY n_members DESC, label ASC LIMIT 25
-        """
+    sqls["label_propagation"] = oracle_lpa_sql(rounds=3)
     _w60 = "(('0x' || substr(md5(g), 1, 15))::BIGINT)"
     sqls["winnow_pairs"] = f"""
             WITH src AS (
@@ -8789,60 +8850,10 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum_sq AS DOUBLE) / n, 6) AS brier
             FROM agg ORDER BY bin
         """
-    # BPE: unrolled 3-round merge chain; each round = pair-count CTE,
-    # top-1 CTE, and a 5-pass replace merge CTE (leftmost replace defers
-    # separator-sharing neighbors; 5 passes reach fixpoint for <=24-char
-    # words — matches textstats.bpe_merge_rounds exactly).
-    _bpe_parts = [
-        f"""
-            WITH tok AS (
-                SELECT list_filter(
-                           regexp_split_to_array(lower(text), {tokclass}),
-                           x -> x <> '') AS ws
-                FROM documents
-            ), w0 AS (
-                SELECT substr(unnest(ws), 1, 24) AS word FROM tok
-            ), wf AS (
-                SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
-                           AS sym,
-                       COUNT(*) AS n
-                FROM w0 GROUP BY 1
-            )"""
-    ]
-    _bpe_prev = "wf"
-    _bpe_sels = []
-    for _r in range(1, 4):
-        _rep = "sym"
-        for _ in range(5):
-            _rep = (
-                f"replace({_rep}, ' ' || t.l || ' ' || t.r || ' ',"
-                f" ' ' || t.l || t.r || ' ')"
-            )
-        _bpe_parts.append(f""", p{_r} AS (
-                SELECT a[i] AS l, a[i+1] AS r, SUM(n) AS cnt FROM (
-                    SELECT string_split(trim(sym), ' ') AS a, n,
-                           unnest(range(1, len(string_split(trim(sym), ' '))))
-                               AS i
-                    FROM {_bpe_prev}
-                ) GROUP BY 1, 2
-            ), t{_r} AS (
-                SELECT l, r, cnt FROM p{_r}
-                ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
-            ), w{_r} AS (
-                SELECT {_rep} AS sym, n
-                FROM {_bpe_prev} CROSS JOIN t{_r} t
-            )""")
-        _bpe_sels.append(
-            f"SELECT {_r} AS merge_round, l AS left_sym, r AS right_sym,"
-            f" CAST(cnt AS BIGINT) AS pair_count FROM t{_r}"
-        )
-        _bpe_prev = f"w{_r}"
-    sqls["bpe_merges"] = (
-        "".join(_bpe_parts)
-        + " "
-        + " UNION ALL ".join(_bpe_sels)
-        + " ORDER BY merge_round"
-    )
+    # BPE: unrolled merge chain (pair-count CTE, top-1 CTE, 5-pass
+    # replace merge per round) — generated by oracle_bpe_sql so the
+    # recurrence probes can re-unroll it at alternate round counts.
+    sqls["bpe_merges"] = oracle_bpe_sql(rounds=3, tokclass=tokclass)
     sqls["interpolate_linear"] = """
             WITH s AS (
                 SELECT event_type, event_id,

@@ -27,7 +27,7 @@ from yellowrush_spark_ml_pipeline_spark.operators import graph
 from yellowrush_spark_ml_pipeline_spark.operators import similarity
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = "customer orders lineitem embeddings".split()
+TABLES = "customer orders lineitem embeddings documents".split()
 
 
 @pytest.fixture(scope="module")
@@ -134,3 +134,33 @@ def test_kmeans_alternate_rounds(spark, duck):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     out = similarity.kmeans_lloyd(emb, k=8, n_assign=2)
     _assert_match(out, duck, entrymod.oracle_kmeans_sql(k=8, n_assign=2))
+
+
+@pytest.mark.parametrize("rounds", [2, 4])
+def test_label_propagation_alternate_rounds(spark, duck, rounds):
+    """The LPA registry oracle unrolls 3 rounds; re-unrolling at 2 and 4
+    checks the recurrence (vote -> count -> top-1) itself — an update
+    applied to the wrong side of the self-vote passes at one count and
+    fails at another."""
+    lab = graph.label_propagation(_trade_edges(spark), rounds=rounds)
+    out = (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("label").asc())
+        .limit(25)
+    )
+    _assert_match(out, duck, entrymod.oracle_lpa_sql(rounds=rounds))
+
+
+@pytest.mark.parametrize("rounds", [2, 4])
+def test_bpe_merges_alternate_rounds(spark, duck, rounds):
+    """BPE merge table re-unrolled at 2 and 4 rounds — pins the round
+    coupling (the round-r dictionary must be the round-(r-1) merge
+    applied, not a stale or doubly-merged one)."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        bpe_merge_rounds,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = bpe_merge_rounds(docs, rounds=rounds).orderBy("merge_round")
+    _assert_match(out, duck, entrymod.oracle_bpe_sql(rounds=rounds))

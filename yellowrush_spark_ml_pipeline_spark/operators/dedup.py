@@ -955,13 +955,22 @@ def dedup_eval(
         "tp",
         "fp",
         "fn",
+        # 1000 * tp computed in DECIMAL(38,0): tp is a PAIR count, which a
+        # 1000x-scale corpus can push past 2^63/1000 — same hardening
+        # class (and same fix) as the round-5 share/weight arithmetic
         F.when(
             F.col("tp") + F.col("fp") > 0,
-            F.expr("(1000 * tp) div (tp + fp)"),
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0)) * tp) div (tp + fp)"
+                " AS BIGINT)"
+            ),
         ).alias("precision_milli"),
         F.when(
             F.col("tp") + F.col("fn") > 0,
-            F.expr("(1000 * tp) div (tp + fn)"),
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0)) * tp) div (tp + fn)"
+                " AS BIGINT)"
+            ),
         ).alias("recall_milli"),
     )
 
