@@ -3834,6 +3834,15 @@ def q_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against graded term-coverage
+    relevance — ranker-quality eval with integer micro-unit discounts
+    (Python-literal weights shared with the oracle; the single division
+    is the only float op)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.ndcg_at_k(docs, _BM25_TERMS, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3881,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": q_tfidf_pairs,
         "golden_record": q_golden_record,
         "percentile_sketch": q_percentile_sketch,
+        "ndcg_eval": q_ndcg_eval,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -6636,6 +6646,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND({_sum_terms}, 6) AS score
             FROM pivoted
             ORDER BY score DESC, doc_id LIMIT 20
+        """
+    _ndcg_w = textstats.ndcg_weights(10)
+    sqls["ndcg_eval"] = f"""
+            WITH ranked AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                           AS rnk
+                FROM ({sqls["bm25_topk"]}) b
+            ), rel AS (
+                SELECT doc_id,
+                       CAST(len(list_intersect(
+                           list_distinct(list_filter(
+                               regexp_split_to_array(lower(text),
+                                   '[^\\p{{L}}\\p{{N}}]+'),
+                               t -> t <> '')),
+                           [{_terms_in}])) AS BIGINT) AS rel
+                FROM documents
+            ), wl AS (
+                SELECT {list(_ndcg_w)} AS w
+            ), dcg AS (
+                SELECT SUM(w[rnk] * rel) AS dcg_micro
+                FROM ranked JOIN rel USING (doc_id) CROSS JOIN wl
+                WHERE rnk <= 10
+            ), ideal AS (
+                SELECT rel,
+                       ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC)
+                           AS r
+                FROM rel
+            ), idcg AS (
+                SELECT SUM(w[r] * rel) AS idcg_micro
+                FROM ideal CROSS JOIN wl WHERE r <= 10
+            )
+            SELECT 10 AS k,
+                   CAST(dcg_micro AS BIGINT) AS dcg_micro,
+                   CAST(idcg_micro AS BIGINT) AS idcg_micro,
+                   round(CAST(dcg_micro AS DOUBLE)
+                         / CAST(idcg_micro AS DOUBLE), 6) AS ndcg
+            FROM dcg CROSS JOIN idcg
         """
 
     sqls["top_paths"] = """

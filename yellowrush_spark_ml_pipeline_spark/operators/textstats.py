@@ -1476,3 +1476,70 @@ def tfidf_cosine_pairs(
     return scored.orderBy(
         F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(top_n)
+
+
+#: Integer micro-unit NDCG position weights: floor(1e6 / log2(r+1) + 0.5)
+#: for rank r, computed ONCE in Python and embedded as literals in BOTH
+#: engines — no cross-engine log2 in the data path at all.
+def ndcg_weights(k: int) -> list[int]:
+    import math
+
+    return [int(math.floor(1e6 / math.log2(r + 1) + 0.5)) for r in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NDCG@k of the BM25 ranking against graded term-coverage relevance
+    — the retrieval-quality eval run before trusting a ranker change.
+    Relevance of a document = how many DISTINCT query terms it contains
+    (0..len(terms)); DCG = sum of rel * w_rank over the top k with the
+    standard 1/log2(rank+1) discount, IDCG over the k best relevances in
+    the corpus; NDCG = DCG/IDCG.
+
+    Exactness: discounts are integer micro-units from
+    :func:`ndcg_weights` (Python literals shared with the oracle), so
+    DCG and IDCG are exact BIGINTs; the single final division is the
+    only float op.
+
+    Scale shape: the ranking is the bm25_topk TakeOrdered head; the
+    ideal list is its own TakeOrdered over the per-doc relevance map
+    (never a global window); both joins touch only k-row relations."""
+    from pyspark.sql import Window
+
+    ranked = bm25_topk(df, query_terms, k=k, id_col=id_col, text_col=text_col)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    ranked = ranked.withColumn("_rank", F.row_number().over(w))
+    toks = tokens(F.col(text_col))
+    rel = df.select(
+        F.col(id_col),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(t) for t in query_terms]),
+            )
+        ).cast("long").alias("_rel"),
+    )
+    warr = F.array(*[F.lit(x) for x in ndcg_weights(k)])
+    dcg = (
+        ranked.join(rel, id_col)
+        .select((F.element_at(warr, F.col("_rank")) * F.col("_rel")).alias("_g"))
+        .agg(F.sum("_g").alias("dcg_micro"))
+    )
+    ideal_top = rel.orderBy(F.col("_rel").desc(), F.col(id_col).asc()).limit(k)
+    w_ideal = Window.orderBy(F.col("_rel").desc(), F.col(id_col).asc())
+    idcg = (
+        ideal_top.withColumn("_r", F.row_number().over(w_ideal))
+        .select((F.element_at(warr, F.col("_r")) * F.col("_rel")).alias("_g"))
+        .agg(F.sum("_g").alias("idcg_micro"))
+    )
+    return dcg.crossJoin(idcg).select(
+        F.lit(k).alias("k"),
+        "dcg_micro",
+        "idcg_micro",
+        F.round(F.col("dcg_micro") / F.col("idcg_micro"), 6).alias("ndcg"),
+    )
