@@ -709,3 +709,27 @@ def test_histogram_percentiles_exact_on_uniform(spark):
     assert abs(got[0.5]["err"]) <= (255.0 / 256.0) + 1e-9
     assert got[0.99]["exact_value"] == 253.0
     assert abs(got[0.99]["err"]) <= (255.0 / 256.0) + 1e-9
+
+
+def test_ndcg_perfect_ranking_and_exact_dcg(spark):
+    """Docs whose BM25 order equals the relevance order give NDCG 1.0
+    with the exact integer DCG (3*w1 + 2*w2 + 1*w3)."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        ndcg_at_k,
+        ndcg_weights,
+    )
+
+    rows = [
+        Row(doc_id=1, text="hash join vector table scan"),
+        Row(doc_id=2, text="hash join table scan filter"),
+        Row(doc_id=3, text="hash table scan filter sort"),
+        Row(doc_id=4, text="table scan filter sort merge"),
+    ]
+    got = ndcg_at_k(
+        spark.createDataFrame(rows), ["hash", "join", "vector"], k=10
+    ).collect()[0]
+    w = ndcg_weights(10)
+    want_dcg = 3 * w[0] + 2 * w[1] + 1 * w[2]
+    assert got["dcg_micro"] == want_dcg
+    assert got["idcg_micro"] == want_dcg
+    assert got["ndcg"] == 1.0
