@@ -207,11 +207,15 @@ def golden_record(
     Output: key_cols + value_cols (one row per entity) + n_sources
     (how many rows merged) + last_seen (max of ``order_col``).
 
-    Scale shape: ONE window pass per entity partition (first
-    IGNORE NULLS over the recency-descending frame for every value
-    column in the same window) followed by a row_number dedup in the
-    SAME partitioning — Spark plans a single shuffle + sort for all of
-    it. No self-joins, no per-column passes."""
+    Scale shape: ONE window pass per entity partition — every frame is
+    a RUNNING frame over the recency-descending sort (first IGNORE
+    NULLS over [unbounded preceding, current], row_number, lead), all
+    O(n) incremental. The obvious alternative — first IGNORE NULLS over
+    [current, unbounded FOLLOWING] — is a trap: Spark's
+    UnboundedFollowingWindowFunctionFrame re-aggregates the tail for
+    EVERY row, O(n²) per partition (measured as a >25-minute stall on
+    the sf1 bench before this formulation). One shuffle + one sort,
+    no self-joins, no per-column passes."""
     # ``tiebreak_col`` (a unique row id) makes equal-recency rows
     # deterministic; key columns are constant within a partition and
     # cannot break ties
@@ -219,17 +223,25 @@ def golden_record(
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).desc())
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # evaluated at the LAST row of the desc sort (the oldest source row),
+    # the running frame covers the whole partition: first-non-null ==
+    # most-recent non-null, row_number == n_sources, first(order) == max
     picked = df.select(
         *key_cols,
         *[
-            F.first(F.col(c), ignorenulls=True).over(frame).alias(c)
+            F.first(F.col(c), ignorenulls=True).over(run).alias(c)
             for c in value_cols
         ],
-        F.count(F.lit(1)).over(frame).alias("n_sources"),
-        # the surviving row is the recency-max, so its own order value
-        # IS last_seen — no extra full-partition window needed
-        F.col(order_col).alias("last_seen"),
-        F.row_number().over(w).alias("_rn"),
+        F.row_number().over(w).alias("n_sources"),
+        F.first(F.col(order_col)).over(run).alias("last_seen"),
+        # lead of a CONSTANT: null exactly at the partition's last row,
+        # immune to null order values (lead(order_col) would false-flag
+        # the row before a null-recency straggler)
+        F.lead(F.lit(1), 1).over(w).alias("_next"),
     )
-    return picked.filter(F.col("_rn") == 1).drop("_rn").orderBy(*key_cols)
+    return (
+        picked.filter(F.col("_next").isNull())
+        .drop("_next")
+        .orderBy(*key_cols)
+    )
