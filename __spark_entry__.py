@@ -3843,6 +3843,31 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ndcg_at_k(docs, _BM25_TERMS, k=10)
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over orders (counts, nulls, ndv,
+    min/max, modal value) — values profile in engine-safe string
+    renderings (double pre-cast to DECIMAL, timestamp to DATE)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return aggregates.profile_table(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
@@ -3891,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": q_golden_record,
         "percentile_sketch": q_percentile_sketch,
         "ndcg_eval": q_ndcg_eval,
+        "profile_table": q_profile_table,
         # ---- (2b) NEW round 5, oracle-backed: never driver-checked ----
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
@@ -6684,6 +6710,51 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(dcg_micro AS DOUBLE)
                          / CAST(idcg_micro AS DOUBLE), 6) AS ndcg
             FROM dcg CROSS JOIN idcg
+        """
+    _prof_cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    _prof_cells = "\n                UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM src"
+        for c in _prof_cols
+    )
+    sqls["profile_table"] = f"""
+            WITH src AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+                       CAST(o_orderdate AS DATE) AS o_orderdate,
+                       o_orderpriority
+                FROM orders
+            ), cells AS (
+                {_prof_cells}
+            ), pv AS (
+                SELECT col, v, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+            ), roll AS (
+                SELECT col,
+                       SUM(cnt) AS n_rows,
+                       SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END)
+                           AS n_null,
+                       COUNT(v) AS ndv,
+                       MIN(v) AS min_value,
+                       MAX(v) AS max_value
+                FROM pv GROUP BY 1
+            ), top AS (
+                SELECT col, v AS top_value, cnt AS top_count FROM (
+                    SELECT col, v, cnt,
+                           ROW_NUMBER() OVER (PARTITION BY col
+                               ORDER BY cnt DESC, v ASC) AS rn
+                    FROM pv WHERE v IS NOT NULL
+                ) WHERE rn = 1
+            )
+            SELECT roll.col AS "column",
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_null AS BIGINT) AS n_null,
+                   CAST(ndv AS BIGINT) AS ndv,
+                   min_value, max_value, top_value,
+                   CAST(top_count AS BIGINT) AS top_count
+            FROM roll LEFT JOIN top ON roll.col = top.col
+            ORDER BY roll.col
         """
 
     sqls["top_paths"] = """

@@ -1297,3 +1297,63 @@ def fd_violations(
         F.max(dependent_col).alias("example_b"),
     )
     return agg.filter(F.col("n_dependents") > 1).orderBy(*determinant_cols)
+
+
+def profile_table(df: DataFrame, cols: list) -> DataFrame:
+    """One-pass column profiler — the table-of-contents artifact every
+    ingest pipeline writes before anything trusts a new feed: per
+    column, row/null counts, distinct cardinality, lexicographic
+    min/max, and the modal value with its count.
+
+    Values profile in their STRING rendering (callers cast floats to
+    DECIMAL first — float-to-string formatting is engine-specific,
+    decimal/int/date renderings are not). Ties for the modal value
+    break to the smallest value, so the profile is deterministic.
+
+    Output: (column, n_rows, n_null, ndv, min_value, max_value,
+    top_value, top_count), one row per profiled column, ordered by
+    column name.
+
+    Scale shape: ONE scan explodes each row into |cols| (column, value)
+    cells, then a combinable (column, value) count; everything after
+    operates on the |cols x distinct-values| relation, never the table.
+    The per-column rollup and the top-1 window both ride the same
+    column-keyed partitioning."""
+    from pyspark.sql import Window
+
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.column", "s.v")
+    per_val = cells.groupBy("column", "v").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    rollup = per_val.groupBy("column").agg(
+        F.sum("_cnt").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("_cnt")).otherwise(0)).alias(
+            "n_null"
+        ),
+        F.count(F.col("v")).alias("ndv"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+    )
+    w_top = Window.partitionBy("column").orderBy(
+        F.col("_cnt").desc(), F.col("v").asc()
+    )
+    top = (
+        per_val.filter(F.col("v").isNotNull())
+        .withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") == 1)
+        .select("column", F.col("v").alias("top_value"),
+                F.col("_cnt").alias("top_count"))
+    )
+    return rollup.join(top, "column", "left").orderBy("column")
