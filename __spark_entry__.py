@@ -8423,7 +8423,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM per_t CROSS JOIN tot
             ), hz AS (
                 SELECT t, n_risk, n_events, n_censored,
-                       (n_events * CAST(1000000000 AS BIGINT)) // n_risk
+                       (CAST(n_events AS HUGEINT) * 1000000000) // n_risk
                            AS hazard_nano
                 FROM risk WHERE n_events > 0
             )
@@ -8620,8 +8620,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, n00, n01, n10, n11,
                    -- sign factored out: Spark div truncates, DuckDB //
                    -- floors; they agree only on non-negative numerators
-                   CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-                        * ((1000 * abs(num)) // den) AS BIGINT)
+                   CAST(CASE WHEN den > 0 THEN
+                            (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                            * ((1000 * abs(num)) // den)
+                        END AS BIGINT)
                        AS kappa_milli
             FROM k
         """
@@ -9058,7 +9060,7 @@ def oracle_sql() -> dict[str, str]:
                                        * 1000.0 + 0.5) AS BIGINT) AS w
                 FROM tf JOIN dfx USING (term) CROSS JOIN nn
             ), norms AS (
-                SELECT id, SUM(CAST(w * w AS HUGEINT)) AS nrm
+                SELECT id, SUM(CAST(w AS HUGEINT) * w) AS nrm
                 FROM wgt GROUP BY 1
             ), rare AS (
                 SELECT term, id FROM wgt WHERE dfc <= 50
@@ -9068,7 +9070,7 @@ def oracle_sql() -> dict[str, str]:
                   ON a.term = b.term AND a.id < b.id
             ), num AS (
                 SELECT c.id_a, c.id_b,
-                       SUM(CAST(wa.w * wb.w AS HUGEINT)) AS num
+                       SUM(CAST(wa.w AS HUGEINT) * wb.w) AS num
                 FROM cand c
                 JOIN wgt wa ON wa.id = c.id_a
                 JOIN wgt wb ON wb.id = c.id_b AND wb.term = wa.term

@@ -1,0 +1,87 @@
+"""Round-7 hardening tests: the ADVICE r6 edge cases (degenerate kappa,
+misconfigured hash_split buckets, integer labels into woe_iv) plus the
+overflow-cast rewrites (operand cast BEFORE multiply)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yellowrush_spark_ml_pipeline_spark.operators import (
+    aggregates,
+    cleaning,
+    features,
+)
+
+
+def test_cohens_kappa_degenerate_constant_raters_is_null(spark):
+    # both raters constant-and-agreeing => pe = 1, denominator 0:
+    # kappa is undefined and must surface as NULL, not an error.
+    df = spark.range(10).select(
+        F.lit(True).alias("a"), F.lit(True).alias("b")
+    )
+    row = aggregates.cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert row["n"] == 10 and row["n11"] == 10
+    assert row["kappa_milli"] is None
+
+
+def test_cohens_kappa_normal_case_still_exact(spark):
+    # 2x2 = (n11=4, n10=1, n01=1, n00=4): po=0.8, pe=0.5, kappa=0.6
+    rows = (
+        [(True, True)] * 4
+        + [(True, False)]
+        + [(False, True)]
+        + [(False, False)] * 4
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    row = aggregates.cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert row["kappa_milli"] == 600
+
+
+def test_hash_split_rejects_short_bucket_cover(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("g"))
+    with pytest.raises(ValueError, match="upper bound must be 1000"):
+        cleaning.hash_split(df, "g", buckets=[("train", 900), ("val", 950)])
+    with pytest.raises(ValueError, match="upper bound must be 1000"):
+        cleaning.hash_split(df, "g", buckets=[])
+
+
+def test_hash_split_default_buckets_cover_everything(spark):
+    df = spark.range(500).select(F.col("id").cast("string").alias("g"))
+    out = cleaning.hash_split(df, "g")
+    assert out.filter(F.col("split").isNull()).count() == 0
+
+
+def test_woe_iv_accepts_integer_labels(spark):
+    # 0/1 int labels (the natural reading of "binary label") must work
+    # identically to booleans after the internal boolean cast.
+    rows = [("a", 1), ("a", 0), ("a", 1), ("b", 0), ("b", 0), ("b", 1)]
+    df = spark.createDataFrame(rows, "bucket string, y int")
+    as_int = features.woe_iv(df, "bucket", "y").collect()
+    df_b = df.select("bucket", F.col("y").cast("boolean").alias("y"))
+    as_bool = features.woe_iv(df_b, "bucket", "y").collect()
+    assert [r.asDict() for r in as_int] == [r.asDict() for r in as_bool]
+    assert as_int[0]["n_pos"] == 2 and as_int[0]["n_neg"] == 1
+
+
+def test_nelson_aalen_hazard_is_bigint_schema(spark):
+    # the DECIMAL(38,0) overflow route must still surface BIGINT columns
+    # (div on decimal operands yields a long integral part in Spark).
+    from yellowrush_spark_ml_pipeline_spark.operators import events
+
+    rows = [
+        (1, "signup", "2024-01-01 00:00:00", 1, 0.0),
+        (1, "purchase", "2024-01-01 01:30:00", 2, 0.0),
+        (2, "signup", "2024-01-01 00:00:00", 3, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, "
+        "event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = events.nelson_aalen(df)
+    dt = dict(out.dtypes)
+    assert dt["hazard_nano"] == "bigint"
+    assert dt["cum_hazard_nano"] == "bigint"
+    got = out.collect()
+    # user1 converts in bucket t=1 with 2 at risk -> hazard 0.5e9
+    assert [(r["t"], r["hazard_nano"]) for r in got] == [(1, 500000000)]

@@ -1080,8 +1080,11 @@ def cohens_kappa(
     wraps past ~3e9 rows). kappa may be NEGATIVE (worse-than-chance
     agreement), and Spark's ``div`` truncates toward zero while
     DuckDB's ``//`` floors — so the division runs on |numerator| with
-    the sign factored out, where the two semantics agree. One scan,
-    one single-row aggregate.
+    the sign factored out, where the two semantics agree. When both
+    raters are constant and agreeing (pe = 1, denominator 0) kappa is
+    undefined and the result is NULL on BOTH engines (Spark div would
+    yield NULL but DuckDB // would raise, so the guard is explicit).
+    One scan, one single-row aggregate.
     """
     a = rater_a.cast("boolean")
     bb = rater_b.cast("boolean")
@@ -1115,9 +1118,10 @@ def cohens_kappa(
         "n01",
         "n10",
         "n11",
-        (
+        F.when(
+            F.col("_den") > 0,
             F.when(F.col("_num") < 0, F.lit(-1)).otherwise(F.lit(1))
-            * F.expr("(1000 * abs(_num)) div _den")
+            * F.expr("(1000 * abs(_num)) div _den"),
         )
         .cast("long")
         .alias("kappa_milli"),

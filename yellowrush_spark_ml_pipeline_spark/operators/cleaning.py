@@ -247,11 +247,18 @@ def hash_split(
     contamination failure of fraction-based randomSplit).
 
     ``buckets`` are (name, upper_bound_exclusive) over [0, 1000),
-    ordered; e.g. the default is 98/1/1. One narrow projection — the
-    assignment adds no shuffle to whatever consumes it.
+    ordered; e.g. the default is 98/1/1. The final bound MUST be 1000
+    (validated loudly) so no hash value can fall through to a silent
+    NULL split. One narrow projection — the assignment adds no shuffle
+    to whatever consumes it.
     """
     from ..functions.hashing import md5_hash60
 
+    if not buckets or buckets[-1][1] != 1000:
+        raise ValueError(
+            "hash_split buckets must cover [0, 1000): the last bucket's "
+            f"upper bound must be 1000, got {list(buckets)!r}"
+        )
     b = md5_hash60(F.col(group_col).cast("string")) % F.lit(1000)
     expr = None
     for name, hi in buckets:

@@ -1029,7 +1029,10 @@ def nelson_aalen(
         risk.filter(F.col("n_events") > 0)
         .withColumn(
             "_h_nano",
-            F.expr("(n_events * CAST(1000000000 AS BIGINT)) div n_risk"),
+            F.expr(
+                "(CAST(n_events AS DECIMAL(38,0)) * 1000000000)"
+                " div n_risk"
+            ),
         )
         .select(
             "t",

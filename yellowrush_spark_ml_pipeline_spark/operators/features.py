@@ -206,6 +206,9 @@ def woe_iv(
     One scan, one ~|buckets|-row aggregation, one broadcast of totals.
     """
     lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    # Accept 0/1 integer labels as well as booleans: cast internally
+    # (as cohens_kappa does) so the natural "binary label" column works.
+    lab = lab.cast("boolean")
     b = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
     counts = (
         df.select(b.alias("bucket"), lab.alias("_y"))

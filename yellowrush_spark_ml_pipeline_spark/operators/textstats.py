@@ -1426,7 +1426,7 @@ def tfidf_cosine_pairs(
         # sides of the pair-scoring join
     )
     norms = weighted.groupBy("_id").agg(
-        F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_w")).alias(
             "_norm"
         )
     )
@@ -1449,7 +1449,7 @@ def tfidf_cosine_pairs(
         .join(pb, ["id_b", "term"])
         .groupBy("id_a", "id_b")
         .agg(
-            F.sum((F.col("_wa") * F.col("_wb")).cast("decimal(38,0)")).alias(
+            F.sum(F.col("_wa").cast("decimal(38,0)") * F.col("_wb")).alias(
                 "_num"
             )
         )
