@@ -1540,32 +1540,48 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (rows-only: the KMeans quantizer is
-    engine-internal; recall vs the exact baseline is asserted in
-    tests/test_extensions.py)."""
+    """IVF approximate top-10, ORACLE-backed since round 7 via the
+    exact-replayable quantizer (similarity.ivf_build_index_exact):
+    random-partition init on md5_hash60(id) mod n_lists + 2 unrolled
+    Lloyd steps in exact integer arithmetic, so DuckDB replays the WHOLE
+    lifecycle — init, both Lloyd steps, probe selection, in-list exact
+    cosine, top-k.  (The KMeans-quantizer `ivf_topk` remains the
+    full-featured path, recall-checked in tests/test_extensions.py.)"""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries_df, k=10, n_lists=16, n_probe=4)
+    assigned, centroids = similarity.ivf_build_index_exact(
+        emb, n_lists=16, lloyd_iters=2
+    )
+    return similarity.ivf_search_index_exact(
+        assigned, centroids, queries_df, k=10, n_probe=4
+    )
 
 
 def q_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF daily-ingest lifecycle: index built on 90% of the corpus, the
-    held-out 10% ingested with FROZEN centroids (ivf_assign — a narrow
-    argmin map, no KMeans refit), search over the grown index. Rows-only:
-    the quantizer is engine-internal (no oracle); argmin-assignment
-    exactness and recall vs brute force are asserted in
-    tests/test_extensions.py."""
+    """IVF daily-ingest lifecycle, ORACLE-backed since round 7: index
+    built on 90% of the corpus with the exact-replayable quantizer, the
+    held-out 10% ingested with FROZEN centroids (ivf_assign_exact — a
+    narrow argmin map, no refit), search over the grown index.  DuckDB
+    replays build + frozen-centroid assignment + search end-to-end."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 10 != 0)
     batch = emb.filter(F.col("vec_id") % 10 == 0)
-    assigned, centroids = similarity.ivf_build_index(base, n_lists=16)
-    grown = assigned.unionByName(similarity.ivf_assign(batch, centroids))
+    assigned, centroids = similarity.ivf_build_index_exact(
+        base, n_lists=16, lloyd_iters=2
+    )
+    grown = assigned.select("vec_id", "_cv", "_list").unionByName(
+        similarity.ivf_assign_exact(batch, centroids).select(
+            "vec_id", "_cv", "_list"
+        )
+    )
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_search_index(grown, centroids, queries_df, k=10, n_probe=4)
+    return similarity.ivf_search_index_exact(
+        grown, centroids, queries_df, k=10, n_probe=4
+    )
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5868,6 +5884,127 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 10
     """
+
+    # ---- exact-replayable IVF oracles (round 7): the quantizer is
+    # random-partition init (md5_hash60(id) mod n_lists) + 2 unrolled
+    # Lloyd steps in exact integer arithmetic (vectors quantized to
+    # floor(x * 2^20 + 0.5); centroid means = sign-factored truncating
+    # division of exact integer sums) — so DuckDB replays the WHOLE
+    # lifecycle: init, both Lloyd steps, frozen-centroid ingest, probe
+    # selection and in-list exact cosine.  Mirrors
+    # similarity.ivf_build_index_exact / ivf_assign_exact /
+    # ivf_search_index_exact with n_lists=16, scale_bits=20.
+    _ivf_d2 = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> ({a}[i] - {c}[i]) * ({a}[i] - {c}[i])))"
+    )
+
+    def _ivf_lloyd_ctes(src: str, rounds: int = 2) -> str:
+        """CTE chain a0 -> (m1,c1,d1,a1) -> ... over assignment source
+        ``src`` (must expose vec_id, cv, qv).  a0 is the hash-partition
+        init; a{r}/c{r} are the round-r assignment and centroids."""
+        h = "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT)"
+        parts = [
+            f"""a0 AS (
+                SELECT vec_id, cv, qv,
+                       CAST({h} % 16 AS INTEGER) AS l
+                FROM {src}
+            )"""
+        ]
+        for r in range(1, rounds + 1):
+            prev = f"a{r - 1}"
+            d2 = _ivf_d2.format(a="a.qv", c="c.c")
+            parts.append(
+                f"""m{r} AS (
+                SELECT l, gs.i AS i, SUM(qv[gs.i]) AS s, COUNT(*) AS n
+                FROM {prev}, generate_series(1, 64) gs(i)
+                GROUP BY 1, 2
+            ), c{r} AS (
+                SELECT l, list(CASE WHEN s < 0 THEN -((-s) // n)
+                                    ELSE s // n END ORDER BY i) AS c
+                FROM m{r} GROUP BY 1
+            ), d{r} AS (
+                SELECT a.vec_id, a.cv, a.qv, c.l, {d2} AS d2
+                FROM a0 a CROSS JOIN c{r} c
+            ), a{r} AS (
+                SELECT vec_id, cv, qv, l FROM (
+                    SELECT vec_id, cv, qv, l,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, l ASC) AS rn
+                    FROM d{r}
+                ) WHERE rn = 1
+            )"""
+            )
+        return ", ".join(parts)
+
+    _ivf_search_tail = f"""qr AS (
+                SELECT vec_id AS query_id, cv AS qcv, qv AS qqv
+                FROM base WHERE vec_id < 5
+            ), pd AS (
+                SELECT q.query_id, q.qcv, c.l,
+                       {_ivf_d2.format(a="q.qqv", c="c.c")} AS d2
+                FROM qr q CROSS JOIN c2 c
+            ), pr AS (
+                SELECT query_id, qcv, l FROM (
+                    SELECT query_id, qcv, l,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY d2 ASC, l ASC) AS rn
+                    FROM pd
+                ) WHERE rn <= 4
+            ), sc AS (
+                SELECT p.query_id, a.vec_id,
+                       ROUND(list_dot_product(p.qcv, a.cv)
+                             / (sqrt(list_dot_product(p.qcv, p.qcv))
+                                * sqrt(list_dot_product(a.cv, a.cv))), 6)
+                           AS cosine
+                FROM idx a JOIN pr p USING (l)
+            )
+            SELECT query_id, vec_id, rank, cosine FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC) AS rank,
+                       cosine
+                FROM sc
+            ) WHERE rank <= 10"""
+
+    _ivf_base = """base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS cv,
+                       list_transform(embedding::DOUBLE[],
+                           x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
+                           AS qv
+                FROM embeddings
+            )"""
+
+    sqls["similarity_ivf"] = f"""
+            WITH {_ivf_base},
+            {_ivf_lloyd_ctes("base")},
+            idx AS (SELECT vec_id, cv, l FROM a2),
+            {_ivf_search_tail}
+        """
+
+    sqls["similarity_incremental"] = f"""
+            WITH {_ivf_base},
+            bb AS (SELECT * FROM base WHERE vec_id % 10 <> 0),
+            {_ivf_lloyd_ctes("bb")},
+            nb AS (SELECT * FROM base WHERE vec_id % 10 = 0),
+            dn AS (
+                SELECT n.vec_id, n.cv, c.l,
+                       {_ivf_d2.format(a="n.qv", c="c.c")} AS d2
+                FROM nb n CROSS JOIN c2 c
+            ), an AS (
+                SELECT vec_id, cv, l FROM (
+                    SELECT vec_id, cv, l,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, l ASC) AS rn
+                    FROM dn
+                ) WHERE rn = 1
+            ),
+            idx AS (
+                SELECT vec_id, cv, l FROM a2
+                UNION ALL SELECT vec_id, cv, l FROM an
+            ),
+            {_ivf_search_tail}
+        """
 
     # ---- md5-mode dedup-tier oracles (round 4): the minhash permutation
     # coefficients are deterministic integers (functions/hashing.py), so

@@ -675,3 +675,190 @@ def quantized_recall(
         )
         .orderBy(query_id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-replayable IVF: a coarse quantizer whose EVERY step is integer
+# arithmetic with a cross-engine contract, so the whole index lifecycle
+# (build -> assign -> probe -> search) can be differentially checked by a
+# DuckDB oracle — the property the KMeans-based `ivf_topk` cannot have
+# (KMeans|| init is engine-internal).  The quantizer is real KMeans:
+# random-PARTITION initialization (each vector's initial list is
+# md5_hash60(id) mod n_lists — a classic init strategy) followed by
+# `lloyd_iters` unrolled Lloyd steps.  All distances run over vectors
+# quantized to integers (floor(x * 2^scale_bits + 0.5), exact in IEEE
+# double for |x| * 2^scale_bits < 2^52), centroid means use truncating
+# integer division with the sign factored out — so every assignment is
+# bit-identical across engines AND across partitionings (integer sums are
+# associative; double sums are not).  Exact cosine inside probed lists
+# still runs on the original doubles (deterministic per-row fold).
+# ---------------------------------------------------------------------------
+
+
+def _quantize_ints(vec: Column, scale_bits: int = 20) -> Column:
+    """floor(x * 2^scale_bits + 0.5) per component as BIGINT — exact and
+    identical in Spark and DuckDB for |x| < ~2^31/2^scale_bits."""
+    s = float(1 << scale_bits)
+    return F.transform(vec, lambda x: F.floor(x * F.lit(s) + F.lit(0.5)))
+
+
+def _int_sq_dist(qv: Column, centroid: list[int]) -> Column:
+    """Integer squared distance to a literal centroid — BIGINT fold."""
+    c = F.array(*[F.lit(int(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(qv, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_list(qv: Column, centroids: list[tuple[int, list[int]]]) -> Column:
+    """Nearest-centroid list id, ties broken by list id — mirrors the
+    oracle's ROW_NUMBER() OVER (ORDER BY d2, l)."""
+    dists = F.array(
+        *[
+            F.struct(
+                _int_sq_dist(qv, ctr).alias("d"), F.lit(int(l)).alias("l")
+            )
+            for l, ctr in centroids
+        ]
+    )
+    return F.array_sort(dists)[0].getField("l")
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division on exact Python ints — the
+    semantics both Spark's div and the oracle's sign-factored // share."""
+    return -((-s) // n) if s < 0 else s // n
+
+
+def ivf_build_index_exact(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    lloyd_iters: int = 2,
+    scale_bits: int = 20,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Build the exact-replayable IVF index.  Returns (assigned, centroids):
+    ``assigned`` has (id, _cv double-array, _qv int-array, _list) with every
+    vector in its nearest-centroid list; ``centroids`` is a driver-small
+    [(list_id, int-vector)] sorted by list id (persist as JSON; at 100 TB it
+    is n_lists x dim integers — the same "model is just data" footprint as
+    `ivf_assign`'s literal centroids).
+
+    Each Lloyd step is ONE combinable pass over the corpus (posexplode ->
+    partial SUM per (list, dim)) plus a driver-side exact-integer mean of
+    n_lists x dim cells — the identical dataflow KMeans uses, minus the
+    engine-internal init.
+    """
+    qdf = corpus.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_cv"),
+        _quantize_ints(as_double_array(F.col(vec_col)), scale_bits).alias(
+            "_qv"
+        ),
+    ).localCheckpoint(eager=True)  # each Lloyd step re-reads this relation
+
+    from ..functions.hashing import md5_hash60
+
+    assigned = qdf.withColumn(
+        "_list",
+        (md5_hash60(F.col(id_col).cast("string")) % F.lit(n_lists)).cast(
+            "int"
+        ),
+    )
+    centroids: list[tuple[int, list[int]]] = []
+    for _ in range(lloyd_iters):
+        cells = (
+            assigned.select("_list", F.posexplode("_qv").alias("_pos", "_v"))
+            .groupBy("_list", "_pos")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )  # n_lists x dim rows — driver-small by construction
+        by_list: dict[int, dict[int, int]] = {}
+        for r in cells:
+            by_list.setdefault(r["_list"], {})[r["_pos"]] = _trunc_div(
+                int(r["_s"]), int(r["_n"])
+            )
+        centroids = [
+            (l, [d[p] for p in sorted(d)]) for l, d in sorted(by_list.items())
+        ]
+        assigned = qdf.withColumn("_list", _argmin_list(F.col("_qv"), centroids))
+    return assigned, centroids
+
+
+def ivf_assign_exact(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Incremental-ingest half with FROZEN exact centroids: one narrow
+    argmin map, zero shuffles, union-compatible with the built index."""
+    out = df.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_cv"),
+        _quantize_ints(as_double_array(F.col(vec_col)), scale_bits).alias(
+            "_qv"
+        ),
+    )
+    return out.withColumn("_list", _argmin_list(F.col("_qv"), centroids))
+
+
+def ivf_search_index_exact(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 4,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Search: each query probes its ``n_probe`` nearest lists by INTEGER
+    centroid distance (ties by list id), exact double cosine runs only
+    inside probed lists, per-query window top-k with (cosine desc, id asc)
+    total order.  Same broadcast-probe plan shape as `ivf_search_index`."""
+    q = queries.select(
+        F.col(query_id_col),
+        as_double_array(F.col(vec_col)).alias("_qv_d"),
+        _quantize_ints(as_double_array(F.col(vec_col)), scale_bits).alias(
+            "_qv_i"
+        ),
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                _int_sq_dist(F.col("_qv_i"), ctr).alias("d"),
+                F.lit(int(l)).alias("l"),
+            )
+            for l, ctr in centroids
+        ]
+    )
+    probed = q.withColumn(
+        "_list",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, n_probe),
+                lambda s: s.getField("l"),
+            )
+        ),
+    ).select(query_id_col, "_qv_d", "_list")
+    scored = assigned.join(F.broadcast(probed), "_list").select(
+        query_id_col,
+        id_col,
+        F.round(
+            cosine_similarity(F.col("_qv_d"), F.col("_cv")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
