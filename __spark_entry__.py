@@ -1749,15 +1749,31 @@ def q_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _pred_artifact(sf_dir: str, name: str) -> str:
+    """Deterministic per-(sf, query) path for persisted eval predictions —
+    the relation BOTH engines read, making metric derivation
+    differentially checkable. sf0.01 artifacts are committed so the
+    oracle works even if it runs before the Spark half regenerates them
+    (predictions are seed-pinned and reproducible; a real drift would
+    surface as a hash mismatch, which is the point)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/root/repo/artifacts/predcache/{tag}/{name}"
+
+
 def q_ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M0-M8 end-to-end: labels → categorical encoding (StringIndexer+OHE,
     the reference's always-on path at nyc_taxi_final.py:581-596) → sample →
-    split → RF fit → cached-eval → one metrics row. Seed-pinned (seed=42).
-    Rows-only: models/vectors aren't SQL-expressible; seed-pinned metric
-    bands are asserted in tests/test_ml.py instead."""
+    split → RF fit → eval. ORACLE-backed since round 7: test-split
+    predictions persist as a parquet artifact and EVERY metric (confusion
+    counts, integer-milli accuracy/precision/recall/F1, integer-nano
+    Mann-Whitney AUC) derives from that relation in exact integer
+    arithmetic, replayed by DuckDB from the same artifact. Only the model
+    scores themselves stay non-SQL (bands pinned in tests/test_ml.py)."""
     from yellowrush_spark_ml_pipeline_spark.ml import (
+        binary_eval_artifact,
         encode_categorical,
-        evaluate_binary,
         train_classifier,
     )
 
@@ -1783,9 +1799,11 @@ def q_ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_high_value",
         sample_fraction=0.5,
     )
-    metrics = evaluate_binary(model, test_df, "is_high_value")
-    return spark.createDataFrame(
-        [tuple(round(v, 4) for v in metrics.values())], list(metrics.keys())
+    return binary_eval_artifact(
+        model,
+        test_df,
+        "is_high_value",
+        _pred_artifact(sf_dir, "ml_classifier_metrics"),
     )
 
 
@@ -1928,10 +1946,13 @@ def q_text_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary fit) → IDF → LogisticRegression, trained on a
     deterministic labeled seed set (natural docs = clean vs planted
     token-soup spam variants) and evaluated on the held-out split — one
-    metrics row. Rows-only: models/vectors aren't SQL-expressible;
-    seed-pinned metric bands are asserted in tests/test_ml.py."""
+    metrics row. ORACLE-backed since round 7 via the persisted-prediction
+    artifact (see q_ml_classifier_metrics): confusion counts and
+    integer-exact accuracy/precision/recall/F1/AUC all replay in DuckDB
+    from the same parquet; only the LR scores stay non-SQL (bands pinned
+    in tests/test_ml.py)."""
     from yellowrush_spark_ml_pipeline_spark.ml import (
-        evaluate_binary,
+        binary_eval_artifact,
         train_quality_classifier,
     )
 
@@ -1947,10 +1968,11 @@ def q_text_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("label"),
     )
     model, _, test_df = train_quality_classifier(clean.unionByName(spam))
-    metrics = evaluate_binary(model, test_df, "label")
-    return spark.createDataFrame(
-        [tuple(round(v, 4) for v in metrics.values())],
-        list(metrics.keys()),
+    return binary_eval_artifact(
+        model,
+        test_df,
+        "label",
+        _pred_artifact(sf_dir, "text_classifier_metrics"),
     )
 
 
@@ -6005,6 +6027,70 @@ def oracle_sql() -> dict[str, str]:
             ),
             {_ivf_search_tail}
         """
+
+    # ---- persisted-prediction eval oracles (round 7): the Spark half of
+    # ml/text_classifier_metrics writes the test-split predictions as a
+    # parquet artifact, then derives every metric from that relation in
+    # exact integer arithmetic; the oracle reads the SAME artifact and
+    # replays the derivation — confusion counts, truncating-division
+    # milli metrics, and tie-corrected integer Mann-Whitney AUC. The
+    # sf0.01 artifacts are committed so oracle-before-spark execution
+    # orders also work (predictions are seed-pinned).
+    def _pred_eval_sql(name: str) -> str:
+        path = f"/root/repo/artifacts/predcache/sf0.01/{name}/*.parquet"
+        return f"""
+            WITH p AS (
+                SELECT label, prediction, prob
+                FROM read_parquet('{path}')
+            ), c AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN label = 1 AND prediction = 1
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(SUM(CASE WHEN label = 0 AND prediction = 1
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(SUM(CASE WHEN label = 1 AND prediction = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                       CAST(SUM(CASE WHEN label = 0 AND prediction = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                FROM p
+            ), rk AS (
+                SELECT label,
+                       2 * RANK() OVER (ORDER BY prob)
+                       + COUNT(*) OVER (PARTITION BY prob) - 1 AS r2
+                FROM p
+            ), r AS (
+                SELECT CAST(SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END)
+                            AS BIGINT) AS r2pos,
+                       CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS npos,
+                       CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nneg
+                FROM rk
+            )
+            SELECT n, tp, fp, fn, tn,
+                   CAST((1000 * (tp + tn)) // n AS BIGINT) AS accuracy_milli,
+                   CAST(CASE WHEN tp + fp > 0
+                             THEN (1000 * tp) // (tp + fp) END AS BIGINT)
+                       AS precision_milli,
+                   CAST(CASE WHEN tp + fn > 0
+                             THEN (1000 * tp) // (tp + fn) END AS BIGINT)
+                       AS recall_milli,
+                   CAST(CASE WHEN 2 * tp + fp + fn > 0
+                             THEN (2000 * tp) // (2 * tp + fp + fn) END
+                        AS BIGINT) AS f1_milli,
+                   CAST(CASE WHEN npos > 0 AND nneg > 0 THEN
+                            ((CAST(r2pos AS HUGEINT)
+                              - CAST(npos AS HUGEINT) * (npos + 1))
+                             * 1000000000)
+                            // (CAST(2 AS HUGEINT) * npos * nneg)
+                        END AS BIGINT) AS auc_nano
+            FROM c CROSS JOIN r
+        """
+
+    sqls["ml_classifier_metrics"] = _pred_eval_sql("ml_classifier_metrics")
+    sqls["text_classifier_metrics"] = _pred_eval_sql(
+        "text_classifier_metrics"
+    )
 
     # ---- md5-mode dedup-tier oracles (round 4): the minhash permutation
     # coefficients are deterministic integers (functions/hashing.py), so

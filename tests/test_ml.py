@@ -55,10 +55,17 @@ def test_classifier_metric_band(spark, sf_small):
     regression (wrong label, broken encoding, leaked split) fails this."""
     mdf = entrymod.q_ml_classifier_metrics(spark, sf_small)
     row = mdf.first().asDict()
-    assert set(row) == {"roc_auc", "accuracy", "precision", "recall", "f1"}
-    assert 0.95 <= row["roc_auc"] <= 1.0, row
-    assert 0.9 <= row["accuracy"] <= 1.0, row
-    assert 0.9 <= row["f1"] <= 1.0, row
+    # round 7: the registry query returns the oracle-checkable integer
+    # form (confusion counts + milli metrics + nano Mann-Whitney AUC)
+    assert set(row) == {
+        "n", "tp", "fp", "fn", "tn",
+        "accuracy_milli", "precision_milli", "recall_milli", "f1_milli",
+        "auc_nano",
+    }
+    assert row["n"] == row["tp"] + row["fp"] + row["fn"] + row["tn"]
+    assert 950_000_000 <= row["auc_nano"] <= 1_000_000_000, row
+    assert 900 <= row["accuracy_milli"] <= 1000, row
+    assert 900 <= row["f1_milli"] <= 1000, row
 
 
 def test_feature_importances_rank(spark, labeled_orders):

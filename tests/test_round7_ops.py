@@ -157,3 +157,29 @@ def test_ivf_exact_incremental_matches_full_build_assignment(spark, sf_oracle):
     got = similarity.ivf_assign_exact(batch, centroids)
     assert got.count() == batch.count()
     assert dict(got.dtypes)["_list"] == "int"
+
+
+def test_mann_whitney_auc_matches_mllib_evaluator(spark, sf_small):
+    """auc_nano (tie-corrected integer Mann-Whitney over persisted probs)
+    must agree with MLlib's areaUnderROC — same statistic, different
+    computation — to float tolerance."""
+    import __spark_entry__ as entrymod
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    row = entrymod.q_ml_classifier_metrics(spark, sf_small).first()
+    pred = spark.read.parquet(
+        "/root/repo/artifacts/predcache/sf0.001/ml_classifier_metrics"
+    )
+    # rebuild a rawPrediction-like column from prob for the evaluator
+    from pyspark.ml.functions import array_to_vector
+
+    scored = pred.select(
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(
+            F.array(F.lit(1.0) - F.col("prob"), F.col("prob"))
+        ).alias("rawPrediction"),
+    )
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction"
+    ).evaluate(scored)
+    assert abs(row["auc_nano"] / 1e9 - auc) < 1e-6, (row["auc_nano"], auc)

@@ -495,3 +495,96 @@ def train_quality_classifier(
         [train_fraction, 1 - train_fraction], seed=seed
     )
     return pipe.fit(train_df), train_df, test_df
+
+
+def binary_eval_artifact(
+    model: PipelineModel,
+    test_df: DataFrame,
+    label_col: str,
+    out_path: str,
+) -> DataFrame:
+    """Oracle-checkable binary evaluation (round 7): persist the test-split
+    predictions as a parquet ARTIFACT — (label, prediction, prob) with
+    prob = P(class 1) — then derive every metric from the persisted
+    relation in EXACT integer arithmetic, so a SQL oracle reading the same
+    artifact replays the entire derivation:
+
+    * confusion counts tp/fp/fn/tn — integer aggregation;
+    * accuracy/precision/recall/f1 in milli-units — one truncating
+      division each, non-negative numerators (Spark div == DuckDB //);
+    * AUC in nano-units via the tie-corrected Mann-Whitney identity
+      AUC = (2*Rpos - npos*(npos+1)) / (2*npos*nneg), where 2*Rpos uses
+      doubled average ranks (2*rank + ties - 1) to stay integral. No
+      float arithmetic anywhere — probabilities are only ORDERED, and
+      both engines order the identical persisted doubles.
+
+    The model-dependent half (the scores) is deliberately NOT re-derived
+    by the oracle — models aren't SQL — but everything downstream of the
+    scores is differentially checked, which is exactly the half where the
+    round-4/5 metric-derivation bugs lived. MLlib-evaluator parity for
+    the float path stays pinned in tests/test_ml.py.
+
+    Scale note: the rank window is unpartitioned but runs over the
+    EVAL artifact only (test split of a sample — bounded by design,
+    never the fact table).
+    """
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    preds = model.transform(test_df).select(
+        F.col(label_col).cast("int").alias("label"),
+        F.col("prediction").cast("int").alias("prediction"),
+        vector_to_array(F.col("probability"))[1].alias("prob"),
+    )
+    preds.coalesce(1).write.mode("overwrite").parquet(out_path)
+
+    spark = test_df.sparkSession
+    p = spark.read.parquet(out_path)
+    c = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 1)).cast("bigint")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 1)).cast("bigint")).alias("fp"),
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 0)).cast("bigint")).alias("fn"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 0)).cast("bigint")).alias("tn"),
+    )
+    w = Window.orderBy("prob")
+    ranked = p.select(
+        "label",
+        (
+            F.lit(2) * F.rank().over(w)
+            + F.count(F.lit(1)).over(Window.partitionBy("prob"))
+            - F.lit(1)
+        ).alias("_r2"),
+    )
+    r = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("_r2")).otherwise(F.lit(0))).alias("r2pos"),
+        F.sum((F.col("label") == 1).cast("bigint")).alias("npos"),
+        F.sum((F.col("label") == 0).cast("bigint")).alias("nneg"),
+    )
+    return (
+        c.crossJoin(F.broadcast(r))
+        .select(
+            "n",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.expr("(1000 * (tp + tn)) div n").alias("accuracy_milli"),
+            F.expr(
+                "CASE WHEN tp + fp > 0 THEN (1000 * tp) div (tp + fp) END"
+            ).alias("precision_milli"),
+            F.expr(
+                "CASE WHEN tp + fn > 0 THEN (1000 * tp) div (tp + fn) END"
+            ).alias("recall_milli"),
+            F.expr(
+                "CASE WHEN 2 * tp + fp + fn > 0"
+                " THEN (2000 * tp) div (2 * tp + fp + fn) END"
+            ).alias("f1_milli"),
+            F.expr(
+                "CASE WHEN npos > 0 AND nneg > 0 THEN"
+                " CAST((CAST(r2pos AS DECIMAL(38,0)) - CAST(npos AS DECIMAL(38,0)) * (npos + 1))"
+                "      * 1000000000 AS DECIMAL(38,0))"
+                " div (CAST(2 AS DECIMAL(38,0)) * npos * nneg) END"
+            ).cast("long").alias("auc_nano"),
+        )
+    )
