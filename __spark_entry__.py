@@ -2261,13 +2261,13 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cu = _t(spark, sf_dir, "customer")
     ev = _t(spark, sf_dir, "events")
+    # Round 7: ALL of a fact table's constraints — column checks AND FK
+    # orphans — fuse into ONE scan per table (dq_fused_table_checks):
+    # lineitem is read once for PK + range + orphans (at 100 TB, one
+    # fact pass instead of three), orders once for PK + cust orphans.
     checks = {
-        "orders_pk_unique": aggregates.pk_duplicates(o, "o_orderkey"),
-        # The two plain column constraints on lineitem fuse into ONE scan
-        # (dq_column_checks) — at 100 TB the fact table is read once for
-        # all its non-join checks, not once per constraint.
-        "lineitem_column_checks": aggregates.dq_column_checks(
-            li,
+        "lineitem_checks": aggregates.dq_fused_table_checks(
+            li.select("l_orderkey", "l_linenumber", "l_quantity"),
             {
                 "lineitem_pk_unique": aggregates.pk_duplicates_expr(
                     "l_orderkey", "l_linenumber"
@@ -2276,12 +2276,16 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)
                 ),
             },
+            {"lineitem_order_orphans": (o, "l_orderkey", "o_orderkey")},
         ),
-        "lineitem_order_orphans": aggregates.fk_orphans(
-            li, o, "l_orderkey", "o_orderkey"
-        ),
-        "orders_customer_orphans": aggregates.fk_orphans(
-            o, cu, "o_custkey", "c_custkey"
+        "orders_checks": aggregates.dq_fused_table_checks(
+            o.select("o_orderkey", "o_custkey"),
+            {
+                "orders_pk_unique": aggregates.pk_duplicates_expr(
+                    "o_orderkey"
+                ),
+            },
+            {"orders_customer_orphans": (cu, "o_custkey", "c_custkey")},
         ),
         "events_user_not_null": ev.agg(
             count_if(F.col("user_id").isNull()).alias("violations")

@@ -787,3 +787,24 @@ def test_bpe_merges_dictionary_rounds(spark, sf_small):
     assert "CartesianProduct" not in plan
     rep = plan_report(df)
     assert not rep["python_udf"]
+
+
+def test_dq_report_one_scan_per_fact_table(spark, sf_small):
+    """Round-7 contract (r5 stretch item): every fact table's constraint
+    set — column checks AND FK orphans — runs in ONE scan of that table.
+    lineitem appears exactly once in the plan (PK + range + orphans all
+    fused), orders at most twice (its own checks + the broadcast dim
+    build for the lineitem branch), five scans total — down from seven
+    before the fusion. FK parents must plan as broadcast builds."""
+    df = entrymod.queries()["dq_report"](spark, sf_small)
+    plan = explain_str(df)
+    scans = re.findall(
+        r"\(\d+\) Scan parquet\s*\nOutput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    li_scans = [s for s in scans if "l_orderkey" in s]
+    o_scans = [s for s in scans if "o_orderkey" in s or "o_custkey" in s]
+    assert len(li_scans) == 1, f"lineitem must scan once: {scans}"
+    assert len(o_scans) <= 2, f"orders scanned too often: {scans}"
+    assert len(scans) <= 5, f"too many scans: {scans}"
+    assert "BroadcastHashJoin" in plan
+    assert _no_cartesian(plan)

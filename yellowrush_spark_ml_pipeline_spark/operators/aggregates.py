@@ -718,6 +718,50 @@ def pk_duplicates_expr(*key_cols: str) -> Column:
     return F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols])
 
 
+def dq_fused_table_checks(
+    fact: DataFrame,
+    column_exprs: dict[str, "Column"],
+    fk_checks: dict[str, tuple[DataFrame, str, str]] | None = None,
+) -> DataFrame:
+    """Fuse ALL of one fact table's constraints — plain column/aggregate
+    checks AND FK-orphan checks — into ONE scan of the fact table
+    (round-7 close of the r5 stretch item; PLANS.md dq_report).
+
+    Each ``fk_checks[name] = (parent_df, fact_key, parent_key)`` becomes a
+    broadcast LEFT join against the parent's DISTINCT key column (distinct
+    keeps the join row-preserving even if the parent key has duplicates —
+    the parent's own PK check reports those separately), after which the
+    orphan count is just ``count_if(marker IS NULL)`` — an expression in
+    the SAME conditional aggregation as every column check. At 100 TB the
+    fact table is read ONCE for its whole constraint set instead of once
+    per constraint; the parents stay dim-sized broadcast builds.
+
+    Output: (check, violations) rows — feed straight into
+    :func:`dq_report`."""
+    if not column_exprs and not fk_checks:
+        raise ValueError("dq_fused_table_checks needs at least one check")
+    out = fact
+    exprs = dict(column_exprs)
+    for name, (parent, fact_key, parent_key) in sorted(
+        (fk_checks or {}).items()
+    ):
+        marker = f"_dq_fk_{name}"
+        out = out.join(
+            F.broadcast(
+                parent.select(F.col(parent_key).alias(marker)).distinct()
+            ),
+            on=F.col(fact_key) == F.col(marker),
+            how="left",
+        )
+        exprs[name] = F.sum(F.col(marker).isNull().cast("long"))
+    names = sorted(exprs)
+    row = out.agg(*[exprs[n].cast("long").alias(n) for n in names])
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return row.selectExpr(
+        f"stack({len(names)}, {stack}) AS (check, violations)"
+    )
+
+
 def pk_duplicates(df: DataFrame, *key_cols: str) -> DataFrame:
     """Violation count for a primary-key constraint: rows minus distinct
     keys (0 = unique). NULL-key caveat: count_distinct drops rows where
