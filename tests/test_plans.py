@@ -808,3 +808,71 @@ def test_dq_report_one_scan_per_fact_table(spark, sf_small):
     assert len(scans) <= 5, f"too many scans: {scans}"
     assert "BroadcastHashJoin" in plan
     assert _no_cartesian(plan)
+
+
+def _tree_nodes(plan_str: str):
+    """Parse a physical-plan toString() tree into (depth, text) nodes.
+    Depth is the character offset of the operator name — children are
+    strictly deeper than their parent and appear after it."""
+    nodes = []
+    for line in plan_str.splitlines():
+        if not line.strip() or line.lstrip().startswith("=="):
+            continue
+        m = re.search(r"[A-Za-z]", line)
+        if not m:
+            continue
+        nodes.append((m.start(), line[m.start():].strip()))
+    return nodes
+
+
+def _unbounded_single_partition_windows(plan_str: str) -> list[str]:
+    """Return violations: single-partition Window ops whose subtree
+    reaches a parquet scan WITHOUT passing through a bounding operator
+    (aggregate / limit / window-group-limit) — i.e. an all-rows sort of
+    an unbounded relation. The bounded-window contract says every
+    unpartitioned window must consume a pre-aggregated or limited
+    relation, never the fact table."""
+    nodes = _tree_nodes(plan_str)
+    bounding = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+                "GlobalLimit", "LocalLimit", "WindowGroupLimit",
+                "TakeOrderedAndProject", "BroadcastNestedLoopJoin")
+    bad = []
+    for i, (d, text) in enumerate(nodes):
+        if not text.startswith("Window"):
+            continue
+        # subtree: following nodes strictly deeper than the window node
+        j = i + 1
+        saw_single = False
+        # walk the subtree; a scan is OK once ANY bounding op lies on the
+        # path above it.  Track the minimum-depth bounding ops seen so
+        # far: a scan at depth ds is covered if some bounding ancestor
+        # with depth < ds appeared earlier in the walk.
+        bound_depths: list[int] = []
+        while j < len(nodes) and nodes[j][0] > d:
+            dd, tt = nodes[j][0], nodes[j][1]
+            bound_depths = [b for b in bound_depths if b < dd] + (
+                [dd] if tt.startswith(bounding) else []
+            )
+            if "Exchange SinglePartition" in tt:
+                saw_single = True
+            if tt.startswith("Scan parquet") or "FileScan" in tt:
+                if saw_single and not any(b < dd for b in bound_depths):
+                    bad.append(text[:80])
+                    break
+            j += 1
+    return bad
+
+
+def test_bounded_window_contract_for_global_order_family(spark, sf_small):
+    """quality_buckets / theil_sen / lttb_downsample / quantile_cutoff
+    use unpartitioned Window.orderBy — legal ONLY because the window
+    input is a pre-aggregated (or limited) relation, never the raw fact
+    table. This pins that docstring promise mechanically: any
+    single-partition window whose subtree reaches a parquet scan without
+    an intervening aggregate/limit fails."""
+    for name in ("quality_buckets", "theil_sen", "lttb_downsample",
+                 "quantile_cutoff"):
+        df = entrymod.queries()[name](spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = _unbounded_single_partition_windows(plan)
+        assert not bad, f"{name}: unbounded single-partition window: {bad}"

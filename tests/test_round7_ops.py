@@ -183,3 +183,47 @@ def test_mann_whitney_auc_matches_mllib_evaluator(spark, sf_small):
         labelCol="label", rawPredictionCol="rawPrediction"
     ).evaluate(scored)
     assert abs(row["auc_nano"] / 1e9 - auc) < 1e-6, (row["auc_nano"], auc)
+
+
+def test_ntile_buckets_histogram_form_equals_row_level_ntile(spark):
+    """The round-7 aggregate-then-distribute rewrite must reproduce the
+    row-level NTILE profile exactly — including tie-heavy data and the
+    N < n_buckets degenerate (q=0) case."""
+    from pyspark.sql import Window
+
+    from yellowrush_spark_ml_pipeline_spark.operators import aggregates
+
+    cases = [
+        # heavy ties: 1000 rows over 7 distinct values
+        [(i, i % 7) for i in range(1000)],
+        # fewer rows than buckets
+        [(i, i * 10) for i in range(4)],
+        # all-identical values
+        [(i, 5) for i in range(37)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = {
+            r["bucket"]: (r["n_rows"], r["min_value"], r["max_value"],
+                          r["total_value"])
+            for r in aggregates.ntile_buckets(
+                df, "n_chars", "doc_id", n_buckets=10
+            ).collect()
+        }
+        w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+        want = {
+            r["bucket"]: (r["n_rows"], r["min_value"], r["max_value"],
+                          r["total_value"])
+            for r in df.select(
+                "n_chars", F.ntile(10).over(w).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("n_chars").alias("min_value"),
+                F.max("n_chars").alias("max_value"),
+                F.sum(F.col("n_chars").cast("bigint")).alias("total_value"),
+            )
+            .collect()
+        }
+        assert got == want, (rows[:3], got, want)

@@ -192,28 +192,85 @@ def ntile_buckets(
     id_col: str,
     n_buckets: int = 10,
 ) -> DataFrame:
-    """Equal-frequency bucketing (NTILE) + per-bucket profile: the
-    quality-stratification step of corpus curation ("drop the bottom
-    decile, oversample the top one"). The (value, id) ORDER BY is a total
-    order, so bucket assignment is deterministic and engine-portable.
+    """Equal-frequency bucketing (NTILE semantics) + per-bucket profile:
+    the quality-stratification step of corpus curation ("drop the bottom
+    decile, oversample the top one").
 
-    Scale note: NTILE needs a global rank, which Spark executes as a
-    single-partition window — fine for the per-bucket PROFILE (the window
-    input can be pre-aggregated), wrong for tagging 100 TB of rows. For
-    row tagging at scale use `quantile_cutoff` below (aggregate-then-rank
-    on the value histogram) — same math, no global sort of the fact
-    table."""
+    Round-7 scale rewrite — aggregate-then-DISTRIBUTE, no global sort of
+    the fact table: rows first COLLAPSE to per-value counts (one
+    combinable shuffle), the running sum over the |distinct values|-row
+    histogram gives each value its global rank interval [start, end],
+    and NTILE's bucket arithmetic (first N mod n buckets get one extra
+    row) distributes that interval across the <= n buckets it straddles
+    in exact integers. Because rows tied on value are IDENTICAL in the
+    profiled column, the per-bucket aggregates equal the row-level
+    NTILE(value, id) profile exactly — same output, and the only
+    unpartitioned window runs over the pre-aggregated histogram (the
+    bounded-window contract pinned in tests/test_plans.py). The DuckDB
+    oracle keeps the row-level NTILE form, differentially proving the
+    distribution arithmetic."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
-    tagged = df.select(
-        F.col(value_col), F.ntile(n_buckets).over(w).alias("bucket")
+    counts = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
-    return tagged.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(value_col).alias("min_value"),
-        F.max(value_col).alias("max_value"),
-        F.sum(F.col(value_col).cast("bigint")).alias("total_value"),
+    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        counts.withColumn("_end", F.sum("_cnt").over(w))
+        .withColumn("_n", F.sum("_cnt").over(Window.partitionBy()))
+        .withColumn("_start", F.col("_end") - F.col("_cnt") + 1)
+    )
+    # NTILE(n) over N rows: q = N div n, rem = N mod n; bucket b has
+    # q+1 rows for b <= rem else q.  bucket(r) closed form (guarded for
+    # q = 0, where only the first branch is ever taken):
+    spread = (
+        cum.withColumn("_q", F.expr(f"_n div {n_buckets}"))
+        .withColumn("_rem", F.col("_n") % n_buckets)
+        .withColumn(
+            "_b0",
+            F.expr(
+                "CASE WHEN _start <= _rem * (_q + 1)"
+                " THEN (_start - 1) div (_q + 1) + 1"
+                " ELSE _rem + (_start - _rem * (_q + 1) - 1) div _q + 1 END"
+            ),
+        )
+        .withColumn(
+            "_b1",
+            F.expr(
+                "CASE WHEN _end <= _rem * (_q + 1)"
+                " THEN (_end - 1) div (_q + 1) + 1"
+                " ELSE _rem + (_end - _rem * (_q + 1) - 1) div _q + 1 END"
+            ),
+        )
+        .select(
+            "_v",
+            "_cnt",
+            "_start",
+            "_end",
+            "_q",
+            "_rem",
+            F.explode(F.sequence("_b0", "_b1")).alias("bucket"),
+        )
+        .withColumn(
+            "_bstart",
+            F.expr("(bucket - 1) * _q + least(bucket - 1, _rem) + 1"),
+        )
+        .withColumn("_bend", F.expr("bucket * _q + least(bucket, _rem)"))
+        .withColumn(
+            "_rows",
+            F.least("_end", "_bend") - F.greatest("_start", "_bstart") + 1,
+        )
+        .filter(F.col("_rows") > 0)
+    )
+    return spread.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.sum("_rows").alias("n_rows"),
+        F.min("_v").alias("min_value"),
+        F.max("_v").alias("max_value"),
+        F.sum(F.col("_v").cast("bigint") * F.col("_rows")).alias(
+            "total_value"
+        ),
     )
 
 
