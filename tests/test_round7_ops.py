@@ -227,3 +227,68 @@ def test_ntile_buckets_histogram_form_equals_row_level_ntile(spark):
             .collect()
         }
         assert got == want, (rows[:3], got, want)
+
+
+def _planted_corpus(spark, n_docs: int, seed: int = 7):
+    """Corpus with boilerplate stamped into 40% of docs and 20 planted
+    suffix-mutated near-dups — scaled to n_docs so the same GENERATIVE
+    process runs at two data decades."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    boiler = (
+        "this content is provided as is without warranty of any kind " * 5
+    )
+    docs = []
+    for i in range(n_docs):
+        body = " ".join(rng.choice(vocab) for _ in range(60))
+        if i % 5 in (0, 1):
+            docs.append((i, boiler + " " + body[:20]))
+        else:
+            docs.append((i, body))
+    planted = set()
+    for i in range(2, 100, 5):
+        docs.append((2_000_000 + i, docs[i][1] + " tail x y"))
+        planted.add((i, 2_000_000 + i))
+    return spark.createDataFrame(docs, ["doc_id", "text"]), planted
+
+
+def test_auto_caps_are_scale_invariant_on_planted_duplicates(spark):
+    """relative_cap closes the sf-tuned-constants caveat: with
+    max_bucket_size="auto" the SAME planted near-dups are found at two
+    corpus scales (700 and 7000 docs), while the boilerplate bucket stays
+    excluded at both — an absolute cap tuned at one scale fails one side
+    or the other."""
+    from yellowrush_spark_ml_pipeline_spark.operators import dedup
+
+    assert dedup.relative_cap(500) == 64          # floor branch
+    assert dedup.relative_cap(10_000_000) == 1000  # relative branch
+
+    for n_docs in (700, 7000):
+        df, planted = _planted_corpus(spark, n_docs)
+        sigs = dedup.minhash_signatures(df).localCheckpoint()
+        capped = dedup.minhash_lsh_candidates(sigs, max_bucket_size="auto")
+        pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+        found = planted & pairs
+        assert len(found) >= 16, (
+            f"auto cap lost planted near-dups at n={n_docs}: "
+            f"{len(found)}/20"
+        )
+        # boilerplate bucket (40% of corpus >> cap) must stay excluded:
+        # candidate count stays far below the quadratic count
+        quad = (2 * n_docs // 5) ** 2 / 2
+        assert len(pairs) < quad / 10, (n_docs, len(pairs), quad)
+
+
+def test_auto_cap_resolution_values(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.dedup import (
+        _resolve_cap,
+    )
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    assert _resolve_cap(None, df, "doc_id") is None
+    assert _resolve_cap(17, df, "doc_id") == 17
+    assert _resolve_cap("auto", df, "doc_id") == 64  # floor at small N
+    with pytest.raises(ValueError, match="auto"):
+        _resolve_cap("bogus", df, "doc_id")

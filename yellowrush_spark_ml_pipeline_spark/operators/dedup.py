@@ -156,6 +156,37 @@ def _band_signatures(
     )
 
 
+def relative_cap(n_rows: int, floor: int = 64, denom: int = 10_000) -> int:
+    """Corpus-relative skew-cap default: ``max(floor, n_rows // denom)``.
+
+    Round-7 close of the sf-tuned-constants caveat: an ABSOLUTE bucket/
+    block cap tuned at one scale silently changes which candidates exist
+    at another (too tight at 100 TB drops real near-dup clusters; too
+    loose at sf0.01 lets boilerplate go quadratic). Expressed relative to
+    corpus size, the cap keeps the same MEANING across decades: a bucket
+    is "boilerplate-skewed" when it holds more than ~0.01% of the corpus
+    (never fewer than ``floor`` members, so small corpora are never
+    capped). Pass the result anywhere a ``max_bucket_size`` /
+    ``max_block_size`` parameter is taken, or pass the string ``"auto"``
+    to those operators to have them derive it from a one-scalar count of
+    their own input (a documented bounded driver action — same class as
+    the connected-components convergence scalar)."""
+    return max(floor, n_rows // denom)
+
+
+def _resolve_cap(
+    cap: int | str | None, df: DataFrame, id_col: str
+) -> int | None:
+    """Resolve a cap parameter: int → itself, "auto" → relative_cap of
+    the distinct-id count of ``df``, None → no cap."""
+    if cap is None or isinstance(cap, int):
+        return cap
+    if cap == "auto":
+        n = df.select(id_col).distinct().count()
+        return relative_cap(n)
+    raise ValueError(f"cap must be int, None or 'auto', got {cap!r}")
+
+
 def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
     """Drop band buckets with more than ``max_bucket_size`` members (the
     boilerplate-skew guard — see module docstring)."""
@@ -173,7 +204,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     exact_keys: bool = False,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_id, band_hash) to emit
@@ -189,7 +220,10 @@ def minhash_lsh_candidates(
     (already collapsed by the cheaper exact/fingerprint tiers that run
     first at 100 TB) or share only ubiquitous boilerplate (not meaningful
     near-dup evidence). The cap is computed with one extra aggregation on
-    the bucket key — no window, no second shuffle of the full banded set."""
+    the bucket key — no window, no second shuffle of the full banded set.
+    ``"auto"`` derives the cap from corpus size via :func:`relative_cap`
+    (scale-invariant meaning across data decades)."""
+    max_bucket_size = _resolve_cap(max_bucket_size, sigs, id_col)
     banded = _band_signatures(sigs, id_col, bands, rows_per_band, exact_keys)
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, max_bucket_size)
@@ -219,7 +253,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     basis: str = "word",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     hash_fn: str = "xxhash64",
     round_digits: int | None = 6,
 ) -> DataFrame:
@@ -255,7 +289,7 @@ def minhash_incremental_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     basis: str = "word",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     hash_fn: str = "xxhash64",
     round_digits: int | None = 6,
 ) -> DataFrame:
@@ -282,6 +316,7 @@ def minhash_incremental_pairs(
     )
     rows_per_band = num_hashes // bands
     banded_new = _band_signatures(new_sigs, id_col, bands, rows_per_band, exact)
+    max_bucket_size = _resolve_cap(max_bucket_size, corpus_sigs, id_col)
     banded_corpus = _band_signatures(corpus_sigs, id_col, bands, rows_per_band, exact)
     if max_bucket_size is not None:
         banded_corpus = _cap_buckets(banded_corpus, max_bucket_size)
@@ -618,7 +653,7 @@ def fuzzy_pairs(
     right_id: str = "id_b",
     max_dist: int = 1,
     end_len: int = 8,
-    max_block_size: int | None = None,
+    max_block_size: int | str | None = None,
 ) -> DataFrame:
     """Blocked fuzzy entity-resolution join: pairs of (left, right) rows
     whose ``key_col`` strings are within Levenshtein distance
@@ -690,6 +725,7 @@ def fuzzy_pairs(
 
     bl = _blocked(left.select(F.col(left_id), key_col), left_id, "a")
     br = _blocked(right.select(F.col(right_id), key_col), right_id, "b")
+    max_block_size = _resolve_cap(max_block_size, left, left_id)
     if max_block_size is not None:
         ok = (
             bl.groupBy("_side", "_blk")
@@ -766,7 +802,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.9,
-    max_gram_df: int = 50,
+    max_gram_df: int | str = 50,
     basis: str = "word",
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: overlap coefficient
@@ -789,6 +825,7 @@ def containment_pairs(
     per-gram self-join emits candidate id pairs that are then verified
     ONCE per distinct pair with two id-keyed joins back to the shingle
     sets. Set intersection runs JVM-side on arrays."""
+    max_gram_df = _resolve_cap(max_gram_df, docs, id_col)
     sh = _shingle_expr(text_col, shingle_n, basis)
     sized = (
         docs.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
