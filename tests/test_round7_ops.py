@@ -292,3 +292,35 @@ def test_auto_cap_resolution_values(spark):
     assert _resolve_cap("auto", df, "doc_id") == 64  # floor at small N
     with pytest.raises(ValueError, match="auto"):
         _resolve_cap("bogus", df, "doc_id")
+
+
+def test_probe_media_parses_mp3_headers_under_lying_mime(spark):
+    """Audio probe parity (round 7): planted MP3 frame headers — bare,
+    ID3v2-wrapped, and mislabeled as image/png — must yield format=mp3
+    with the spec's sample-rate and bitrate facts; WAV and garbage rows
+    keep their verdicts. Decode itself stays stubbed: probing is routing."""
+    from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
+        probe_media,
+    )
+
+    mpeg1 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 4000  # 128k @44100
+    id3 = (
+        b"ID3" + bytes([3, 0, 0, 0, 0, 0, 10]) + b"x" * 10
+        + bytes([0xFF, 0xF3, 0xA0, 0x00]) + b"\x00" * 500     # MPEG2 @22050
+    )
+    rows = [
+        (0, "audio", bytearray(mpeg1), "audio/mpeg"),
+        (1, "audio", bytearray(id3), "image/png"),   # lying MIME label
+        (2, "audio", bytearray(b"garbagegarbage"), "audio/mpeg"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    got = {r.media_id: r for r in probe_media(media).collect()}
+    assert got[0].format == "mp3"
+    assert got[0].sample_rate == 44100 and got[0].bitrate_kbps == 128
+    # CBR estimate: frame_len = 144*128000/44100 = 417 -> ~9 frames
+    assert got[0].n_samples == 1152 * (4004 // 417)
+    assert got[1].format == "mp3"  # magic bytes win over the MIME label
+    assert got[1].sample_rate == 22050 and got[1].bitrate_kbps == 96
+    assert got[2].format == "unknown" and got[2].bitrate_kbps is None

@@ -470,7 +470,7 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     ]
 
 
-def _probe_one(payload: bytes) -> tuple[str, int | None, int | None, int | None, int | None]:
+def _probe_one(payload: bytes) -> tuple:
     """(format, width, height, sample_rate, n_samples) from HEADERS ONLY —
     no inflate, no entropy decode, no pixel loop. For JPEG this walks
     markers to SOF0 and stops; for PNG it reads the 13 IHDR bytes; WAV
@@ -478,13 +478,13 @@ def _probe_one(payload: bytes) -> tuple[str, int | None, int | None, int | None,
     import struct as _s
 
     if payload is None or len(payload) < 8:
-        return ("unknown", None, None, None, None)
+        return ("unknown", None, None, None, None, None)
     if payload[:2] == b"BM" and len(payload) >= 26:
         _, w2, h2 = _s.unpack_from("<IiI", payload, 14)
-        return ("bmp", w2, abs(_s.unpack_from("<i", payload, 22)[0]), None, None)
+        return ("bmp", w2, abs(_s.unpack_from("<i", payload, 22)[0]), None, None, None)
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         w2, h2 = _s.unpack_from(">II", payload, 16)
-        return ("png", w2, h2, None, None)
+        return ("png", w2, h2, None, None, None)
     if payload[:2] == b"\xff\xd8":
         pos = 2
         while pos + 4 <= len(payload):
@@ -497,9 +497,9 @@ def _probe_one(payload: bytes) -> tuple[str, int | None, int | None, int | None,
             seg = _s.unpack_from(">H", payload, pos + 2)[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h2, w2 = _s.unpack_from(">HH", payload, pos + 5)
-                return ("jpeg", w2, h2, None, None)
+                return ("jpeg", w2, h2, None, None, None)
             pos += 2 + seg
-        return ("jpeg", None, None, None, None)
+        return ("jpeg", None, None, None, None, None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos, rate, nsamp = 12, None, None
         while pos + 8 <= len(payload):
@@ -509,8 +509,60 @@ def _probe_one(payload: bytes) -> tuple[str, int | None, int | None, int | None,
             elif cid == b"data":
                 nsamp = size // 2  # 16-bit mono
             pos += 8 + size + (size & 1)
-        return ("wav", None, None, rate, nsamp)
-    return ("unknown", None, None, None, None)
+        return ("wav", None, None, rate, nsamp, None)
+    mp3 = _probe_mp3(payload)
+    if mp3 is not None:
+        return mp3
+    return ("unknown", None, None, None, None, None)
+
+
+#: MPEG audio header tables (public spec, ISO/IEC 11172-3 / 13818-3):
+#: bitrate kbps by [version-group][layer][index], sample rate by version.
+_MP3_BITRATE_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320)
+_MP3_BITRATE_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
+              2: (22050, 24000, 16000),   # MPEG2
+              0: (11025, 12000, 8000)}    # MPEG2.5
+
+
+def _probe_mp3(payload: bytes):
+    """MP3 frame-HEADER parse (round 7 — audio parity with the JPEG SOF
+    walk): skip an optional ID3v2 tag (syncsafe size), sync on the first
+    0xFFEx frame, read version/layer/bitrate/sample-rate from the 4-byte
+    header, and estimate total samples from the CBR frame length — no
+    entropy decode (the codec itself stays stubbed; probing is routing,
+    not decoding). Returns None when the payload is not MPEG audio."""
+    import struct as _s
+
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = payload[6:10]
+        if all(b < 0x80 for b in sz):
+            pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, _b3 = _s.unpack_from("BBBB", payload, pos)
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 3            # 1=Layer III
+    if version == 1 or layer != 1:   # reserved version / not Layer III
+        return None
+    bitrate_idx = (b2 >> 4) & 15
+    rate_idx = (b2 >> 2) & 3
+    padding = (b2 >> 1) & 1
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None                  # free-form / invalid
+    table = _MP3_BITRATE_V1_L3 if version == 3 else _MP3_BITRATE_V2_L3
+    bitrate = table[bitrate_idx]
+    rate = _MP3_RATES[version][rate_idx]
+    spf = 1152 if version == 3 else 576   # samples per Layer-III frame
+    coef = 144 if version == 3 else 72
+    frame_len = coef * bitrate * 1000 // rate + padding
+    n_frames = max(1, (len(payload) - pos) // max(1, frame_len))
+    return ("mp3", None, None, rate, spf * n_frames, bitrate)
 
 
 PROBE_SCHEMA = StructType(
@@ -522,6 +574,7 @@ PROBE_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("sample_rate", IntegerType()),
         StructField("n_samples", IntegerType()),
+        StructField("bitrate_kbps", IntegerType()),
         StructField("n_bytes", LongType()),
     ]
 )
@@ -530,8 +583,9 @@ PROBE_SCHEMA = StructType(
 def probe_media(media: DataFrame) -> DataFrame:
     """ffprobe-style metadata triage over a media column: detect the real
     container format from magic bytes and read dimensions/sample counts
-    from HEADERS ONLY (PNG IHDR, JPEG SOF marker walk, BMP/WAV headers) —
-    no decompression, no pixel/sample loop.
+    from HEADERS ONLY (PNG IHDR, JPEG SOF marker walk, BMP/WAV headers,
+    MP3 frame header incl. bitrate/sample-rate, with ID3v2 skip) — no
+    decompression, no pixel/sample loop.
 
     This is the pass a 100 TB media pipeline runs FIRST: it costs header
     bytes per row (microseconds vs milliseconds for a decode), and its
@@ -551,6 +605,7 @@ def probe_media(media: DataFrame) -> DataFrame:
                     "height": [p[2] for p in probed],
                     "sample_rate": [p[3] for p in probed],
                     "n_samples": [p[4] for p in probed],
+                    "bitrate_kbps": [p[5] for p in probed],
                     "n_bytes": pdf["payload"].map(
                         lambda b: len(b) if b is not None else 0
                     ),
