@@ -758,9 +758,10 @@ def test_multimodal_real_wav_decode(spark):
 
 
 def test_multimodal_decodable_synthetic_table(spark):
-    """The synthetic decodable table routes every row through a REAL
-    parser (tag 2.0 BMP / 4.0 PNG / 5.0 JPEG / 3.0 WAV), never the stub
-    (tag 1.0)."""
+    """The synthetic decodable table routes every image row and WAV row
+    through a REAL parser (tag 2.0 BMP / 4.0 PNG / 5.0 JPEG / 3.0 WAV);
+    only the planted MP3 rows (i%6==3, header-probe fixtures) hit the
+    documented codec stub (tag 1.0)."""
     from yellowrush_spark_ml_pipeline_spark.operators.multimodal import (
         extract_features,
         synthetic_decodable_media,
@@ -769,7 +770,7 @@ def test_multimodal_decodable_synthetic_table(spark):
     rows = extract_features(synthetic_decodable_media(spark, n=12)).collect()
     assert len(rows) == 12
     tags = {r.kind: {r2.feature[7] for r2 in rows if r2.kind == r.kind} for r in rows}
-    assert tags == {"image": {2.0, 4.0, 5.0}, "audio": {3.0}}
+    assert tags == {"image": {2.0, 4.0, 5.0}, "audio": {1.0, 3.0}}
 
 
 def test_compression_ratio_separates_repetition_from_prose(spark):
@@ -857,7 +858,12 @@ def test_probe_media_headers_only_metadata(spark):
     rows = {r.media_id: r for r in probe_media(media).collect()}
     assert len(rows) == 12
     for i, r in rows.items():
-        if i % 2 == 1:
+        if i % 2 == 1 and i % 6 == 3:
+            # planted MP3 frame stream: header facts from the 4-byte
+            # frame header (bitrate table + sample-rate index)
+            assert r.format == "mp3"
+            assert r.sample_rate == 44100 and r.bitrate_kbps == 128
+        elif i % 2 == 1:
             assert r.format == "wav"
             assert r.sample_rate == 8000 and r.n_samples == 64
         elif i % 6 == 0:

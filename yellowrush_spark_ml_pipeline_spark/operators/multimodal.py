@@ -405,6 +405,30 @@ def _decode(payload: bytes, kind: str) -> list[float]:
     return _decode_stub(payload, kind)
 
 
+def encode_mp3_frames(
+    n_frames: int = 8, bitrate_idx: int = 9, rate_idx: int = 0,
+    id3_bytes: int = 0,
+) -> bytes:
+    """Minimal CBR MPEG1 Layer-III byte stream (test fixture): valid
+    4-byte frame headers with zeroed side-info/main data, optionally
+    preceded by an ID3v2 tag of ``id3_bytes`` payload — enough structure
+    for header probing; NOT decodable audio (the codec stays stubbed)."""
+    bitrate = _MP3_BITRATE_V1_L3[bitrate_idx]
+    rate = _MP3_RATES[3][rate_idx]
+    frame_len = 144 * bitrate * 1000 // rate
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (rate_idx << 2), 0x00])
+    out = b""
+    if id3_bytes:
+        sz = id3_bytes
+        out += b"ID3" + bytes([3, 0, 0,
+                               (sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                               (sz >> 7) & 0x7F, sz & 0x7F])
+        out += b"\x00" * id3_bytes
+    for _ in range(n_frames):
+        out += hdr + b"\x00" * (frame_len - 4)
+    return out
+
+
 def synthetic_decodable_media(spark, n: int = 24) -> DataFrame:
     """Deterministic media table whose payloads are REAL encoded formats:
     even ids get an image cycling through uncompressed 24-bit BMP
@@ -435,9 +459,20 @@ def synthetic_decodable_media(spark, n: int = 24) -> DataFrame:
                 w = h = 8
             kind, dur = "image", None
         else:
-            amp = 500 + 100 * i
-            payload = encode_wav([amp if j % 8 < 4 else -amp for j in range(64)])
-            kind, mime, w, h, dur = "audio", "audio/wav", None, None, 8
+            if i % 6 == 3:
+                # planted MP3 frame stream (header-probe coverage); the
+                # MIME lies on every other one to exercise magic-byte wins
+                payload = encode_mp3_frames(
+                    n_frames=4 + i % 3, id3_bytes=0 if i % 12 == 3 else 32
+                )
+                mime = "audio/mpeg" if i % 12 == 3 else "image/png"
+                kind, w, h, dur = "audio", None, None, 8
+            else:
+                amp = 500 + 100 * i
+                payload = encode_wav(
+                    [amp if j % 8 < 4 else -amp for j in range(64)]
+                )
+                kind, mime, w, h, dur = "audio", "audio/wav", None, None, 8
         rows.append((i, kind, bytearray(payload), mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
         _fixture_partitions(len(rows))
