@@ -132,7 +132,10 @@ def main() -> int:
         except Exception:
             fresh = False
         if fresh:
-            heavy = sorted(timings, key=timings.get, reverse=True)[:12]
+            # Round 7: decade coverage widened 12 -> 25 so heavy queries
+            # can't rotate out of the sf1 sample between rounds (k_core /
+            # embedding_dedup_groups did exactly that after r5).
+            heavy = sorted(timings, key=timings.get, reverse=True)[:25]
             qmap = entrymod.queries()
             sf1_timings: dict[str, float] = {}
             sf1_failures: dict[str, str] = {}

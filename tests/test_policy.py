@@ -129,14 +129,11 @@ def test_never_driver_checked_queries_lead_the_window():
     oracles = set(entrymod.oracle_sql())
     never = [n for n in order if n not in seen]
     window = set(order[:50])
-    # Round-5 grew the pending set to 51 candidates (50 new + the r4 red
-    # row re-verify) for a 50-slot window: exactly one entry defers to
-    # the next round, explicitly — silent spill is what this test exists
-    # to catch. Deferrals must be rows-only (they get the weaker check
-    # anyway) and mirror-green.
-    deferred = {
-        "minhash_dedup_fast": "r6; rows-only, mirror-green, lowest-risk spill",
-    }
+    # Round 7 cleared the r6 deferral (minhash_dedup_fast leads the
+    # window); any future deferral must be re-justified here explicitly —
+    # silent spill is what this test exists to catch. Deferrals must be
+    # rows-only (they get the weaker check anyway) and mirror-green.
+    deferred: dict[str, str] = {}
     missed = [n for n in never if n not in window and n not in deferred]
     assert not missed, (
         f"never-driver-checked queries outside the 50-entry window: {missed}"
