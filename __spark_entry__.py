@@ -6066,16 +6066,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM rk
             )
             SELECT n, tp, fp, fn, tn,
-                   CAST((1000 * (tp + tn)) // n AS BIGINT) AS accuracy_milli,
+                   CAST((CAST(1000 AS HUGEINT) * (tp + tn)) // n AS BIGINT)
+                       AS accuracy_milli,
                    CAST(CASE WHEN tp + fp > 0
-                             THEN (1000 * tp) // (tp + fp) END AS BIGINT)
-                       AS precision_milli,
+                             THEN (CAST(1000 AS HUGEINT) * tp) // (tp + fp)
+                        END AS BIGINT) AS precision_milli,
                    CAST(CASE WHEN tp + fn > 0
-                             THEN (1000 * tp) // (tp + fn) END AS BIGINT)
-                       AS recall_milli,
-                   CAST(CASE WHEN 2 * tp + fp + fn > 0
-                             THEN (2000 * tp) // (2 * tp + fp + fn) END
-                        AS BIGINT) AS f1_milli,
+                             THEN (CAST(1000 AS HUGEINT) * tp) // (tp + fn)
+                        END AS BIGINT) AS recall_milli,
+                   CAST(CASE WHEN tp + fp + fn > 0
+                             THEN (CAST(2000 AS HUGEINT) * tp)
+                                  // (CAST(2 AS HUGEINT) * tp + fp + fn)
+                        END AS BIGINT) AS f1_milli,
                    CAST(CASE WHEN npos > 0 AND nneg > 0 THEN
                             ((CAST(r2pos AS HUGEINT)
                               - CAST(npos AS HUGEINT) * (npos + 1))

@@ -569,16 +569,30 @@ def binary_eval_artifact(
             "fp",
             "fn",
             "tn",
-            F.expr("(1000 * (tp + tn)) div n").alias("accuracy_milli"),
+            # all milli ratios route the x1000 products through
+            # DECIMAL(38,0): BIGINT would wrap past ~9.2e15 eval rows —
+            # absurd for an eval set, but the overflow sweep demands the
+            # 100 TB-proof form everywhere (div on decimals still
+            # truncates and yields BIGINT)
             F.expr(
-                "CASE WHEN tp + fp > 0 THEN (1000 * tp) div (tp + fp) END"
+                "CAST((CAST(1000 AS DECIMAL(38,0)) * (tp + tn)) div n"
+                " AS BIGINT)"
+            ).alias("accuracy_milli"),
+            F.expr(
+                "CASE WHEN tp + fp > 0 THEN"
+                " CAST((CAST(1000 AS DECIMAL(38,0)) * tp) div (tp + fp)"
+                " AS BIGINT) END"
             ).alias("precision_milli"),
             F.expr(
-                "CASE WHEN tp + fn > 0 THEN (1000 * tp) div (tp + fn) END"
+                "CASE WHEN tp + fn > 0 THEN"
+                " CAST((CAST(1000 AS DECIMAL(38,0)) * tp) div (tp + fn)"
+                " AS BIGINT) END"
             ).alias("recall_milli"),
             F.expr(
-                "CASE WHEN 2 * tp + fp + fn > 0"
-                " THEN (2000 * tp) div (2 * tp + fp + fn) END"
+                "CASE WHEN tp + fp + fn > 0 THEN"
+                " CAST((CAST(2000 AS DECIMAL(38,0)) * tp)"
+                " div (CAST(2 AS DECIMAL(38,0)) * tp + fp + fn)"
+                " AS BIGINT) END"
             ).alias("f1_milli"),
             F.expr(
                 "CASE WHEN npos > 0 AND nneg > 0 THEN"
