@@ -1604,6 +1604,44 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup_autocap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: the corpus-relative boilerplate-skew cap, differentially
+    verified end-to-end. A third of the corpus is rewritten to ONE shared
+    boilerplate text (planted skew: those docs share identical signatures,
+    so every band bucket they form holds ~180 members), twins are planted
+    for 27 NON-boilerplate docs, and `minhash_dedup_pairs` runs with
+    ``max_bucket_size="auto"`` (= max(64, N//10⁴) via relative_cap). The
+    DuckDB oracle replays signatures, banding, the bucket-size filter with
+    the SAME corpus-relative formula, and the Jaccard verify — proving the
+    cap drops exactly the boilerplate buckets (no quadratic pair blowup)
+    while every planted genuine near-dup pair survives on both engines."""
+    boiler = (
+        "shared boilerplate sentence repeated across the corpus for skew"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(boiler))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    planted = docs.filter(
+        (F.col("doc_id") < 40) & (F.col("doc_id") % 3 != 0)
+    ).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias(
+            "text"
+        ),
+    )
+    return dedup.minhash_dedup_pairs(
+        src.unionByName(planted),
+        jaccard_threshold=0.4,
+        hash_fn="md5",
+        max_bucket_size="auto",
+        round_digits=None,
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-increment dedup, oracle-backed since round 4 via the
     cross-engine md5-mode MinHash path: a synthetic "new batch" (mutated
@@ -3933,6 +3971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen": q_nelson_aalen,
         "cohens_kappa": q_cohens_kappa,
         "woe_iv": q_woe_iv,
+        # NEW round 7 (never driver-checked, oracle-backed — leads the
+        # rows-only never-checked entry per the ordering contract):
+        "minhash_dedup_autocap": q_minhash_dedup_autocap,
     # ---- (1) never driver-checked (rows-only, led the r6 deferral) ----
         "minhash_dedup_fast": q_minhash_dedup_fast,
     # ---- (2b) round-7 fixture/schema changes (rows-only) ----
@@ -6109,6 +6150,7 @@ def oracle_sql() -> dict[str, str]:
         src_sql: str,
         threshold: float,
         cand_on: str = "a.doc_id < b.doc_id",
+        capped: bool = False,
     ) -> str:
         """CTE chain src→tok→sh→hx→sig→banded→cand→verified, mirroring
         minhash_dedup_pairs(hash_fn="md5") exactly. ``cand_on`` is the
@@ -6123,6 +6165,25 @@ def oracle_sql() -> dict[str, str]:
             for b in range(8)
         )
         bvals = ", ".join(f"({b})" for b in range(8))
+        # corpus-relative skew cap (dedup.relative_cap twin): drop band
+        # buckets holding more members than max(64, |sigs| // 10000)
+        cap_ctes = (
+            """bsize AS (
+                SELECT band_id, band_key, COUNT(*) AS bn
+                FROM banded GROUP BY 1, 2
+            ), nsig AS (SELECT COUNT(*) AS n FROM sig
+            ), bandedc AS (
+                SELECT b.doc_id, b.band_id, b.band_key
+                FROM banded b
+                JOIN bsize z ON z.band_id = b.band_id
+                            AND z.band_key = b.band_key
+                CROSS JOIN nsig
+                WHERE z.bn <= GREATEST(64, n // 10000)
+            ), """
+            if capped
+            else ""
+        )
+        band_rel = "bandedc" if capped else "banded"
         return f"""src AS ({src_sql}
             ), tok AS (
                 SELECT doc_id,
@@ -6148,9 +6209,9 @@ def oracle_sql() -> dict[str, str]:
             ), banded AS (
                 SELECT doc_id, band_id, CASE band_id {whens} END AS band_key
                 FROM sig CROSS JOIN (VALUES {bvals}) AS bands(band_id)
-            ), cand AS (
+            ), {cap_ctes}cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM banded a JOIN banded b
+                FROM {band_rel} a JOIN {band_rel} b
                   ON a.band_id = b.band_id AND a.band_key = b.band_key
                  AND {cand_on}
             ), verified AS (
@@ -6171,6 +6232,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id < 40"""
     sqls["minhash_dedup"] = (
         "WITH " + _minhash_ctes(minhash_src, 0.4)
+        + "\n            SELECT id_a, id_b, jaccard FROM verified"
+    )
+
+    autocap_boiler = (
+        "shared boilerplate sentence repeated across the corpus for skew"
+    )
+    autocap_src = f"""
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN '{autocap_boiler}'
+                            ELSE text END AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 800000, text || ' near duplicate suffix'
+                FROM documents WHERE doc_id < 40 AND doc_id % 3 <> 0"""
+    sqls["minhash_dedup_autocap"] = (
+        "WITH " + _minhash_ctes(autocap_src, 0.4, capped=True)
         + "\n            SELECT id_a, id_b, jaccard FROM verified"
     )
 

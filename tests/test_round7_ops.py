@@ -324,3 +324,17 @@ def test_probe_media_parses_mp3_headers_under_lying_mime(spark):
     assert got[1].format == "mp3"  # magic bytes win over the MIME label
     assert got[1].sample_rate == 22050 and got[1].bitrate_kbps == 96
     assert got[2].format == "unknown" and got[2].bitrate_kbps is None
+
+
+def test_minhash_autocap_query_drops_boilerplate_keeps_planted(spark, sf_oracle):
+    """The registry's minhash_dedup_autocap must (a) find nearly all
+    planted non-boilerplate twins and (b) emit a pair count orders of
+    magnitude below the uncapped boilerplate blowup (~180 identical docs
+    → ~16k pairs if the auto cap failed to bite)."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.q_minhash_dedup_autocap(spark, sf_oracle)
+    pairs = out.collect()
+    planted = [r for r in pairs if r["id_b"] - r["id_a"] == 800000]
+    assert len(planted) >= 24, f"planted twins lost: {len(planted)}/27"
+    assert len(pairs) < 500, f"boilerplate bucket leaked: {len(pairs)} pairs"
