@@ -138,6 +138,7 @@ def main() -> int:
             heavy = sorted(timings, key=timings.get, reverse=True)[:25]
             qmap = entrymod.queries()
             sf1_timings: dict[str, float] = {}
+            sf01_paired: dict[str, float] = {}
             sf1_failures: dict[str, str] = {}
             # The scaling pass gets a FRESH SparkContext with shuffle
             # partitions sized to the DATA: (a) bytes-per-partition held
@@ -155,43 +156,67 @@ def main() -> int:
                 shuffle_partitions=prev_parts
                 * int(recorded.get("factor", 10)),
             )
+            dr = recorded.get("factor", 10)
             try:
-                for name in heavy:
-                    t0 = time.perf_counter()
+                # Round 8: the decade ratio is PAIRED — both scales are
+                # timed on THIS fresh context, back to back, so numerator
+                # and denominator share warmth, heap age, and config.
+                # (r7 divided a cold fresh-context sf1 time by the main
+                # suite's warm median from the aged context, and the
+                # warmth asymmetry alone produced a 14x "superlinear"
+                # flag on triangles whose warm-vs-warm ratio is ~4x.)
+                # Order per query: sf0.1 first (also warms codegen for
+                # the plan shape), then sf1. A query whose first-shot
+                # ratio exceeds the data ratio gets ONE more paired shot
+                # and keeps the per-scale minima — real superlinear
+                # scaling survives a warm re-run; residual JIT/GC noise
+                # does not. No per-query special-casing anywhere.
+                for qi, name in enumerate(heavy):
+                    if qi and qi % 5 == 0:
+                        spark.sparkContext._jvm.System.gc()
                     try:
+                        t0 = time.perf_counter()
+                        materialize(qmap[name](spark, SF_DIR))
+                        t01 = time.perf_counter() - t0
+                        t0 = time.perf_counter()
                         materialize(qmap[name](spark, sf1_dir))
-                        sf1_timings[name] = round(time.perf_counter() - t0, 2)
+                        t1 = time.perf_counter() - t0
+                        if t1 / max(t01, 1e-3) > dr:
+                            t0 = time.perf_counter()
+                            materialize(qmap[name](spark, SF_DIR))
+                            t01 = min(t01, time.perf_counter() - t0)
+                            t0 = time.perf_counter()
+                            materialize(qmap[name](spark, sf1_dir))
+                            t1 = min(t1, time.perf_counter() - t0)
+                        sf01_paired[name] = round(t01, 2)
+                        sf1_timings[name] = round(t1, 2)
                     except Exception as exc:  # noqa: BLE001
                         sf1_failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-                # Round 7: a fresh context pays per-query codegen/JIT
-                # warmup on its FIRST touch of each plan — measured 75 s
-                # cold vs 21 s warm for triangles at sf1 — which shows up
-                # as a false superlinear flag. Re-time only the apparent
-                # superlinears once and keep the min: real superlinear
-                # scaling survives a warm re-run; cold-start noise does not.
-                dr = recorded.get("factor", 10)
-                for name, t in list(sf1_timings.items()):
-                    if t / max(timings.get(name, 1e-3), 1e-3) > dr:
-                        t0 = time.perf_counter()
-                        try:
-                            materialize(qmap[name](spark, sf1_dir))
-                            sf1_timings[name] = min(
-                                t, round(time.perf_counter() - t0, 2)
-                            )
-                        except Exception:  # noqa: BLE001
-                            pass
             finally:
                 spark.stop()
                 spark = get_spark("yellowrush-bench", shuffle_partitions=prev_parts)
-            ratio_sf1 = recorded.get("factor", 10)
+            ratio_sf1 = dr
             ratios1 = {
-                q: round(sf1_timings[q] / max(timings[q], 1e-3), 2)
+                q: round(sf1_timings[q] / max(sf01_paired[q], 1e-3), 2)
                 for q in sf1_timings
             }
             scaling_sf1 = {
                 "sf1_total": round(sum(sf1_timings.values()), 2),
                 "data_ratio": ratio_sf1,
                 "time_ratio": ratios1,
+                # The full probe series per heavy query — sf0.01 from the
+                # secondary suite pass, the PAIRED sf0.1 shot, and sf1 —
+                # recorded in BENCH itself so three-decade evidence never
+                # lives only in SCALE.md prose.
+                "series_sec": {
+                    q: {
+                        "sf0.01": (scaling or {}).get("secondary_sf") is not None
+                        and sec_timings.get(q),
+                        "sf0.1_paired": sf01_paired[q],
+                        "sf1": sf1_timings[q],
+                    }
+                    for q in sf1_timings
+                },
                 "superlinear": sorted(
                     [q for q, r in ratios1.items() if r > ratio_sf1]
                 ),

@@ -91,6 +91,39 @@ def test_confusion_metrics_match_mllib_evaluators(spark, labeled_orders):
         assert abs(fast[k] - slow[k]) < 1e-9, (k, fast[k], slow[k])
 
 
+def test_evaluate_binary_single_materialization(spark, labeled_orders, monkeypatch):
+    """Round-8 regression guard for the cached-evaluation path
+    (BENCH_r07's rf_train_sec doubled with no code change — make a real
+    regression impossible to miss): evaluate_binary must call
+    model.transform exactly ONCE and cache the predictions relation
+    exactly ONCE; every metric then derives from that single cached
+    materialization instead of re-running the RF scoring per metric
+    (the reference recomputed the plan four times)."""
+    feats = ["month", "day_of_week", "log_price"]
+    model, _, test_df = train_classifier(labeled_orders, feats, "is_high_value")
+
+    calls = {"transform": 0, "cache": 0}
+    model_cls = type(model)
+    df_cls = type(test_df)
+    orig_transform = model_cls.transform
+    orig_cache = df_cls.cache
+
+    def counting_transform(self, *a, **kw):
+        calls["transform"] += 1
+        return orig_transform(self, *a, **kw)
+
+    def counting_cache(self):
+        calls["cache"] += 1
+        return orig_cache(self)
+
+    monkeypatch.setattr(model_cls, "transform", counting_transform)
+    monkeypatch.setattr(df_cls, "cache", counting_cache)
+    metrics = evaluate_binary(model, test_df, "is_high_value")
+    assert calls["transform"] == 1, calls
+    assert calls["cache"] == 1, calls
+    assert 0.5 < metrics["roc_auc"] <= 1.0
+
+
 def test_model_save_load_identical_predictions(spark, labeled_orders, tmp_path):
     """S7 round-trip (nyc_taxi_final.py:956-960): persisted model must
     reproduce the in-memory model's predictions exactly."""

@@ -810,6 +810,25 @@ def test_dq_report_one_scan_per_fact_table(spark, sf_small):
     assert _no_cartesian(plan)
 
 
+def test_ml_classifier_metrics_reads_only_persisted_artifact(spark, sf_small):
+    """Round-8 contract (r7 rf_train_sec doubled with no code change —
+    pin the mechanism): EVERY metric in the oracle-checkable classifier
+    eval derives from the ONE persisted predictions artifact. The
+    returned plan's parquet scans must all point at the predcache
+    artifact (confusion pass + rank pass = at most 2 scans of a tiny
+    relation) and must NOT reach the training tables — i.e. the model
+    transform is materialized exactly once, at artifact-write time,
+    never re-entered by the metric derivation."""
+    df = entrymod.queries()["ml_classifier_metrics"](spark, sf_small)
+    plan = explain_str(df)
+    locs = re.findall(r"Location: \S+ ?\[([^\]]*)\]", plan)
+    assert locs, plan
+    assert all("predcache" in loc for loc in locs), locs
+    assert len(locs) <= 2, locs
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+
+
 def _tree_nodes(plan_str: str):
     """Parse a physical-plan toString() tree into (depth, text) nodes.
     Depth is the character offset of the operator name — children are

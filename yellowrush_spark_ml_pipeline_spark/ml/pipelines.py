@@ -497,6 +497,29 @@ def train_quality_classifier(
     return pipe.fit(train_df), train_df, test_df
 
 
+def _normalize_artifact_dir(out_path: str) -> None:
+    """Make a single-file parquet artifact directory byte-stable across
+    re-runs: rename Spark's UUID part file to ``part-00000.parquet`` and
+    drop the ``_SUCCESS`` / ``.crc`` sidecars. Committed artifacts
+    (the sf0.01 predcache the DuckDB oracle reads) would otherwise churn
+    a fresh filename into git on every regeneration even when the
+    seed-pinned contents are identical."""
+    import glob as _glob
+    import os
+
+    if not os.path.isdir(out_path):
+        return
+    for side in _glob.glob(os.path.join(out_path, "_SUCCESS*")) + _glob.glob(
+        os.path.join(out_path, ".*.crc")
+    ):
+        os.remove(side)
+    parts = sorted(_glob.glob(os.path.join(out_path, "part-*.parquet")))
+    for i, p in enumerate(parts):
+        dst = os.path.join(out_path, f"part-{i:05d}.parquet")
+        if p != dst:
+            os.replace(p, dst)
+
+
 def binary_eval_artifact(
     model: PipelineModel,
     test_df: DataFrame,
@@ -537,6 +560,7 @@ def binary_eval_artifact(
         vector_to_array(F.col("probability"))[1].alias("prob"),
     )
     preds.coalesce(1).write.mode("overwrite").parquet(out_path)
+    _normalize_artifact_dir(out_path)
 
     spark = test_df.sparkSession
     p = spark.read.parquet(out_path)

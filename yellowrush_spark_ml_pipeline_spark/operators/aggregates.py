@@ -810,7 +810,12 @@ def dq_fused_table_checks(
             on=F.col(fact_key) == F.col(marker),
             how="left",
         )
-        exprs[name] = F.sum(F.col(marker).isNull().cast("long"))
+        # count_if-shaped, not SUM: SUM over zero rows is NULL, and an
+        # empty fact table must report 0 violations (parity with
+        # fk_orphans, whose COUNT() returns 0).
+        exprs[name] = F.coalesce(
+            F.sum(F.col(marker).isNull().cast("long")), F.lit(0)
+        )
     names = sorted(exprs)
     row = out.agg(*[exprs[n].cast("long").alias(n) for n in names])
     stack = ", ".join(f"'{n}', `{n}`" for n in names)

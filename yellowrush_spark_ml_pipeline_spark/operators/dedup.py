@@ -725,16 +725,28 @@ def fuzzy_pairs(
 
     bl = _blocked(left.select(F.col(left_id), key_col), left_id, "a")
     br = _blocked(right.select(F.col(right_id), key_col), right_id, "b")
-    max_block_size = _resolve_cap(max_block_size, left, left_id)
-    if max_block_size is not None:
+    # The cap resolves PER SIDE ("auto" → each side's own corpus size):
+    # a block's candidate fan-out is |left block| × |right block|, so
+    # both factors need their own bound — a cap derived from a small
+    # left corpus would spuriously drop right-side blocks on an
+    # asymmetric join, and gating only the left would leave the right
+    # factor unbounded.
+    cap_l = _resolve_cap(max_block_size, left, left_id)
+    cap_r = _resolve_cap(max_block_size, right, right_id)
+
+    def _block_capped(b: DataFrame, cap: int) -> DataFrame:
         ok = (
-            bl.groupBy("_side", "_blk")
+            b.groupBy("_side", "_blk")
             .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_block_size)
+            .filter(F.col("_bn") <= cap)
             .drop("_bn")
         )
-        bl = bl.join(ok, ["_side", "_blk"], "inner")
-        br = br.join(ok, ["_side", "_blk"], "inner")
+        return b.join(ok, ["_side", "_blk"], "inner")
+
+    if cap_l is not None:
+        bl = _block_capped(bl, cap_l)
+    if cap_r is not None:
+        br = _block_capped(br, cap_r)
     cand = (
         bl.join(br, ["_side", "_blk"])
         .select(left_id, right_id, "_k_a", "_k_b")
@@ -896,12 +908,20 @@ def containment_pairs(
         F.col("_n").alias("n_b"),
         F.col("_capped").alias("_cb"),
     )
+    # The gate uses the SAME comparison form as the final verify
+    # (double division >= threshold), not a ceil of a float product: a
+    # float ceil can round up across an integer boundary and demand one
+    # more shared gram than the verify itself requires, dropping a pair
+    # sitting exactly at the threshold. Division is monotone in the
+    # numerator, and the numerator here upper-bounds the true
+    # intersection, so upper-bound-passes provably implies verify-passes.
     plausible = (
         shared.join(ma, "id_a")
         .join(mb, "id_b")
         .filter(
             (F.col("_shared") + F.least("_ca", "_cb"))
-            >= F.ceil(F.lit(threshold) * F.least("n_a", "n_b"))
+            / F.least("n_a", "n_b")
+            >= threshold
         )
         .select("id_a", "id_b")
     )

@@ -415,8 +415,13 @@ def label_propagation(
 
     Scale shape per round: one edges⋈labels hash join on the node key
     (the label table is |V| rows — AQE broadcasts it while it fits),
-    one combinable (node, label) count, one per-node top-1 window whose
-    partitions are node-sized (bounded by degree, never data-sized).
+    one combinable (node, label) count, then a combinable per-node
+    ARGMAX — ``min(struct(-_cnt, label))`` — instead of a
+    ``row_number`` window: the struct min needs no per-partition sort
+    and map-side-combines, so each round is two partial-aggregate
+    shuffles and zero sorts (round-8 rewrite; the struct ordering is
+    total, so the most-frequent-then-smallest-label tie-break stays
+    deterministic for any label type).
     Labels are ``localCheckpoint``-ed every ``checkpoint_every`` rounds
     (and always after the last): each round references the previous
     labels TWICE (join + self-vote union), so an unbounded lineage grows
@@ -425,8 +430,6 @@ def label_propagation(
     every-2nd (5.5 s vs 5.1 s steady-state, 41 s vs 7 s cold) for the
     same result. Every-2nd bounds the re-derivation factor at 4x while
     halving the serialization barriers (round-7 profile)."""
-    from pyspark.sql import Window
-
     s, d = F.col(src_col), F.col(dst_col)
     fwd = edges.filter(s != d).select(s.alias("_s"), d.alias("_d"))
     und = (
@@ -437,9 +440,6 @@ def label_propagation(
     labels = und.select(F.col("_s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    top1 = Window.partitionBy("node").orderBy(
-        F.col("_cnt").desc(), F.col("label").asc()
-    )
     for _r in range(rounds):
         votes = (
             und.join(
@@ -449,9 +449,20 @@ def label_propagation(
         labels = (
             votes.groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("_cnt"))
-            .withColumn("_rn", F.row_number().over(top1))
-            .filter(F.col("_rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                # min(struct(-count, label)): largest count wins, ties
+                # break to the SMALLEST label — and negating the COUNT
+                # (always BIGINT) keeps the argmax type-agnostic in the
+                # label (node ids may be strings).
+                F.min(
+                    F.struct(
+                        (-F.col("_cnt")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("_m")
+            )
+            .select("node", F.col("_m.l").alias("label"))
         )
         if persist_labels and (
             (_r + 1) % checkpoint_every == 0 or _r == rounds - 1
