@@ -1539,49 +1539,28 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries_df, k=10, bucket_bits=6)
 
 
-# Round 8: the exact-IVF centroids are cached at module level (the
-# predcache pattern).  The build's final assignment is DEFINITIONALLY
-# ivf_assign_exact(corpus, final_centroids) — the last Lloyd step ends
-# with exactly that argmin map — so once the centroids (a driver-small
-# list of plain ints, SparkContext-independent) are known, every later
-# run of either IVF query skips the eager checkpoint and both Lloyd
-# driver round-trips and becomes one narrow map + the search.  That is
-# also the production shape at 100 TB: train the quantizer once, then
-# assign/search many times against frozen centroids.  Determinism makes
-# the cache invisible to correctness: the build is exact integer
-# arithmetic, so a rebuild yields bit-identical centroids.
-_ivf_centroid_cache: dict[tuple, list] = {}
-
-
-def _ivf_exact_centroids(
-    corpus: DataFrame, sf_dir: str, tag: str,
-    n_lists: int = 16, lloyd_iters: int = 2,
-) -> list:
-    key = (sf_dir, tag, n_lists, lloyd_iters)
-    if key not in _ivf_centroid_cache:
-        _, centroids = similarity.ivf_build_index_exact(
-            corpus, n_lists=n_lists, lloyd_iters=lloyd_iters
-        )
-        _ivf_centroid_cache[key] = centroids
-    return _ivf_centroid_cache[key]
-
-
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10, ORACLE-backed since round 7 via the
-    exact-replayable quantizer (similarity.ivf_build_index_exact):
-    random-partition init on md5_hash60(id) mod n_lists + 2 unrolled
-    Lloyd steps in exact integer arithmetic, so DuckDB replays the WHOLE
-    lifecycle — init, both Lloyd steps, probe selection, in-list exact
-    cosine, top-k.  (The KMeans-quantizer `ivf_topk` remains the
-    full-featured path, recall-checked in tests/test_extensions.py.)"""
+    exact-replayable quantizer: random-partition init on
+    md5_hash60(id) mod n_lists + 2 unrolled Lloyd steps in exact
+    integer arithmetic, so DuckDB replays the WHOLE lifecycle — init,
+    both Lloyd steps, probe selection, in-list exact cosine, top-k.
+    Round 8: the centroid set stays a LAZY one-row relation
+    (similarity.ivf_exact_cs) broadcast into both the assignment and
+    the probe selection, so the entire query — quantizer training
+    included — runs as ONE Spark job with zero driver round-trips
+    (was: eager checkpoint + 2 collects + literal-unrolled argmin
+    re-compiles; 10.4 s -> ~4 s at sf0.1). (The KMeans-quantizer
+    `ivf_topk` remains the full-featured path, recall-checked in
+    tests/test_extensions.py.)"""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    centroids = _ivf_exact_centroids(emb, sf_dir, "full")
-    assigned = similarity.ivf_assign_exact(emb, centroids)
+    cs = similarity.ivf_exact_cs(emb, n_lists=16, lloyd_iters=2)
+    assigned = similarity.ivf_assign_exact(emb, cs)
     return similarity.ivf_search_index_exact(
-        assigned, centroids, queries_df, k=10, n_probe=4
+        assigned, cs, queries_df, k=10, n_probe=4
     )
 
 
@@ -1590,15 +1569,16 @@ def q_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     built on 90% of the corpus with the exact-replayable quantizer, the
     held-out 10% ingested with FROZEN centroids (ivf_assign_exact — a
     narrow argmin map, no refit), search over the grown index.  DuckDB
-    replays build + frozen-centroid assignment + search end-to-end."""
+    replays build + frozen-centroid assignment + search end-to-end.
+    Same round-8 lazy-centroid shape as q_similarity_ivf: one job."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 10 != 0)
     batch = emb.filter(F.col("vec_id") % 10 == 0)
-    centroids = _ivf_exact_centroids(base, sf_dir, "mod10base")
-    grown = similarity.ivf_assign_exact(base, centroids).select(
+    cs = similarity.ivf_exact_cs(base, n_lists=16, lloyd_iters=2)
+    grown = similarity.ivf_assign_exact(base, cs).select(
         "vec_id", "_cv", "_list"
     ).unionByName(
-        similarity.ivf_assign_exact(batch, centroids).select(
+        similarity.ivf_assign_exact(batch, cs).select(
             "vec_id", "_cv", "_list"
         )
     )
@@ -1606,7 +1586,7 @@ def q_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_search_index_exact(
-        grown, centroids, queries_df, k=10, n_probe=4
+        grown, cs, queries_df, k=10, n_probe=4
     )
 
 

@@ -702,34 +702,128 @@ def _quantize_ints(vec: Column, scale_bits: int = 20) -> Column:
     return F.transform(vec, lambda x: F.floor(x * F.lit(s) + F.lit(0.5)))
 
 
-def _int_sq_dist(qv: Column, centroid: list[int]) -> Column:
-    """Integer squared distance to a literal centroid — BIGINT fold."""
-    c = F.array(*[F.lit(int(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(qv, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _cs_struct_dists(qv: Column, cs: Column) -> Column:
+    """array<struct<d,l>> of integer squared distances from ``qv`` to
+    every centroid in ``cs`` (array<struct<l:int, c:array<bigint>>> —
+    centroid DATA, not literals). The expression is literal-free and
+    identical for every corpus / Lloyd iteration / run, so Spark's
+    codegen cache compiles it ONCE ever — the round-7 literal-unrolled
+    form re-compiled a fresh multi-thousand-node expression per distinct
+    centroid set (~1.3 s each, 3+ per IVF query, measured)."""
+    return F.transform(
+        cs,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(qv, s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            s["l"].alias("l"),
+        ),
     )
 
 
-def _argmin_list(qv: Column, centroids: list[tuple[int, list[int]]]) -> Column:
+def _cs_argmin(qv: Column, cs: Column) -> Column:
     """Nearest-centroid list id, ties broken by list id — mirrors the
-    oracle's ROW_NUMBER() OVER (ORDER BY d2, l)."""
-    dists = F.array(
-        *[
-            F.struct(
-                _int_sq_dist(qv, ctr).alias("d"), F.lit(int(l)).alias("l")
-            )
-            for l, ctr in centroids
-        ]
+    oracle's ROW_NUMBER() OVER (ORDER BY d2, l). array_min over
+    struct<d,l> orders lexicographically, so the tie-break is total."""
+    return F.array_min(_cs_struct_dists(qv, cs)).getField("l")
+
+
+def _cs_df(spark, centroids: list[tuple[int, list[int]]]):
+    """The driver-small centroid set as a ONE-ROW relation
+    (cs: array<struct<l,c>>) for broadcast crossJoin — centroids travel
+    as data, keeping every distance expression generic."""
+    data = [
+        ([(int(l), [int(x) for x in c]) for l, c in centroids],)
+    ]
+    return spark.createDataFrame(
+        data, "cs array<struct<l:int,c:array<bigint>>>"
     )
-    return F.array_sort(dists)[0].getField("l")
 
 
 def _trunc_div(s: int, n: int) -> int:
     """Truncate-toward-zero integer division on exact Python ints — the
     semantics both Spark's div and the oracle's sign-factored // share."""
     return -((-s) // n) if s < 0 else s // n
+
+
+def ivf_exact_cs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    lloyd_iters: int = 2,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """The exact-IVF centroid set as a fully LAZY one-row relation
+    (cs: array<struct<l,c>>) — hash-partition init + ``lloyd_iters``
+    unrolled integer Lloyd steps, each step's centroids a computed
+    one-row relation broadcast into the next assignment. Nothing runs
+    until an action touches the result, so an assign+search query over
+    a fresh corpus is ONE Spark job end to end (no per-iteration driver
+    round-trips — the round-7 form paid 2 collects + an eager
+    checkpoint + a giant literal argmin re-compile per iteration).
+    Callers that need the centroids driver-side (persist as JSON, cache
+    across queries) use :func:`ivf_build_index_exact`, which collects
+    this relation once."""
+    qdf = corpus.select(
+        F.col(id_col),
+        _quantize_ints(as_double_array(F.col(vec_col)), scale_bits).alias(
+            "_qv"
+        ),
+    )
+
+    from ..functions.hashing import md5_hash60
+
+    assigned = qdf.withColumn(
+        "_list",
+        (md5_hash60(F.col(id_col).cast("string")) % F.lit(n_lists)).cast(
+            "int"
+        ),
+    )
+    cdf = None
+    for _ in range(lloyd_iters):
+        comp = (
+            assigned.select("_list", F.posexplode("_qv").alias("_pos", "_v"))
+            .groupBy("_list", "_pos")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            # truncate-toward-zero with the sign factored out — the
+            # semantics Spark div and the oracle's sign-split // share
+            .select(
+                "_list",
+                "_pos",
+                F.expr(
+                    "CASE WHEN _s < 0 THEN -((-_s) div _n)"
+                    " ELSE _s div _n END"
+                ).alias("_c"),
+            )
+        )
+        cdf = (
+            comp.groupBy("_list")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_c"))),
+                    lambda s: s["_c"],
+                ).alias("c")
+            )
+            .select(F.struct(F.col("_list").alias("l"), F.col("c")).alias("_lc"))
+            .agg(F.array_sort(F.collect_list("_lc")).alias("cs"))
+        )
+        assigned = (
+            qdf.crossJoin(F.broadcast(cdf))
+            .withColumn("_list", _cs_argmin(F.col("_qv"), F.col("cs")))
+            .drop("cs")
+        )
+    return cdf
+
+
+def _cs_rel(df_or_centroids, spark) -> DataFrame:
+    """Accept either a collected centroid list or the lazy one-row cs
+    relation from :func:`ivf_exact_cs`."""
+    if isinstance(df_or_centroids, DataFrame):
+        return df_or_centroids
+    return _cs_df(spark, df_or_centroids)
 
 
 def ivf_build_index_exact(
@@ -748,49 +842,31 @@ def ivf_build_index_exact(
     `ivf_assign`'s literal centroids).
 
     Each Lloyd step is ONE combinable pass over the corpus (posexplode ->
-    partial SUM per (list, dim)) plus a driver-side exact-integer mean of
-    n_lists x dim cells — the identical dataflow KMeans uses, minus the
-    engine-internal init.
+    partial SUM per (list, dim)) plus an exact-integer mean of n_lists x
+    dim cells — the identical dataflow KMeans uses, minus the
+    engine-internal init. The whole recurrence stays lazy (centroids are
+    computed one-row relations broadcast into the next step), so the
+    build runs as a single Spark job with one driver-small collect at
+    the end.
     """
-    qdf = corpus.select(
-        F.col(id_col),
-        as_double_array(F.col(vec_col)).alias("_cv"),
-        _quantize_ints(as_double_array(F.col(vec_col)), scale_bits).alias(
-            "_qv"
-        ),
-    ).localCheckpoint(eager=True)  # each Lloyd step re-reads this relation
-
-    from ..functions.hashing import md5_hash60
-
-    assigned = qdf.withColumn(
-        "_list",
-        (md5_hash60(F.col(id_col).cast("string")) % F.lit(n_lists)).cast(
-            "int"
-        ),
+    cdf = ivf_exact_cs(
+        corpus, id_col, vec_col, n_lists, lloyd_iters, scale_bits
     )
-    centroids: list[tuple[int, list[int]]] = []
-    for _ in range(lloyd_iters):
-        cells = (
-            assigned.select("_list", F.posexplode("_qv").alias("_pos", "_v"))
-            .groupBy("_list", "_pos")
-            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )  # n_lists x dim rows — driver-small by construction
-        by_list: dict[int, dict[int, int]] = {}
-        for r in cells:
-            by_list.setdefault(r["_list"], {})[r["_pos"]] = _trunc_div(
-                int(r["_s"]), int(r["_n"])
-            )
-        centroids = [
-            (l, [d[p] for p in sorted(d)]) for l, d in sorted(by_list.items())
-        ]
-        assigned = qdf.withColumn("_list", _argmin_list(F.col("_qv"), centroids))
+    row = cdf.collect()[0]  # ONE job: the full Lloyd DAG, once
+    centroids = [(int(s["l"]), [int(x) for x in s["c"]]) for s in row["cs"]]
+    # The returned assignment is rooted on the COLLECTED centroids — a
+    # single narrow map over the corpus, not the Lloyd DAG replayed
+    # (the last Lloyd step IS this argmin, so values are identical).
+    assigned = ivf_assign_exact(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        scale_bits=scale_bits,
+    )
     return assigned, centroids
 
 
 def ivf_assign_exact(
     df: DataFrame,
-    centroids: list[tuple[int, list[int]]],
+    centroids: "list[tuple[int, list[int]]] | DataFrame",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale_bits: int = 20,
@@ -804,12 +880,16 @@ def ivf_assign_exact(
             "_qv"
         ),
     )
-    return out.withColumn("_list", _argmin_list(F.col("_qv"), centroids))
+    return (
+        out.crossJoin(F.broadcast(_cs_rel(centroids, df.sparkSession)))
+        .withColumn("_list", _cs_argmin(F.col("_qv"), F.col("cs")))
+        .drop("cs")
+    )
 
 
 def ivf_search_index_exact(
     assigned: DataFrame,
-    centroids: list[tuple[int, list[int]]],
+    centroids: "list[tuple[int, list[int]]] | DataFrame",
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
@@ -828,21 +908,18 @@ def ivf_search_index_exact(
         _quantize_ints(as_double_array(F.col(vec_col)), scale_bits).alias(
             "_qv_i"
         ),
-    )
-    dists = F.array(
-        *[
-            F.struct(
-                _int_sq_dist(F.col("_qv_i"), ctr).alias("d"),
-                F.lit(int(l)).alias("l"),
-            )
-            for l, ctr in centroids
-        ]
-    )
+    ).crossJoin(F.broadcast(_cs_rel(centroids, queries.sparkSession)))
     probed = q.withColumn(
         "_list",
         F.explode(
             F.transform(
-                F.slice(F.array_sort(dists), 1, n_probe),
+                F.slice(
+                    F.array_sort(
+                        _cs_struct_dists(F.col("_qv_i"), F.col("cs"))
+                    ),
+                    1,
+                    n_probe,
+                ),
                 lambda s: s.getField("l"),
             )
         ),
