@@ -1714,7 +1714,10 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "label",
     )
-    return similarity.embedding_cosine_dedup(emb.unionByName(planted), threshold=0.9)
+    return similarity.embedding_cosine_dedup(
+        emb.unionByName(planted), threshold=0.9,
+        bucket_bits="auto", n_tables=4,
+    )
 
 
 def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1732,8 +1735,13 @@ def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "label",
     )
+    # bucket_bits="auto" + 4 tables (round 8): corpus-relative bit
+    # width keeps the bucket self-join linear in n (fixed 64 buckets
+    # measured 2.78x on a 2x decade step); exact copies collide in
+    # every table, so the all-pairs oracle still proves completeness.
     pairs = similarity.embedding_cosine_dedup(
-        emb.unionByName(planted), threshold=0.9
+        emb.unionByName(planted), threshold=0.9,
+        bucket_bits="auto", n_tables=4,
     )
     return dedup.dedup_groups(pairs).select(
         F.col("doc_id").alias("vec_id"), "group_id"
@@ -2148,6 +2156,33 @@ def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.finalize_agg_state(
         aggregates.merge_agg_states(s_old, s_new)
     )
+
+
+def q_quantile_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-QUANTILE incremental maintenance (round 8, the
+    companion to rollup_merge's count/sum/min/max monoids): two disjoint
+    halves of events (even/odd event_id) each collapse to a fixed-edge
+    histogram state per event_type, the states MERGE (pure integer
+    counter addition), and p50/p95/p99 derive from the merged state.
+    The oracle computes the same estimator straight from ALL rows —
+    differential proof of the merge law merge(state(A), state(B)) ==
+    state(A ∪ B), since the quantile walk is a pure function of the
+    state. Edges [0, 512) / 128 bins give width exactly 4.0 (a power of
+    two — every boundary is an exact double)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", "value", "event_id")
+    s_old = sketches.quantile_state(
+        base.filter(F.col("event_id") % 2 == 0),
+        ["event_type"], "value", lo=0.0, hi=512.0, n_bins=128,
+    )
+    s_new = sketches.quantile_state(
+        base.filter(F.col("event_id") % 2 == 1),
+        ["event_type"], "value", lo=0.0, hi=512.0, n_bins=128,
+    )
+    merged = sketches.merge_quantile_states(s_old, s_new)
+    return sketches.quantile_from_state(
+        merged, ["event_type"], ps=(0.5, 0.95, 0.99), lo=0.0, hi=512.0
+    ).orderBy("event_type", "p")
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4191,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "max_concurrency": q_max_concurrency,
         "rollup_merge": q_rollup_merge,
+        "quantile_state_merge": q_quantile_state_merge,
         "weighted_sample": q_weighted_sample,
         "shipping_priority": q_shipping_priority,
         "funnel_window": q_funnel_window,
@@ -6859,6 +6895,53 @@ def oracle_sql() -> dict[str, str]:
                    MAX(value) AS max_val
             FROM events
             GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        """
+
+    # quantile_state_merge: the oracle computes the fixed-edge histogram
+    # estimator STRAIGHT from all rows — the Spark half goes
+    # split -> state -> integer merge -> walk, so the hash match is a
+    # differential proof of the merge law (bin counts are a commutative
+    # monoid; the walk is a pure function of the state). lo=0, hi=512,
+    # 128 bins -> width exactly 4.0; ranks/cumulative counts pure BIGINT;
+    # the interpolation is the same fixed-order double expression.
+    sqls["quantile_state_merge"] = """
+            WITH tagged AS (
+                SELECT event_type,
+                       CASE WHEN value < 0.0 THEN -1
+                            WHEN value >= 512.0 THEN 128
+                            ELSE CAST(FLOOR((value - 0.0) / 4.0) AS INT)
+                       END AS bin
+                FROM events
+            ), counts AS (
+                SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM tagged GROUP BY event_type, bin
+            ), totals AS (
+                SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_vals
+                FROM counts GROUP BY event_type
+            ), cum AS (
+                SELECT event_type, bin, cnt,
+                       CAST(COALESCE(SUM(cnt) OVER (
+                           PARTITION BY event_type ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS bef
+                FROM counts
+            ), ps AS (
+                SELECT * FROM (VALUES (0.5), (0.95), (0.99)) AS t(p)
+            )
+            SELECT c.event_type, ps.p,
+                   CAST(CEIL(ps.p * t.n_vals) AS BIGINT) AS rank,
+                   ROUND(CASE WHEN c.bin < 0 THEN 0.0
+                              WHEN c.bin >= 128 THEN 512.0
+                              ELSE 0.0 + 4.0 * c.bin
+                                   + 4.0 * ((CAST(CEIL(ps.p * t.n_vals) AS BIGINT)
+                                             - c.bef) / CAST(c.cnt AS DOUBLE))
+                         END, 6) AS est_value
+            FROM cum c
+            JOIN totals t USING (event_type)
+            CROSS JOIN ps
+            WHERE c.bef < CAST(CEIL(ps.p * t.n_vals) AS BIGINT)
+              AND CAST(CEIL(ps.p * t.n_vals) AS BIGINT) <= c.bef + c.cnt
+            ORDER BY event_type, p
         """
 
     # weighted_sample: priority = w / u, u = (lehmer(id)+1) / 2^31 —

@@ -810,6 +810,24 @@ def test_dq_report_one_scan_per_fact_table(spark, sf_small):
     assert _no_cartesian(plan)
 
 
+def test_quantile_state_merge_bounded_plan(spark, sf_small):
+    """Round-8 mergeable-quantile contract: the raw events relation is
+    touched only by combinable hash aggregations (state build — one
+    shuffle per half on the key, map-side partials over a
+    |keys| x (n_bins+2) space); everything after the merge operates on
+    STATE-sized relations, so the cumulative-rank window partitions by
+    key over at most n_bins+2 rows each and the only cross join is the
+    broadcast 3-row percentile list. No python, no cartesian, no global
+    sort of anything data-sized."""
+    df = entrymod.queries()["quantile_state_merge"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert not rep["python_udf"]
+    # broadcast percentile probe, never a shuffled join of ps
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_ml_classifier_metrics_reads_only_persisted_artifact(spark, sf_small):
     """Round-8 contract (r7 rf_train_sec doubled with no code change —
     pin the mechanism): EVERY metric in the oracle-checkable classifier

@@ -338,3 +338,78 @@ def test_minhash_autocap_query_drops_boilerplate_keeps_planted(spark, sf_oracle)
     planted = [r for r in pairs if r["id_b"] - r["id_a"] == 800000]
     assert len(planted) >= 24, f"planted twins lost: {len(planted)}/27"
     assert len(pairs) < 500, f"boilerplate bucket leaked: {len(pairs)} pairs"
+
+
+# ---------------------------------------------------------------------------
+# Round 8: mergeable quantile state
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_state_merge_equals_recompute(spark, sf_oracle):
+    """The monoid law for the fixed-edge histogram state: deriving
+    quantiles from MERGED per-half states must equal deriving them from
+    one state over all rows — and a 3-way split must merge to the same
+    thing (associativity). Exact equality, not tolerance: bin counters
+    are integers and the walk is a pure function of the state."""
+    from yellowrush_spark_ml_pipeline_spark.operators import sketches
+    from yellowrush_spark_ml_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_oracle, "events").select(
+        "event_type", "value", "event_id"
+    )
+    kw = dict(keys=["event_type"], val_col="value", lo=0.0, hi=512.0, n_bins=64)
+    full = sketches.quantile_state(ev, **kw)
+    halves = sketches.merge_quantile_states(
+        sketches.quantile_state(ev.filter(F.col("event_id") % 2 == 0), **kw),
+        sketches.quantile_state(ev.filter(F.col("event_id") % 2 == 1), **kw),
+    )
+    thirds = sketches.merge_quantile_states(
+        *[
+            sketches.quantile_state(
+                ev.filter(F.col("event_id") % 3 == i), **kw
+            )
+            for i in range(3)
+        ]
+    )
+
+    def q(state):
+        return sorted(
+            sketches.quantile_from_state(
+                state, ["event_type"], ps=(0.5, 0.9, 0.99), lo=0.0, hi=512.0
+            ).collect(),
+            key=lambda r: (r["event_type"], r["p"]),
+        )
+
+    base = q(full)
+    assert q(halves) == base
+    assert q(thirds) == base
+    assert len(base) > 0
+    # state sanity: n_vals must equal the raw row count per key
+    n = {r["event_type"]: r["n_vals"] for r in full.collect()}
+    raw = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert n == raw
+
+
+def test_quantile_state_out_of_range_saturates(spark):
+    """Values outside [lo, hi) keep exact ranks (counted in the overflow
+    counters) and an out-of-range quantile reports the saturated
+    boundary value."""
+    from yellowrush_spark_ml_pipeline_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in [-5, -1, 1, 2, 3, 1000]], "k string, value double"
+    )
+    st = sketches.quantile_state(df, ["k"], "value", lo=0.0, hi=4.0, n_bins=4)
+    row = st.collect()[0]
+    assert row["n_below"] == 2 and row["n_above"] == 1 and row["n_vals"] == 6
+    got = {
+        r["p"]: r["est_value"]
+        for r in sketches.quantile_from_state(
+            st, ["k"], ps=(0.01, 0.99), lo=0.0, hi=4.0
+        ).collect()
+    }
+    assert got[0.01] == 0.0  # rank 1 lands in n_below -> saturates to lo
+    assert got[0.99] == 4.0  # rank 6 lands in n_above -> saturates to hi

