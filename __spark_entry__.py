@@ -4016,30 +4016,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r*.json MUST sit in the first 50, oracle-backed before
     # rows-only; (2) entries whose implementation or oracle CHANGED this
     # round re-enter the window for re-verification; (3) remaining slots
-    # rotate through the stalest last-green entries (this round: the r2/r3
-    # cohort). Every oracle-backed query is still re-proven on CURRENT
-    # testdata every round by the local mirror (tools/driver_mirror.py →
-    # MIRROR_LOCAL.json) regardless of window position.
-    # ---- (2) round-7 changes: newly oracle-backed / rewritten — re-verify ----
+    # rotate through the stalest last-green entries (this round: the r3
+    # cohort, per VERIFIED.json). Every oracle-backed query is still
+    # re-proven on CURRENT testdata every round by the local mirror
+    # (tools/driver_mirror.py -> MIRROR_LOCAL.json) regardless of window
+    # position.
+    # ---- (1) NEW round 8, never driver-checked (oracle-backed) ----
+        "quantile_state_merge": q_quantile_state_merge,
+    # ---- (2) round-8 implementation changes - re-verify ----
         "similarity_ivf": q_similarity_ivf,
         "similarity_incremental": q_similarity_incremental,
+        "label_propagation": q_label_propagation,
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
+        "k_core": q_k_core,
+        "containment": q_containment,
+        "edit_distance": q_edit_distance,
+        "dq_report": q_dq_report,
         "ml_classifier_metrics": q_ml_classifier_metrics,
         "text_classifier_metrics": q_text_classifier_metrics,
-        "dq_report": q_dq_report,
+        "pagerank": q_pagerank,
+    # ---- (3) rotation fill: stalest oracle-backed (last green r3) ----
+        "bigram_topk": q_bigram_topk,
+        "bloom_join": q_bloom_join,
+        "boilerplate_spans": q_boilerplate_spans,
+        "chunk_documents": q_chunk_documents,
+        "cohort_retention": q_cohort_retention,
+        "corr_moments": q_corr_moments,
+        "date_parts": q_date_parts,
+        "date_range_stats": q_date_range_stats,
+        "decontaminate": q_decontaminate,
+        "distinctive_terms": q_distinctive_terms,
+        "domain_cap": q_domain_cap,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "embedding_quantize": q_embedding_quantize,
+        "full_outer_reconcile": q_full_outer_reconcile,
+        "funnel": q_funnel,
+        "gap_fill": q_gap_fill,
+        "group_enrichment": q_group_enrichment,
+        "grouped_quantile": q_grouped_quantile,
+        "hilbert_key": q_hilbert_key,
+        "hist_ratio_agg": q_hist_ratio_agg,
+        "invalid_counts": q_invalid_counts,
+        "jaccard_pairs": q_jaccard_pairs,
+        "merge_upsert": q_merge_upsert,
+        "mixture_allocation": q_mixture_allocation,
+        "normalize_urls": q_normalize_urls,
+        "null_counts": q_null_counts,
+        "pack_sequences": q_pack_sequences,
+        "preprocess_pipeline": q_preprocess_pipeline,
+        "quantile_cutoff": q_quantile_cutoff,
+        "range_filter": q_range_filter,
+        "regional_revenue": q_regional_revenue,
+        "regression_metrics": q_regression_metrics,
+        "repetition_score": q_repetition_score,
+        "sample_k_per_group": q_sample_k_per_group,
+        "scd2": q_scd2,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        # ---- past the 50-entry driver window ----
         "quality_buckets": q_quality_buckets,
         "tfidf_pairs": q_tfidf_pairs,
         "nelson_aalen": q_nelson_aalen,
         "cohens_kappa": q_cohens_kappa,
         "woe_iv": q_woe_iv,
-        # NEW round 7 (never driver-checked, oracle-backed — leads the
-        # rows-only never-checked entry per the ordering contract):
         "minhash_dedup_autocap": q_minhash_dedup_autocap,
-    # ---- (1) never driver-checked (rows-only, led the r6 deferral) ----
         "minhash_dedup_fast": q_minhash_dedup_fast,
-    # ---- (2b) round-7 fixture/schema changes (rows-only) ----
         "media_probe": q_media_probe,
         "multimodal_features": q_multimodal_features,
-    # ---- (3) rotation fill: stalest oracle-backed (last green r2/r3) ----
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,
         "null_safe_join": q_null_safe_join,
@@ -4048,7 +4092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "pivot_revenue": q_pivot_revenue,
-        "edit_distance": q_edit_distance,
         "rollup_revenue": q_rollup_revenue,
         "set_ops": q_set_ops,
         "hypertable_rollup": q_hypertable_rollup,
@@ -4076,8 +4119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "embedding_norms": q_embedding_norms,
         "pricing_summary": q_pricing_summary,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        # ---- past the 50-entry driver window: r4-r6 greens ----
         "seasonal_decompose": q_seasonal_decompose,
         "unigram_nll": q_unigram_nll,
         "window_ranks": q_window_ranks,
@@ -4095,7 +4136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding": q_target_encoding,
         "weighted_median": q_weighted_median,
         "cms_heavy_hitters": q_cms_heavy_hitters,
-        "label_propagation": q_label_propagation,
         "winnow_pairs": q_winnow_pairs,
         "quantize_recall": q_quantize_recall,
         "k_anonymity": q_k_anonymity,
@@ -4151,66 +4191,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_pipeline": q_video_pipeline,
         "compression_ratio": q_compression_ratio,
         "sketch_stats": q_sketch_stats,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "embedding_dedup": q_embedding_dedup,
-        "preprocess_pipeline": q_preprocess_pipeline,
-        "embedding_quantize": q_embedding_quantize,
-        "chunk_documents": q_chunk_documents,
         "url_domains": q_url_domains,
-        "repetition_score": q_repetition_score,
         "vocab_topk": q_vocab_topk,
         "token_rarity": q_token_rarity,
-        "domain_cap": q_domain_cap,
-        "decontaminate": q_decontaminate,
-        "boilerplate_spans": q_boilerplate_spans,
-        "distinctive_terms": q_distinctive_terms,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "quantile_cutoff": q_quantile_cutoff,
-        "bigram_topk": q_bigram_topk,
         "skew_profile": q_skew_profile,
-        "corr_moments": q_corr_moments,
-        "grouped_quantile": q_grouped_quantile,
-        "mixture_allocation": q_mixture_allocation,
-        "pack_sequences": q_pack_sequences,
         "strip_html": q_strip_html,
-        "normalize_urls": q_normalize_urls,
         "winsorize": q_winsorize,
-        "merge_upsert": q_merge_upsert,
-        "scd2": q_scd2,
-        "gap_fill": q_gap_fill,
-        "bloom_join": q_bloom_join,
         "zorder_key": q_zorder_key,
-        "hilbert_key": q_hilbert_key,
-        "regional_revenue": q_regional_revenue,
-        "jaccard_pairs": q_jaccard_pairs,
-        "embedding_centroids": q_embedding_centroids,
-        "regression_metrics": q_regression_metrics,
-        "full_outer_reconcile": q_full_outer_reconcile,
-        "sample_k_per_group": q_sample_k_per_group,
         "stratified_sample": q_stratified_sample,
-        "date_range_stats": q_date_range_stats,
-        "null_counts": q_null_counts,
-        "invalid_counts": q_invalid_counts,
-        "range_filter": q_range_filter,
-        "date_parts": q_date_parts,
         "time_period_counts": q_time_period_counts,
         "user_durations": q_user_durations,
-        "hist_ratio_agg": q_hist_ratio_agg,
-        "group_enrichment": q_group_enrichment,
         "fuzzy_join": q_fuzzy_join,
         "linear_attribution": q_linear_attribution,
         "local_supplier_volume": q_local_supplier_volume,
         "trade_volume": q_trade_volume,
         "quantile_normalize": q_quantile_normalize,
-        "k_core": q_k_core,
         "mad_outliers": q_mad_outliers,
         "customer_distribution": q_customer_distribution,
         "ab_welch": q_ab_welch,
-        "containment": q_containment,
         "triangles": q_triangles,
         "kmeans_lloyd": q_kmeans_lloyd,
-        "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "co_visitation": q_co_visitation,
         "source_kl_drift": q_source_kl_drift,
@@ -4226,12 +4226,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "max_concurrency": q_max_concurrency,
         "rollup_merge": q_rollup_merge,
-        "quantile_state_merge": q_quantile_state_merge,
         "weighted_sample": q_weighted_sample,
         "shipping_priority": q_shipping_priority,
         "funnel_window": q_funnel_window,
         "pack_efficiency": q_pack_efficiency,
-        "embedding_dedup_groups": q_embedding_dedup_groups,
         "similarity_lsh": q_similarity_lsh,
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_dedup": q_minhash_dedup,

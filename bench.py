@@ -114,6 +114,7 @@ def main() -> int:
     default_secondary = "/root/testdata/sf0.01" if "0.01" not in SF_DIR else ""
     scaling_dir = os.environ.get("SPARK_GRAFT_SCALING_DIR", default_secondary)
     scaling: dict | None = None
+    sec_timings: dict[str, float] = {}
     if scaling_dir:
         sec_timings, sec_failures = run_suite(spark, entrymod, scaling_dir)
         data_ratio = _sf_from_dir(SF_DIR) / max(_sf_from_dir(scaling_dir), 1e-9)
@@ -231,8 +232,7 @@ def main() -> int:
                 # lives only in SCALE.md prose.
                 "series_sec": {
                     q: {
-                        "sf0.01": (scaling or {}).get("secondary_sf") is not None
-                        and sec_timings.get(q),
+                        "sf0.01": sec_timings.get(q),
                         "sf0.1_paired": sf01_paired[q],
                         "sf1": sf1_timings[q],
                     }
