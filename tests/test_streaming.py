@@ -561,3 +561,64 @@ def test_streaming_near_dup_candidates_across_batches(spark, sf_small, tmp_path)
     assert found >= 9, f"only {found}/10 planted cross-batch pairs found"
     # and unrelated docs must NOT be wholesale paired (banding prunes)
     assert len(pairs) < 200, len(pairs)
+
+
+def test_streaming_quantile_state_maintenance_matches_batch(spark, sf_small, tmp_path):
+    """Round 8: the mergeable-quantile story end to end on a STREAM —
+    each micro-batch collapses to fixed-edge histogram state via
+    foreachBatch, states merge incrementally into a running table, and
+    the final merged state (and the percentiles derived from it) must
+    equal a from-scratch batch computation over all events. This is the
+    daily-rollup shape at 100 TB: per-ingest state build + integer
+    merge, never a corpus replay."""
+    from yellowrush_spark_ml_pipeline_spark.operators import sketches
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_type", "value"
+    )
+    src = str(tmp_path / "qs_src")
+    events.coalesce(3).write.mode("overwrite").parquet(src)
+
+    kw = dict(keys=["event_type"], val_col="value", lo=0.0, hi=512.0, n_bins=64)
+    acc: dict[str, object] = {"state": None}
+
+    def merge_batch(batch_df, _epoch):
+        st = sketches.quantile_state(batch_df, **kw)
+        prev = acc["state"]
+        if prev is None:
+            acc["state"] = st.localCheckpoint(eager=True)
+        else:
+            acc["state"] = sketches.merge_quantile_states(
+                prev, st
+            ).localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "qs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = sorted(
+        sketches.quantile_from_state(
+            acc["state"], ["event_type"], ps=(0.5, 0.95), lo=0.0, hi=512.0
+        ).collect(),
+        key=lambda r: (r["event_type"], r["p"]),
+    )
+    want = sorted(
+        sketches.quantile_from_state(
+            sketches.quantile_state(events, **kw),
+            ["event_type"], ps=(0.5, 0.95), lo=0.0, hi=512.0,
+        ).collect(),
+        key=lambda r: (r["event_type"], r["p"]),
+    )
+    assert got == want and len(got) > 0
