@@ -6137,13 +6137,14 @@ def oracle_sql() -> dict[str, str]:
     # sf0.01 artifacts are committed so oracle-before-spark execution
     # orders also work (predictions are seed-pinned).
     def _pred_eval_sql(name: str) -> str:
-        # The oracle reads the committed _ORACLE_SF_TAG artifact — the
-        # driver's compare contract runs both halves at that SF, and
-        # _pred_artifact routes exactly that SF into the repo tree.
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "artifacts", "predcache", _ORACLE_SF_TAG, name, "*.parquet",
-        )
+        # The oracle reads the _ORACLE_SF_TAG artifact through the SAME
+        # resolution as the Spark writer (_pred_artifact honors the
+        # SPARK_GRAFT_ARTIFACT_DIR override; round 9 — previously an
+        # override would send the two halves of the differential check
+        # to different files). The driver's compare contract runs both
+        # halves at that SF, and _pred_artifact routes exactly that SF
+        # into the repo tree by default.
+        path = os.path.join(_pred_artifact(_ORACLE_SF_TAG, name), "*.parquet")
         return f"""
             WITH p AS (
                 SELECT label, prediction, prob
@@ -6902,14 +6903,21 @@ def oracle_sql() -> dict[str, str]:
     # monoid; the walk is a pure function of the state). lo=0, hi=512,
     # 128 bins -> width exactly 4.0; ranks/cumulative counts pure BIGINT;
     # the interpolation is the same fixed-order double expression.
+    # NULL/NaN rule (round 9, mirrored in sketches.quantile_state):
+    # NULLs dropped before binning (SQL percentile convention — and a
+    # null bin key would crash Spark's map_from_entries); NaN counts as
+    # >= hi via an EXPLICIT isnan arm (both engines sort NaN above all
+    # reals, but only Spark's >= comparison happens to catch it).
     sqls["quantile_state_merge"] = """
             WITH tagged AS (
                 SELECT event_type,
-                       CASE WHEN value < 0.0 THEN -1
+                       CASE WHEN isnan(value) THEN 128
+                            WHEN value < 0.0 THEN -1
                             WHEN value >= 512.0 THEN 128
                             ELSE CAST(FLOOR((value - 0.0) / 4.0) AS INT)
                        END AS bin
                 FROM events
+                WHERE value IS NOT NULL
             ), counts AS (
                 SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
                 FROM tagged GROUP BY event_type, bin

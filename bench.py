@@ -200,23 +200,30 @@ def main() -> int:
                 # and keeps the per-scale minima — real superlinear
                 # scaling survives a warm re-run; residual JIT/GC noise
                 # does not. No per-query special-casing anywhere.
+                # Round 9: each scale is timed under ITS OWN shuffle-
+                # partition config (runtime-settable, so the pair still
+                # shares one fresh context/heap). r8 timed the sf0.1
+                # denominator on the sf1-sized config, over-partitioning
+                # the small run — an inflated t01 biases time_ratio DOWN,
+                # masking exactly the superlinear signal the flag exists
+                # to catch.
+                sf1_parts = str(prev_parts * int(recorded.get("factor", 10)))
+
+                def _shot(name: str, d: str, parts: str) -> float:
+                    spark.conf.set("spark.sql.shuffle.partitions", parts)
+                    t0 = time.perf_counter()
+                    materialize(qmap[name](spark, d))
+                    return time.perf_counter() - t0
+
                 for qi, name in enumerate(heavy):
                     if qi and qi % 5 == 0:
                         spark.sparkContext._jvm.System.gc()
                     try:
-                        t0 = time.perf_counter()
-                        materialize(qmap[name](spark, SF_DIR))
-                        t01 = time.perf_counter() - t0
-                        t0 = time.perf_counter()
-                        materialize(qmap[name](spark, sf1_dir))
-                        t1 = time.perf_counter() - t0
+                        t01 = _shot(name, SF_DIR, str(prev_parts))
+                        t1 = _shot(name, sf1_dir, sf1_parts)
                         if t1 / max(t01, 1e-3) > dr:
-                            t0 = time.perf_counter()
-                            materialize(qmap[name](spark, SF_DIR))
-                            t01 = min(t01, time.perf_counter() - t0)
-                            t0 = time.perf_counter()
-                            materialize(qmap[name](spark, sf1_dir))
-                            t1 = min(t1, time.perf_counter() - t0)
+                            t01 = min(t01, _shot(name, SF_DIR, str(prev_parts)))
+                            t1 = min(t1, _shot(name, sf1_dir, sf1_parts))
                         sf01_paired[name] = round(t01, 2)
                         sf1_timings[name] = round(t1, 2)
                     except Exception as exc:  # noqa: BLE001

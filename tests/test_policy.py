@@ -104,6 +104,14 @@ def test_readme_counts_match_registry():
     assert m, "README registry-count sentence not found"
     assert int(m.group(1)) == len(entrymod.queries())
     assert int(m.group(2)) == len(entrymod.oracle_sql())
+    # The README must describe the ENFORCED ordering invariant (the
+    # duty-roster window), not a stronger global claim — r8 shipped a
+    # false "every oracle-backed entry ordered BEFORE the rows-only
+    # ones" sentence that no test was pinning. If the wording changes,
+    # this assertion and the registry comment must move together.
+    assert "driver-window duty" in text and "AMONG THOSE" in text, (
+        "README ordering sentence drifted from the enforced invariant"
+    )
 
 
 def test_never_driver_checked_queries_lead_the_window():

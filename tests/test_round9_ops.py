@@ -1,0 +1,180 @@
+"""Round-9 hardening tests: the ADVICE r8 edge cases (quantile_state
+NULL/NaN inputs, SRP auto-width oracle coverage, k_core null endpoints,
+predcache byte stability) plus the round-9 operators (BPE encode,
+semantic dedup, seeded export shuffle) added further down as they land.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yellowrush_spark_ml_pipeline_spark.operators import (
+    graph,
+    similarity,
+    sketches,
+)
+
+
+# ---------------------------------------------------------------------------
+# quantile_state: NULL dropped, NaN -> n_above (ADVICE r8 medium)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_state_null_dropped_nan_counts_above(spark):
+    rows = (
+        [(1, float(i)) for i in range(10)]  # 0..9 in range
+        + [(1, None), (1, None)]  # NULLs: dropped, not counted
+        + [(1, float("nan"))]  # NaN: counts as >= hi
+        + [(1, -5.0), (1, 99.0)]  # below / above
+    )
+    df = spark.createDataFrame(rows, "k int, v double")
+    st = sketches.quantile_state(df, ["k"], "v", lo=0.0, hi=10.0, n_bins=5)
+    r = st.collect()[0]
+    assert r["n_below"] == 1
+    assert r["n_above"] == 2  # NaN + 99.0
+    assert r["n_vals"] == 13  # 15 rows minus the 2 NULLs
+    assert sum(r["bins"]) == 10
+
+
+def test_quantile_state_all_null_key_disappears(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, 3.0)], "k int, v double"
+    )
+    st = sketches.quantile_state(df, ["k"], "v", lo=0.0, hi=10.0, n_bins=5)
+    rows = {r["k"]: r for r in st.collect()}
+    # key 1 contributed no real values -> no state row (same as SQL
+    # percentile over an all-NULL group feeding an INNER walk)
+    assert set(rows) == {2}
+    assert rows[2]["n_vals"] == 1
+
+
+def test_quantile_state_merge_still_exact_with_nan_null(spark):
+    rows_a = [(1, float(i % 7)) for i in range(40)] + [(1, None)]
+    rows_b = [(1, float(i % 5)) for i in range(30)] + [(1, float("nan"))]
+    a = spark.createDataFrame(rows_a, "k int, v double")
+    b = spark.createDataFrame(rows_b, "k int, v double")
+    args = (["k"], "v")
+    kw = dict(lo=0.0, hi=8.0, n_bins=8)
+    merged = sketches.merge_quantile_states(
+        sketches.quantile_state(a, *args, **kw),
+        sketches.quantile_state(b, *args, **kw),
+    ).collect()[0]
+    direct = sketches.quantile_state(a.unionByName(b), *args, **kw).collect()[0]
+    # 40 + 30 reals + the NaN (counted, in n_above); the NULL is dropped
+    assert merged["n_vals"] == direct["n_vals"] == 71
+    assert merged["n_above"] == direct["n_above"] == 1
+    assert list(merged["bins"]) == list(direct["bins"])
+
+
+# ---------------------------------------------------------------------------
+# SRP auto-width oracle coverage guard (ADVICE r8 low): at the oracle SF
+# the banded generator must produce EVERY pair the exact all-pairs oracle
+# produces — including borderline (cosine < 1) ones — under the exact
+# (bits, n_tables) the driver query uses. A testdata regeneration that
+# plants a pair the chosen width misses fails HERE with a name, instead
+# of silently flipping the driver hash.
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_dedup_srp_covers_exact_oracle_pairs(spark, sf_oracle):
+    import __spark_entry__ as entrymod
+
+    lsh = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in entrymod.queries()["embedding_dedup"](spark, sf_oracle).collect()
+    }
+    # exact all-pairs ground truth over the same planted-union input,
+    # computed by brute force (no bucketing anywhere)
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    doubled = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    allv = emb.unionByName(doubled)
+    from yellowrush_spark_ml_pipeline_spark.functions.vector import (
+        as_double_array,
+        dot,
+        normalize,
+    )
+
+    v = allv.select(
+        "vec_id", normalize(as_double_array(F.col("embedding"))).alias("_v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.round(dot(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.9)
+        ).collect()
+    }
+    missed = exact - lsh
+    assert not missed, (
+        "SRP (bits=auto, n_tables) missed exact-oracle pairs — testdata "
+        f"now contains borderline pairs the width cannot cover: {missed}"
+    )
+    assert lsh == exact  # no spurious pairs either
+
+
+# ---------------------------------------------------------------------------
+# k_core: null endpoints dropped explicitly (ADVICE r8 low)
+# ---------------------------------------------------------------------------
+
+
+def test_k_core_null_endpoints_dropped(spark):
+    # triangle 1-2-3 (each degree 2) + null-endpoint junk edges that
+    # must affect neither membership nor degree counts
+    rows = [
+        (1, 2), (2, 3), (1, 3),
+        (None, 1), (2, None), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "src int, dst int")
+    out = {
+        r["node"]: r["degree"]
+        for r in graph.k_core_membership(df, k=2, rounds=3).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# predcache artifacts: clean re-runs must not churn bytes (VERDICT r8)
+# ---------------------------------------------------------------------------
+
+
+def test_publish_artifact_is_byte_stable(spark, tmp_path):
+    from yellowrush_spark_ml_pipeline_spark.ml.pipelines import (
+        _publish_artifact,
+    )
+
+    out = str(tmp_path / "pred")
+    df = spark.createDataFrame(
+        [(1, 1, 0.9), (0, 1, 0.4), (1, 0, 0.2)],
+        "label int, prediction int, prob double",
+    )
+    _publish_artifact(df, out)
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(out, "*.parquet"))
+    assert parts == [os.path.join(out, "part-00000.parquet")]
+    before = (open(parts[0], "rb").read(), os.stat(parts[0]).st_mtime_ns)
+    # same values, different incoming row order -> old bytes kept
+    _publish_artifact(df.orderBy(F.desc("prob")), out)
+    after = (open(parts[0], "rb").read(), os.stat(parts[0]).st_mtime_ns)
+    assert after == before
+    # changed values -> artifact replaced
+    _publish_artifact(
+        df.withColumn("prob", F.col("prob") + 0.05), out
+    )
+    assert open(parts[0], "rb").read() != before[0]

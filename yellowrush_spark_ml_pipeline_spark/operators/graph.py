@@ -380,8 +380,13 @@ def k_core_membership(
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
     u, v = F.col(src_col), F.col(dst_col)
+    # Null endpoints are dropped EXPLICITLY (round 9): u != v already
+    # rejects them via three-valued logic, but the anti-join form's
+    # "removed never matches -> edge kept" equivalence argument (and the
+    # degree count) must hold unconditionally, not by comparison
+    # side-effect — so the contract is spelled out, not inherited.
     e = (
-        edges.filter(u != v)
+        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
         .select(F.least(u, v).alias("_a"), F.greatest(u, v).alias("_b"))
         .distinct()
     )

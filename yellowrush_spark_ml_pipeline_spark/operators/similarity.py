@@ -476,7 +476,20 @@ def embedding_cosine_dedup(
     duplicates (cosine 1.0 — identical normalized vectors) collide in
     EVERY table at ANY width, so the dedup-tier contract (find true
     copies) is width-independent; the borderline band is the standard
-    LSH recall/cost dial, documented not hidden."""
+    LSH recall/cost dial, documented not hidden.
+
+    ``auto`` mode contract (round 9, explicit): resolving the width
+    runs ONE eager COUNT job at call time — this function is otherwise
+    a lazy builder, so the count is the single deliberate exception
+    (same as the dedup tier's ``_resolve_cap``), bounded to a
+    count-star over one column. And because deeper corpora mean deeper
+    buckets, recall for NON-identical pairs (threshold <= cosine < 1)
+    depends on (bits, n_tables) while the differential oracle stays an
+    exact all-pairs join — tests/test_round9_ops.py pins the guard: at
+    the oracle SF every exact pair must be produced by THIS generator,
+    so a testdata regeneration that introduces a borderline pair the
+    chosen width would miss fails a named test instead of silently
+    flipping the driver hash."""
     if bucket_bits == "auto":
         n = df.select(id_col).count()  # one tiny count job, like _resolve_cap
         bucket_bits = max(

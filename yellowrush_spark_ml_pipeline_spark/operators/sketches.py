@@ -402,6 +402,19 @@ def quantile_state(
     kept, not dropped, so ranks stay exact and only the VALUE of an
     out-of-range quantile saturates to the boundary.
 
+    NULL and NaN (round 9): NULLs are dropped before binning — the
+    SQL-aggregate convention every percentile function follows (a NULL
+    is "no measurement", not a rank) — so n_vals counts only real
+    values and map_from_entries never sees a null key (a NULL would
+    otherwise fall through every WHEN arm into a null _bin and crash
+    the map build at runtime). NaN routes EXPLICITLY to n_above via
+    isnan, not via comparison fall-through: both Spark and DuckDB sort
+    NaN above every real double, so "NaN counts as >= hi" is the one
+    rule the two engines agree on — but Spark's ``v >= hi`` happens to
+    be true for NaN while DuckDB's CASE needs the isnan arm spelled
+    out, so both halves state it explicitly rather than leaning on
+    engine-specific comparison semantics.
+
     Scale shape: one combinable shuffle on ``keys`` (map-side partials
     over a (key, bin) space of at most |keys| x (n_bins+2)); the state
     is n_bins+3 integers per key regardless of input size. All counters
@@ -411,9 +424,10 @@ def quantile_state(
         raise ValueError("need hi > lo and n_bins >= 1")
     w = (hi - lo) / n_bins  # python float == IEEE double division
     v = F.col(val_col).cast("double")
-    tagged = df.select(
+    tagged = df.filter(v.isNotNull()).select(
         *keys,
-        F.when(v < float(lo), F.lit(-1))
+        F.when(F.isnan(v), F.lit(n_bins))
+        .when(v < float(lo), F.lit(-1))
         .when(v >= float(hi), F.lit(n_bins))
         .otherwise(
             F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int")
