@@ -3892,6 +3892,25 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_merge_rounds(d, rounds=3).orderBy("merge_round")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer lifecycle completed (round 9): train 3 BPE merges on
+    the corpus, then ENCODE the corpus with them — per-doc real token
+    counts and the full token-id sequence (stringified for the compare;
+    the driver value-hash is scalar-shaped). The oracle replays
+    training AND encoding end-to-end: the unrolled merge chain, the
+    deterministic symbol vocabulary (row_number by symbol), per-word id
+    arrays, and per-doc reassembly in word order — so n_tokens and the
+    exact id sequence of every document are differentially checked."""
+    d = _t(spark, sf_dir, "documents")
+    m = textstats.bpe_merge_rounds(d, rounds=3)
+    enc = textstats.bpe_encode(d, m, rounds=3)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("token_ids", " ").alias("ids_str"),
+    )
+
+
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of deterministically-nulled event values
     (event_id % 7) per event-type series — the trend-preserving gap
@@ -4021,7 +4040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-proven on CURRENT testdata every round by the local mirror
     # (tools/driver_mirror.py -> MIRROR_LOCAL.json) regardless of window
     # position.
-    # ---- (1) NEW round 8, never driver-checked (oracle-backed) ----
+    # ---- (1) NEW round 9, never driver-checked (oracle-backed) ----
+        "bpe_encode": q_bpe_encode,
+    # ---- re-verify: round-8 new + round-9 changed ----
         "quantile_state_merge": q_quantile_state_merge,
     # ---- (2) round-8 implementation changes - re-verify ----
         "similarity_ivf": q_similarity_ivf,
@@ -4372,6 +4393,99 @@ def oracle_bpe_sql(rounds: int = 3, tokclass: str = r"'[^\p{L}\p{N}]+'") -> str:
         + " UNION ALL ".join(sels)
         + " ORDER BY merge_round"
     )
+
+
+def oracle_bpe_encode_sql(
+    rounds: int = 3, tokclass: str = r"'[^\p{L}\p{N}]+'"
+) -> str:
+    """DuckDB oracle for textstats.bpe_encode over a same-corpus train:
+    the full training chain (every w{r} materialized, unlike
+    oracle_bpe_sql which skips the last application), then the encode
+    tail — the original word recovered by stripping separators from the
+    dictionary sym, a deterministic ROW_NUMBER vocabulary, per-word id
+    lists ordered by symbol position, and per-doc flattening ordered by
+    word position. LEFT JOIN keeps zero-token docs with n_tokens 0 and
+    an empty id string, mirroring the Spark half."""
+    parts = [
+        f"""
+            WITH tok AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text), {tokclass}),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), w0 AS (
+                SELECT substr(unnest(ws), 1, 24) AS word FROM tok
+            ), wf AS (
+                SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                           AS sym,
+                       COUNT(*) AS n
+                FROM w0 GROUP BY 1
+            )"""
+    ]
+    prev = "wf"
+    for r in range(1, rounds + 1):
+        rep = "sym"
+        for _ in range(5):
+            rep = (
+                f"replace({rep}, ' ' || t.l || ' ' || t.r || ' ',"
+                f" ' ' || t.l || t.r || ' ')"
+            )
+        parts.append(f""", p{r} AS (
+                SELECT a[i] AS l, a[i+1] AS r, SUM(n) AS cnt FROM (
+                    SELECT string_split(trim(sym), ' ') AS a, n,
+                           unnest(range(1, len(string_split(trim(sym), ' '))))
+                               AS i
+                    FROM {prev}
+                ) GROUP BY 1, 2
+            ), t{r} AS (
+                SELECT l, r, cnt FROM p{r}
+                ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+            ), w{r} AS (
+                SELECT {rep} AS sym, n
+                FROM {prev} CROSS JOIN t{r} t
+            )""")
+        prev = f"w{r}"
+    parts.append(f""", dict AS (
+                SELECT replace(sym, ' ', '') AS word,
+                       string_split(trim(sym), ' ') AS syms
+                FROM {prev}
+            ), vocab AS (
+                SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS INT) AS tid
+                FROM (SELECT DISTINCT unnest(syms) AS s FROM dict)
+            ), wids AS (
+                SELECT word, list(v.tid ORDER BY pos) AS ids
+                FROM (
+                    SELECT word, unnest(syms) AS s,
+                           generate_subscripts(syms, 1) AS pos
+                    FROM dict
+                ) JOIN vocab v USING (s)
+                GROUP BY word
+            ), dw AS (
+                SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                       substr(unnest(ws), 1, 24) AS word
+                FROM (
+                    SELECT doc_id,
+                           list_filter(
+                               regexp_split_to_array(lower(text), {tokclass}),
+                               x -> x <> '') AS ws
+                    FROM documents
+                )
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(len(x.ids)), 0) AS BIGINT) AS n_tokens,
+                   COALESCE(
+                       array_to_string(
+                           flatten(list(x.ids ORDER BY x.widx)
+                                   FILTER (WHERE x.ids IS NOT NULL)),
+                           ' '),
+                       '') AS ids_str
+            FROM documents d
+            LEFT JOIN (
+                SELECT dw.doc_id, dw.widx, w.ids
+                FROM dw JOIN wids w USING (word)
+            ) x ON d.doc_id = x.doc_id
+            GROUP BY d.doc_id""")
+    return "".join(parts)
 
 
 def oracle_pagerank_sql(
@@ -9397,6 +9511,10 @@ def oracle_sql() -> dict[str, str]:
     # replace merge per round) — generated by oracle_bpe_sql so the
     # recurrence probes can re-unroll it at alternate round counts.
     sqls["bpe_merges"] = oracle_bpe_sql(rounds=3, tokclass=tokclass)
+    # BPE encode (round 9): the training chain re-unrolled WITH the
+    # final merge applied, then vocabulary/id-sequence reassembly —
+    # n_tokens and the exact per-doc id string both replayed.
+    sqls["bpe_encode"] = oracle_bpe_encode_sql(rounds=3, tokclass=tokclass)
     sqls["interpolate_linear"] = """
             WITH s AS (
                 SELECT event_type, event_id,

@@ -164,3 +164,22 @@ def test_bpe_merges_alternate_rounds(spark, duck, rounds):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = bpe_merge_rounds(docs, rounds=rounds).orderBy("merge_round")
     _assert_match(out, duck, entrymod.oracle_bpe_sql(rounds=rounds))
+
+
+@pytest.mark.parametrize("rounds", [1, 4])
+def test_bpe_encode_alternate_rounds(spark, duck, rounds):
+    """bpe_encode re-unrolled at 1 and 4 rounds — pins that the encode
+    chain applies EVERY trained merge exactly once in training order
+    (the registry oracle proves only rounds=3), including the final
+    merge the training oracle never materializes."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        bpe_encode,
+        bpe_merge_rounds,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    enc = bpe_encode(docs, bpe_merge_rounds(docs, rounds=rounds), rounds=rounds)
+    out = enc.select(
+        "doc_id", "n_tokens", F.array_join("token_ids", " ").alias("ids_str")
+    )
+    _assert_match(out, duck, entrymod.oracle_bpe_encode_sql(rounds=rounds))

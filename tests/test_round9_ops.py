@@ -148,6 +148,118 @@ def test_k_core_null_endpoints_dropped(spark):
 
 
 # ---------------------------------------------------------------------------
+# bpe_encode: encode(train(corpus)) must equal the canonical greedy
+# Python reference — token counts AND the symbol segmentation itself
+# ---------------------------------------------------------------------------
+
+
+def _canonical_bpe(words: dict, rounds: int):
+    """Pure-Python Sennrich-2016 greedy BPE: returns (merges, vocab)
+    where vocab maps word -> final symbol list."""
+    from collections import Counter
+
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(rounds):
+        pc = Counter()
+        for w, n in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (l, rr), _cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((l, rr))
+        for w in vocab:
+            s, out, i = vocab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == rr:
+                    out.append(l + rr)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_encode_matches_canonical_reference(spark):
+    import re
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        bpe_encode,
+        bpe_merge_rounds,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "aaaa aaaa ababab ababab ababab",
+        "banana bandana banana",
+        "low lower lowest low low",
+        "",  # zero-token doc must survive with an empty sequence
+    ]
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                words[w[:24]] += 1
+    rounds = 5
+    _, vocab = _canonical_bpe(dict(words), rounds)
+    # deterministic id table: distinct final symbols sorted asc, 1-based
+    syms = sorted({s for segs in vocab.values() for s in segs})
+    tid = {s: i + 1 for i, s in enumerate(syms)}
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], list(r["token_ids"]))
+        for r in bpe_encode(
+            df, bpe_merge_rounds(df, rounds=rounds), rounds=rounds
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = []
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                expect.extend(tid[s] for s in vocab[w[:24]])
+        assert got[i] == (len(expect), expect), f"doc {i}"
+
+
+def test_bpe_counts_feed_pack_sequences(spark):
+    """The lifecycle composition: pack by REAL bpe_encode token counts
+    via the n_tokens_col hook instead of the regex proxy."""
+    from pyspark.sql import Row
+
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        bpe_encode,
+        bpe_merge_rounds,
+        pack_sequences,
+    )
+
+    rows = [
+        Row(doc_id=i, lang="en", text=("hello world " * (i + 1)).strip())
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows)
+    enc = bpe_encode(df, bpe_merge_rounds(df, rounds=2), rounds=2)
+    joined = df.join(enc.select("doc_id", F.col("n_tokens").alias("bpe_n")), "doc_id")
+    packed = pack_sequences(joined, n_tokens_col="bpe_n", capacity=16)
+    out = {r["doc_id"]: r for r in packed.collect()}
+    enc_n = {r["doc_id"]: r["n_tokens"] for r in enc.collect()}
+    assert all(out[i]["n_tokens"] == enc_n[i] for i in range(6))
+    # running-sum bin assignment over the REAL counts
+    cum = 0
+    for i in range(6):
+        assert out[i]["start_offset"] == cum
+        assert out[i]["bin_id"] == cum // 16
+        cum += enc_n[i]
+
+
+# ---------------------------------------------------------------------------
 # predcache artifacts: clean re-runs must not churn bytes (VERDICT r8)
 # ---------------------------------------------------------------------------
 

@@ -541,6 +541,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     group_col: str = "lang",
     capacity: int = 2048,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing: assign documents to fixed-capacity
     context-window bins (the batch-construction step between curation and
@@ -555,15 +556,25 @@ def pack_sequences(
     Scale: the window partitions by ``group_col`` (language/source), so
     packing parallelizes across groups and no global sort exists. Output
     is the per-doc assignment (id, group, n_tokens, start_offset,
-    bin_id)."""
+    bin_id).
+
+    ``n_tokens_col`` (round 9): pass a precomputed token-count column —
+    e.g. real tokenizer counts from :func:`bpe_encode` — to pack by it
+    instead of the default regex proxy, completing the
+    train->encode->pack lifecycle."""
     from pyspark.sql import Window
 
     from ..functions.text import bpe_ish_token_count
 
+    n_expr = (
+        F.col(n_tokens_col).cast("int")
+        if n_tokens_col
+        else bpe_ish_token_count(F.col(text_col))
+    )
     with_n = df.select(
         F.col(id_col),
         F.col(group_col),
-        bpe_ish_token_count(F.col(text_col)).alias("n_tokens"),
+        n_expr.alias("n_tokens"),
     )
     w = (
         Window.partitionBy(group_col)
@@ -1360,6 +1371,151 @@ def bpe_merge_rounds(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    rounds: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Apply a trained BPE merge list (:func:`bpe_merge_rounds` output)
+    to tokenize the corpus — the ENCODE half of the tokenizer lifecycle
+    (round 9), turning "trained merges" into the per-document token-id
+    sequences and REAL token counts that pack_sequences /
+    mixture_allocation / pack_efficiency consume (instead of the
+    whitespace-proxy counts they default to).
+
+    Algorithm: canonical sequential BPE encode — merges applied in
+    TRAINING ORDER, each replacing every occurrence in every word
+    before the next is considered (for merges produced greedily by
+    training, this equals per-pair-priority encoding). Each merge is
+    the identical 5-pass leftmost space-separated ``replace`` used in
+    training (fixpoint-exact for words <= ``max_word_len`` chars), so
+    encode(train(corpus)) over the training corpus reproduces training's
+    final dictionary state exactly — asserted against a pure-Python
+    greedy reference in tests.
+
+    Plan shape (all JVM-side, no Python UDF anywhere):
+    1. the corpus collapses to the DISTINCT-word dictionary once (the
+       same trick training uses — merging work is |vocab words|, never
+       corpus-sized);
+    2. the merge table pivots to ONE broadcast row (l1..lR, r1..rR) and
+       the R merges unroll into a chained codegen replace expression —
+       zero shuffles, zero driver round-trips (a merge row missing from
+       the table leaves the word unchanged rather than nulling it);
+    3. symbol vocabulary = distinct encoded symbols, id = row_number
+       ordered by symbol — deterministic, and the single-partition
+       window is VOCAB-sized (base chars + R merges), a parameter, not
+       data;
+    4. word -> id array via a broadcast vocab join re-assembled with
+       array_sort(collect_list(struct(pos, id))) — partition-invariant;
+    5. docs join the word dictionary on the word (one shuffle keyed on
+       the word, df-bounded) and per-doc sequences re-assemble ordered
+       by word position. Docs with zero tokens survive with an empty
+       array (left join), so downstream packing sees every doc.
+
+    Output: (id_col, n_tokens BIGINT, token_ids ARRAY<INT>) — token ids
+    index the deterministic symbol vocabulary.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    dw = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("_widx", "_w"),
+        )
+        .filter(F.col("_w") != "")
+        .select(id_col, "_widx", F.substring("_w", 1, max_word_len).alias("_word"))
+    )
+    dict_df = (
+        dw.select("_word")
+        .distinct()
+        .select(
+            "_word",
+            F.concat(
+                F.lit(" "), F.regexp_replace("_word", "(.)", "$1 ")
+            ).alias("_sym"),
+        )
+    )
+    piv = merges.groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("merge_round") == r, F.col("left_sym"))
+            ).alias(f"_l{r}")
+            for r in range(1, rounds + 1)
+        ],
+        *[
+            F.max(
+                F.when(F.col("merge_round") == r, F.col("right_sym"))
+            ).alias(f"_r{r}")
+            for r in range(1, rounds + 1)
+        ],
+    )
+    sym = F.col("_sym")
+    for r in range(1, rounds + 1):
+        left, right = F.col(f"_l{r}"), F.col(f"_r{r}")
+        pat = F.concat(F.lit(" "), left, F.lit(" "), right, F.lit(" "))
+        to = F.concat(F.lit(" "), left, right, F.lit(" "))
+        merged = sym
+        for _ in range(5):
+            merged = F.replace(merged, pat, to)
+        sym = F.when(left.isNull(), sym).otherwise(merged)
+    enc = dict_df.crossJoin(F.broadcast(piv)).select(
+        "_word", F.split(F.trim(sym), " ").alias("_syms")
+    )
+    vocab = (
+        enc.select(F.explode("_syms").alias("_s"))
+        .distinct()
+        .select(
+            "_s",
+            F.row_number().over(Window.orderBy("_s")).cast("int").alias("_tid"),
+        )
+    )
+    wids = (
+        enc.select("_word", F.posexplode("_syms").alias("_pos", "_s"))
+        .join(F.broadcast(vocab), "_s")
+        .groupBy("_word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tid"))),
+                lambda e: e["_tid"],
+            ).alias("_ids")
+        )
+    )
+    per_doc = (
+        dw.join(wids, "_word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_widx", "_ids"))),
+                    lambda e: e["_ids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias(
+                "token_ids"
+            ),
+        )
+        .select(
+            id_col,
+            F.size("token_ids").cast("bigint").alias("n_tokens"),
+            "token_ids",
+        )
+    )
 
 
 def tfidf_cosine_pairs(
