@@ -2620,6 +2620,27 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_lloyd(emb, k=8, n_assign=3)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (round 9): unit-sphere k-means (corpus-relative auto-k)
+    + within-cluster cosine pruning keeping the centroid-nearest member.
+    Collinear x2 copies of the first 10 vectors are planted (identical
+    after normalization — guaranteed same cluster, cosine exactly 1) so
+    the collapse is non-vacuous. The oracle replays the ENTIRE
+    composition: normalization, the auto-k formula, every Lloyd round,
+    and the canonical-neighbor prune rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    return similarity.semantic_dedup(
+        emb.unionByName(planted), threshold=0.9, k="auto"
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 PageRank over the bidirectional customer--supplier trade
     graph (3 fixed iterations, damping 0.85) — INTEGER fixed-point mass,
@@ -4042,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position.
     # ---- (1) NEW round 9, never driver-checked (oracle-backed) ----
         "bpe_encode": q_bpe_encode,
+        "semantic_dedup": q_semantic_dedup,
     # ---- re-verify: round-8 new + round-9 changed ----
         "quantile_state_merge": q_quantile_state_merge,
     # ---- (2) round-8 implementation changes - re-verify ----
@@ -4665,6 +4687,95 @@ def oracle_kmeans_sql(k: int = 8, n_assign: int = 3) -> str:
             SELECT vec_id, CAST(cid AS INT) AS cluster_id, ROUND(d, 6) AS dist
             FROM a{last}
         """.format(last=n_assign)
+    )
+    return "".join(parts)
+
+
+def oracle_semantic_dedup_sql(
+    n_assign: int = 3,
+    threshold: float = 0.9,
+    target_cluster_size: int = 64,
+) -> str:
+    """DuckDB oracle for similarity.semantic_dedup over the planted
+    x2-copy union: normalization, corpus-relative auto-k (clamped
+    ceil(n/target), min 8 — replayed as a scalar CTE so the unrolled
+    chain stays k-independent), the full Lloyd recurrence on the unit
+    sphere, and the canonical-neighbor prune (strictly smaller rounded
+    dist, ties by id)."""
+    parts = [
+        """
+            WITH all_vecs AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+                FROM embeddings WHERE vec_id < 10
+            ), pts AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                          embedding::DOUBLE[]))) AS x
+                FROM all_vecs
+            ), kk AS (
+                SELECT GREATEST(8, LEAST(COUNT(*),
+                           CAST(CEIL(COUNT(*) / {target}.0) AS BIGINT))) AS k
+                FROM pts
+            ), c0 AS (
+                SELECT CAST(rn - 1 AS INT) AS cid, x AS c
+                FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                      FROM pts) CROSS JOIN kk
+                WHERE rn <= kk.k
+            )""".format(target=target_cluster_size)
+    ]
+    for i in range(1, n_assign + 1):
+        parts.append(
+            """, a{i} AS (
+                SELECT vec_id, x, cid, d FROM (
+                    SELECT p.vec_id, p.x, c.cid, list_distance(p.x, c.c) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.x, c.c) ASC, c.cid ASC
+                           ) AS rn
+                    FROM pts p CROSS JOIN c{j} c
+                ) WHERE rn = 1
+            )""".format(i=i, j=i - 1)
+        )
+        if i < n_assign:
+            parts.append(
+                """, u{i} AS (
+                SELECT cid, dim,
+                       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
+                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS val
+                FROM (
+                    SELECT cid, CAST(generate_subscripts(x, 1) - 1 AS INT) AS dim,
+                           unnest(x) AS v
+                    FROM a{i}
+                )
+                GROUP BY cid, dim
+            ), c{i} AS (
+                SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
+            )""".format(i=i)
+            )
+    parts.append(
+        """, fin AS (
+                SELECT vec_id, x, cid, ROUND(d, 6) AS dist FROM a{last}
+            ), nbr AS (
+                SELECT pp.vec_id AS pid,
+                       CAST(COUNT(*) AS BIGINT) AS n_close,
+                       MAX(CASE WHEN q.dist < pp.dist
+                                  OR (q.dist = pp.dist AND q.vec_id < pp.vec_id)
+                                THEN 1 ELSE 0 END) AS pruned
+                FROM fin pp JOIN fin q
+                  ON pp.cid = q.cid AND pp.vec_id <> q.vec_id
+                WHERE ROUND(list_dot_product(pp.x, q.x), 6) >= {thr}
+                GROUP BY pp.vec_id
+            )
+            SELECT f.vec_id, CAST(f.cid AS INT) AS cluster_id, f.dist,
+                   CAST(COALESCE(n.n_close, 0) AS BIGINT) AS n_close,
+                   CAST(CASE WHEN COALESCE(n.pruned, 0) = 0
+                             THEN 1 ELSE 0 END AS INT) AS keep
+            FROM fin f LEFT JOIN nbr n ON f.vec_id = n.pid
+        """.format(last=n_assign, thr=threshold)
     )
     return "".join(parts)
 
@@ -7725,6 +7836,11 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sqls["kmeans_lloyd"] = oracle_kmeans_sql(k=8, n_assign=3)
+    # SemDeDup (round 9): the kmeans chain re-unrolled on the unit
+    # sphere + canonical-neighbor prune; auto-k replayed as a scalar CTE.
+    sqls["semantic_dedup"] = oracle_semantic_dedup_sql(
+        n_assign=3, threshold=0.9, target_cluster_size=64
+    )
 
     _null_token = "chr(1) || 'NULL'"
     _canon = (

@@ -183,3 +183,24 @@ def test_bpe_encode_alternate_rounds(spark, duck, rounds):
         "doc_id", "n_tokens", F.array_join("token_ids", " ").alias("ids_str")
     )
     _assert_match(out, duck, entrymod.oracle_bpe_encode_sql(rounds=rounds))
+
+
+@pytest.mark.parametrize("n_assign", [2, 4])
+def test_semantic_dedup_alternate_rounds(spark, n_assign, duck):
+    """semantic_dedup re-unrolled at 2 and 4 Lloyd rounds — pins the
+    composed recurrence (assignment/update coupling on the unit sphere
+    feeding the prune), not just the registry's n_assign=3 unrolling."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    out = similarity.semantic_dedup(
+        emb.unionByName(planted), threshold=0.9, k="auto", n_assign=n_assign
+    )
+    _assert_match(
+        out, duck, entrymod.oracle_semantic_dedup_sql(n_assign=n_assign)
+    )
