@@ -1783,6 +1783,31 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest
 
 
+def q_export_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded epoch order (round 9): the export flow's
+    packed dataset globally shuffled by the Lehmer-md5 key of
+    (split, lang, bin_id, seed). The oracle replays curation -> split
+    -> packing -> the key arithmetic -> the EXACT total order
+    (epoch_rank), so byte-identical epoch reproducibility is
+    differentially proven, not asserted."""
+    from yellowrush_spark_ml_pipeline_spark.flows import (
+        epoch_shuffle,
+        export_training_set,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dataset, _ = export_training_set(docs, hash_fn="md5")
+    return epoch_shuffle(dataset, seed=42).select(
+        "doc_id",
+        "split",
+        "lang",
+        "bin_id",
+        F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
+        "shuffle_key",
+        "epoch_rank",
+    )
+
+
 def q_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full taxi preprocessing flow composed as ONE lazy
     plan (nyc_taxi_final.py:259-650): clean → time features → period →
@@ -4064,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- (1) NEW round 9, never driver-checked (oracle-backed) ----
         "bpe_encode": q_bpe_encode,
         "semantic_dedup": q_semantic_dedup,
+        "export_shuffled": q_export_shuffled,
     # ---- re-verify: round-8 new + round-9 changed ----
         "quantile_state_merge": q_quantile_state_merge,
     # ---- (2) round-8 implementation changes - re-verify ----
@@ -6716,6 +6742,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX((cum_tokens - pack_tokens) // 2048) + 1 AS BIGINT)
                        AS n_bins
             FROM cum GROUP BY split, lang"""
+    )
+
+    # export_shuffled (round 9): the same curation/split/packing chain,
+    # then the Lehmer-md5 epoch key ((48271 * h60) mod 2^61-1, multiply
+    # through HUGEINT mirroring Spark's DECIMAL(38,0) route) and the
+    # exact total order.
+    sqls["export_shuffled"] = (
+        "WITH RECURSIVE "
+        + _curate_chain("SELECT doc_id, text, lang, source, n_chars FROM documents", 0.7)
+        + ", curated AS ("
+        + curate_select
+        + r"""
+            ), tagged AS (
+                SELECT doc_id, lang,
+                       CASE WHEN """
+        + h60("(doc_id::VARCHAR || ':42')")
+        + r""" % 10 = 0
+                            THEN 'val' ELSE 'train' END AS split,
+                       len(regexp_extract_all(lower(text),
+                           '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS pack_tokens
+                FROM curated
+            ), packed AS (
+                SELECT doc_id, split, lang,
+                       CAST(pack_tokens AS BIGINT) AS pack_tokens,
+                       (SUM(pack_tokens) OVER (PARTITION BY split, lang
+                                               ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                        - pack_tokens) // 2048 AS bin_id
+                FROM tagged
+            ), keyed AS (
+                SELECT *,
+                       CAST((48271::HUGEINT * """
+        + h60("(split || '/' || lang || '/' || bin_id::VARCHAR || ':42')")
+        + r""") % 2305843009213693951 AS BIGINT) AS shuffle_key
+                FROM packed
+            )
+            SELECT doc_id, split, lang, CAST(bin_id AS BIGINT) AS bin_id,
+                   pack_tokens, shuffle_key,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY shuffle_key, split, lang, bin_id, doc_id
+                   ) AS BIGINT) AS epoch_rank
+            FROM keyed"""
     )
 
     # dup_ngram_spans oracle: positioned 8-gram shingles (zipped unnest →

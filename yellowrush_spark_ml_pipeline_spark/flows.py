@@ -316,6 +316,62 @@ def export_training_set(
     return dataset, manifest
 
 
+def epoch_shuffle(dataset: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle of a packed training set
+    (round 9) — training-order reproducibility as a first-class output:
+    the same (corpus, seed) always yields the byte-identical epoch
+    order, across reruns, partitionings, and engines, so a training-job
+    manifest can pin the order it will consume.
+
+    The shuffle unit is the packed BIN (split/lang/bin_id) — context
+    windows stay contiguous, documents inside a bin keep packing order
+    (doc_id asc) — and bins are ordered by a Lehmer step over the
+    cross-engine md5 hash of (split, lang, bin_id, seed):
+    ``key = (48271 * md5_hash60('split/lang/bin:seed')) mod (2^61 - 1)``
+    — pure integer arithmetic (the multiply routed through
+    DECIMAL(38,0); BIGINT would wrap), so DuckDB replays it exactly,
+    the same invariance discipline as deterministic_stratified_sample.
+    A new seed reshuffles every epoch; key collisions cannot break
+    determinism because the total order tie-breaks on
+    (split, lang, bin_id, doc_id).
+
+    ``epoch_rank`` materializes the total order via one global
+    row_number — the audit/manifest form. At 100 TB a writer would
+    instead ``repartitionByRange(shuffle_key, ...)`` +
+    ``sortWithinPartitions`` and let file order carry the rank
+    implicitly; the KEY, not the rank column, is the scalable
+    contract."""
+    from pyspark.sql import Window
+
+    from .functions.hashing import md5_hash60
+
+    h = md5_hash60(
+        F.concat(
+            F.col("split"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("bin_id").cast("string"),
+            F.lit(f":{seed}"),
+        )
+    )
+    keyed = (
+        dataset.withColumn("_h61", h)
+        .withColumn(
+            "shuffle_key",
+            F.expr(
+                "CAST((CAST(48271 AS DECIMAL(38,0)) * _h61)"
+                " % 2305843009213693951 AS BIGINT)"
+            ),
+        )
+        .drop("_h61")
+    )
+    w = Window.orderBy("shuffle_key", "split", "lang", "bin_id", "doc_id")
+    return keyed.withColumn(
+        "epoch_rank", F.row_number().over(w).cast("bigint")
+    )
+
+
 def train_and_evaluate(
     df: DataFrame,
     feature_cols: list[str],
