@@ -4081,31 +4081,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r*.json MUST sit in the first 50, oracle-backed before
     # rows-only; (2) entries whose implementation or oracle CHANGED this
     # round re-enter the window for re-verification; (3) remaining slots
-    # rotate through the stalest last-green entries (this round: the r3
-    # cohort, per VERIFIED.json). Every oracle-backed query is still
-    # re-proven on CURRENT testdata every round by the local mirror
-    # (tools/driver_mirror.py -> MIRROR_LOCAL.json) regardless of window
-    # position.
+    # rotate through the stalest last-green entries (this round: the full
+    # r3 cohort + the 32 alphabetically-first of the 44 r4-stale entries,
+    # per VERIFIED.json; the 12 r4 leftovers lead the r10 fill). Every
+    # oracle-backed query is still re-proven on CURRENT testdata every
+    # round by the local mirror (tools/driver_mirror.py ->
+    # MIRROR_LOCAL.json) regardless of window position.
     # ---- (1) NEW round 9, never driver-checked (oracle-backed) ----
         "bpe_encode": q_bpe_encode,
         "semantic_dedup": q_semantic_dedup,
         "export_shuffled": q_export_shuffled,
-    # ---- re-verify: round-8 new + round-9 changed ----
+    # ---- (2) round-9 implementation/oracle changes - re-verify ----
         "quantile_state_merge": q_quantile_state_merge,
-    # ---- (2) round-8 implementation changes - re-verify ----
+        "k_core": q_k_core,
+        "ml_classifier_metrics": q_ml_classifier_metrics,
+        "text_classifier_metrics": q_text_classifier_metrics,
+        "pack_sequences": q_pack_sequences,
+    # ---- (3) rotation fill: stalest oracle-backed (last green r3) ----
+        "skew_profile": q_skew_profile,
+        "stratified_sample": q_stratified_sample,
+        "strip_html": q_strip_html,
+        "time_period_counts": q_time_period_counts,
+        "token_rarity": q_token_rarity,
+        "url_domains": q_url_domains,
+        "user_durations": q_user_durations,
+        "vocab_topk": q_vocab_topk,
+        "winsorize": q_winsorize,
+        "zorder_key": q_zorder_key,
+    # ---- (3) rotation fill: stalest oracle-backed (last green r4) ----
+        "ab_welch": q_ab_welch,
+        "bm25_topk": q_bm25_topk,
+        "co_visitation": q_co_visitation,
+        "conversion_lag": q_conversion_lag,
+        "curate_corpus": q_curate_corpus,
+        "customer_distribution": q_customer_distribution,
+        "dedup_groups": q_dedup_groups,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "event_transitions": q_event_transitions,
+        "ewma": q_ewma,
+        "export_manifest": q_export_manifest,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "first_touch_attribution": q_first_touch_attribution,
+        "funnel_window": q_funnel_window,
+        "fuzzy_join": q_fuzzy_join,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "incremental_dedup": q_incremental_dedup,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "linear_attribution": q_linear_attribution,
+        "local_supplier_volume": q_local_supplier_volume,
+        "mad_outliers": q_mad_outliers,
+        "max_concurrency": q_max_concurrency,
+        "minhash_dedup": q_minhash_dedup,
+        "ngram_novelty": q_ngram_novelty,
+        "order_skyline": q_order_skyline,
+        "pack_efficiency": q_pack_efficiency,
+        "pagerank_personalized": q_pagerank_personalized,
+        "quantile_normalize": q_quantile_normalize,
+        "returned_customers": q_returned_customers,
+        "rolling_zscore": q_rolling_zscore,
+        "rollup_merge": q_rollup_merge,
+        "rrf_fusion": q_rrf_fusion,
+        # ---- past the 50-entry driver window ----
         "similarity_ivf": q_similarity_ivf,
         "similarity_incremental": q_similarity_incremental,
         "label_propagation": q_label_propagation,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_groups": q_embedding_dedup_groups,
-        "k_core": q_k_core,
         "containment": q_containment,
         "edit_distance": q_edit_distance,
         "dq_report": q_dq_report,
-        "ml_classifier_metrics": q_ml_classifier_metrics,
-        "text_classifier_metrics": q_text_classifier_metrics,
         "pagerank": q_pagerank,
-    # ---- (3) rotation fill: stalest oracle-backed (last green r3) ----
         "bigram_topk": q_bigram_topk,
         "bloom_join": q_bloom_join,
         "boilerplate_spans": q_boilerplate_spans,
@@ -4133,7 +4178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocation": q_mixture_allocation,
         "normalize_urls": q_normalize_urls,
         "null_counts": q_null_counts,
-        "pack_sequences": q_pack_sequences,
         "preprocess_pipeline": q_preprocess_pipeline,
         "quantile_cutoff": q_quantile_cutoff,
         "range_filter": q_range_filter,
@@ -4143,7 +4187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_group": q_sample_k_per_group,
         "scd2": q_scd2,
         "similarity_bruteforce": q_similarity_bruteforce,
-        # ---- past the 50-entry driver window ----
         "quality_buckets": q_quality_buckets,
         "tfidf_pairs": q_tfidf_pairs,
         "nelson_aalen": q_nelson_aalen,
@@ -4260,60 +4303,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_pipeline": q_video_pipeline,
         "compression_ratio": q_compression_ratio,
         "sketch_stats": q_sketch_stats,
-        "url_domains": q_url_domains,
-        "vocab_topk": q_vocab_topk,
-        "token_rarity": q_token_rarity,
-        "skew_profile": q_skew_profile,
-        "strip_html": q_strip_html,
-        "winsorize": q_winsorize,
-        "zorder_key": q_zorder_key,
-        "stratified_sample": q_stratified_sample,
-        "time_period_counts": q_time_period_counts,
-        "user_durations": q_user_durations,
-        "fuzzy_join": q_fuzzy_join,
-        "linear_attribution": q_linear_attribution,
-        "local_supplier_volume": q_local_supplier_volume,
         "trade_volume": q_trade_volume,
-        "quantile_normalize": q_quantile_normalize,
-        "mad_outliers": q_mad_outliers,
-        "customer_distribution": q_customer_distribution,
-        "ab_welch": q_ab_welch,
         "triangles": q_triangles,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "pagerank_personalized": q_pagerank_personalized,
-        "co_visitation": q_co_visitation,
         "source_kl_drift": q_source_kl_drift,
         "table_checksum": q_table_checksum,
         "top_paths": q_top_paths,
-        "conversion_lag": q_conversion_lag,
-        "ngram_novelty": q_ngram_novelty,
         "source_overlap": q_source_overlap,
-        "order_skyline": q_order_skyline,
-        "returned_customers": q_returned_customers,
         "session_stats": q_session_stats,
-        "rrf_fusion": q_rrf_fusion,
-        "bm25_topk": q_bm25_topk,
-        "max_concurrency": q_max_concurrency,
-        "rollup_merge": q_rollup_merge,
         "weighted_sample": q_weighted_sample,
         "shipping_priority": q_shipping_priority,
-        "funnel_window": q_funnel_window,
-        "pack_efficiency": q_pack_efficiency,
         "similarity_lsh": q_similarity_lsh,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "minhash_dedup": q_minhash_dedup,
-        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
-        "incremental_dedup": q_incremental_dedup,
-        "curate_corpus": q_curate_corpus,
-        "event_transitions": q_event_transitions,
-        "first_touch_attribution": q_first_touch_attribution,
-        "ewma": q_ewma,
-        "rolling_zscore": q_rolling_zscore,
-        "dup_ngram_spans": q_dup_ngram_spans,
         "unpivot_metrics": q_unpivot_metrics,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "export_manifest": q_export_manifest,
     }
 
 
