@@ -1457,6 +1457,32 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.mixture_allocation(docs, token_budget=1_000_000)
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 1/2) source rebalancing, materialized
+    as a DETERMINISTIC document selection (round 9): keep-rates are
+    sqrt-flattened source shares in exact integer micro-units (one
+    correctly-rounded sqrt per source, then DECIMAL(38,0) arithmetic),
+    selection is the Lehmer hash-mod rule — a pure function of the data.
+    The per-source audit (n_docs, n_sampled, id_sum) pins the EXACT
+    surviving row set: id_sum can't match unless both engines kept
+    identical documents."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = textstats.temperature_mixture_sample(
+        docs, "source", "doc_id"
+    )
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_n_sampled"),
+        F.sum("doc_id").alias("_id_sum"),
+    )
+    return per.join(s, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("_n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+        F.coalesce("_id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+    )
+
+
 def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decimal moments for corr(quantity, extendedprice): sums are
     exact rationals so the hash can't drift with partition order."""
@@ -2384,12 +2410,21 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cu = _t(spark, sf_dir, "customer")
     ev = _t(spark, sf_dir, "events")
-    # Round 7: ALL of a fact table's constraints — column checks AND FK
-    # orphans — fuse into ONE scan per table (dq_fused_table_checks):
-    # lineitem is read once for PK + range + orphans (at 100 TB, one
-    # fact pass instead of three), orders once for PK + cust orphans.
+    # Round 9 (measured crossover probe, tools/dq_crossover.py): COLUMN
+    # checks stay fused into one scan per table (dq_column_checks), but
+    # FK-orphan checks run as UNHINTED left-anti joins (fk_orphans).
+    # The r7 full fusion broadcast the PARENT KEY SET into the fact
+    # scan — fine for true dims, but orders/customer are FACT-sized
+    # parents whose distinct keys grow linearly with the data (7.5M keys
+    # at sf5 in the probe; billions at 100 TB — an unbounded broadcast
+    # build and a guaranteed OOM). The anti-join shuffles only the key
+    # column and lets AQE promote to broadcast exactly when the parent
+    # measures small. Probe (best-of-3, equal warmth, per-scale
+    # partitions): hybrid 0.93/1.66/5.08 s vs full-fusion 1.14/2.21/
+    # 7.19 s at sf0.1/sf1/sf5 — the fused shape loses MORE as data
+    # grows because its broadcast build is data-sized.
     checks = {
-        "lineitem_checks": aggregates.dq_fused_table_checks(
+        "lineitem_cols": aggregates.dq_column_checks(
             li.select("l_orderkey", "l_linenumber", "l_quantity"),
             {
                 "lineitem_pk_unique": aggregates.pk_duplicates_expr(
@@ -2399,16 +2434,15 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)
                 ),
             },
-            {"lineitem_order_orphans": (o, "l_orderkey", "o_orderkey")},
         ),
-        "orders_checks": aggregates.dq_fused_table_checks(
-            o.select("o_orderkey", "o_custkey"),
-            {
-                "orders_pk_unique": aggregates.pk_duplicates_expr(
-                    "o_orderkey"
-                ),
-            },
-            {"orders_customer_orphans": (cu, "o_custkey", "c_custkey")},
+        "lineitem_order_orphans": aggregates.fk_orphans(
+            li.select("l_orderkey"), o, "l_orderkey", "o_orderkey"
+        ),
+        "orders_pk_unique": aggregates.pk_duplicates(
+            o.select("o_orderkey"), "o_orderkey"
+        ),
+        "orders_customer_orphans": aggregates.fk_orphans(
+            o.select("o_custkey"), cu, "o_custkey", "c_custkey"
         ),
         "events_user_not_null": ev.agg(
             count_if(F.col("user_id").isNull()).alias("violations")
@@ -4091,7 +4125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "semantic_dedup": q_semantic_dedup,
         "export_shuffled": q_export_shuffled,
+        "temperature_mixture": q_temperature_mixture,
     # ---- (2) round-9 implementation/oracle changes - re-verify ----
+        "dq_report": q_dq_report,
         "quantile_state_merge": q_quantile_state_merge,
         "k_core": q_k_core,
         "ml_classifier_metrics": q_ml_classifier_metrics,
@@ -4149,7 +4185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "containment": q_containment,
         "edit_distance": q_edit_distance,
-        "dq_report": q_dq_report,
         "pagerank": q_pagerank,
         "bigram_topk": q_bigram_topk,
         "bloom_join": q_bloom_join,
@@ -5355,6 +5390,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 <
                   CASE WHEN lang = 'en' THEN 300000 ELSE 1000000 END
             GROUP BY lang
+        """,
+        "temperature_mixture": """
+            WITH per AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source
+            ), s AS (
+                SELECT source, n_docs,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                            AS BIGINT) AS s_micro
+                FROM per
+            ), tot AS (
+                SELECT CAST(SUM(s_micro) AS HUGEINT) AS big_s,
+                       CAST(SUM(n_docs) AS HUGEINT) AS big_n
+                FROM s
+            ), r AS (
+                SELECT source, n_docs,
+                       least(1000000,
+                             CAST(((big_n // 2) * s_micro * 1000000)
+                                  // (big_s * n_docs) AS BIGINT))
+                           AS rate_micro
+                FROM s, tot
+            ), k AS (
+                SELECT d.source, d.doc_id
+                FROM documents d JOIN r USING (source)
+                WHERE ((d.doc_id % 2147483647) * 48271) % 2147483647
+                      % 1000000 < r.rate_micro
+            )
+            SELECT r.source, r.n_docs,
+                   CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_sampled,
+                   CAST(COALESCE(g.idsum, 0) AS BIGINT) AS id_sum
+            FROM r LEFT JOIN (
+                SELECT source, COUNT(*) AS cnt, SUM(doc_id) AS idsum
+                FROM k GROUP BY source
+            ) g USING (source)
         """,
         "embedding_quantize": """
             WITH v AS (

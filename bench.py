@@ -167,6 +167,7 @@ def main() -> int:
             heavy = sorted(timings, key=timings.get, reverse=True)[:25]
             qmap = entrymod.queries()
             sf1_timings: dict[str, float] = {}
+            sf2_timings: dict[str, float] = {}
             sf01_paired: dict[str, float] = {}
             sf1_failures: dict[str, str] = {}
             # The scaling pass gets a FRESH SparkContext with shuffle
@@ -228,6 +229,57 @@ def main() -> int:
                         sf1_timings[name] = round(t1, 2)
                     except Exception as exc:  # noqa: BLE001
                         sf1_failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                # Round 9: THIRD decade point (sf1 -> sf2, a 2x step) for
+                # the top-10 heaviest — the step where single-box cache
+                # effects can't hide a quadratic behind fixed overheads
+                # (r7's containment hazard and r8's SRP hazard both showed
+                # up here first). Same paired discipline on the same fresh
+                # context: sf2 under its own partition config, one re-shot
+                # pair (keeping minima) for anything over the 2x ratio.
+                sf2_dir = os.environ.get(
+                    "SPARK_GRAFT_SF2_DIR",
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        ".localdata",
+                        "sf2",
+                    ),
+                )
+                sf2_fresh = False
+                rec2: dict = {}
+                if sf2_dir and os.path.isdir(sf2_dir):
+                    try:
+                        rec2 = json.load(
+                            open(os.path.join(sf2_dir, "provenance.json"))
+                        )
+                        sf2_fresh = rec2["files"] == provenance(rec2["src"])
+                    except Exception:
+                        sf2_fresh = False
+                if sf2_fresh:
+                    dr2 = rec2.get("factor", 20) / recorded.get("factor", 10)
+                    sf2_parts = str(prev_parts * int(rec2.get("factor", 20)))
+                    top10 = [
+                        q
+                        for q in sorted(
+                            sf1_timings, key=sf1_timings.get, reverse=True
+                        )
+                    ][:10]
+                    for qi, name in enumerate(top10):
+                        if qi and qi % 5 == 0:
+                            spark.sparkContext._jvm.System.gc()
+                        try:
+                            t2 = _shot(name, sf2_dir, sf2_parts)
+                            t1b = sf1_timings[name]
+                            if t2 / max(t1b, 1e-3) > dr2:
+                                t1b = min(
+                                    t1b, round(_shot(name, sf1_dir, sf1_parts), 2)
+                                )
+                                t2 = min(t2, _shot(name, sf2_dir, sf2_parts))
+                                sf1_timings[name] = t1b
+                            sf2_timings[name] = round(t2, 2)
+                        except Exception as exc:  # noqa: BLE001
+                            sf1_failures[f"sf2:{name}"] = (
+                                f"{type(exc).__name__}: {exc}"[:200]
+                            )
             finally:
                 spark.stop()
                 spark = get_spark("yellowrush-bench", shuffle_partitions=prev_parts)
@@ -236,24 +288,40 @@ def main() -> int:
                 q: round(sf1_timings[q] / max(sf01_paired[q], 1e-3), 2)
                 for q in sf1_timings
             }
+            # Round 9: the 2x-step ratios (sf1 -> sf2) join the schema so
+            # the superlinear detector reads ALL measured decades — a
+            # query is flagged if ANY step exceeds its own data ratio.
+            ratios2 = {
+                q: round(sf2_timings[q] / max(sf1_timings[q], 1e-3), 2)
+                for q in sf2_timings
+            }
             scaling_sf1 = {
                 "sf1_total": round(sum(sf1_timings.values()), 2),
                 "data_ratio": ratio_sf1,
                 "time_ratio": ratios1,
+                "time_ratio_sf2": ratios2,
                 # The full probe series per heavy query — sf0.01 from the
-                # secondary suite pass, the PAIRED sf0.1 shot, and sf1 —
-                # recorded in BENCH itself so three-decade evidence never
-                # lives only in SCALE.md prose.
+                # secondary suite pass, the PAIRED sf0.1 shot, sf1, and
+                # (top-10) sf2 — recorded in BENCH itself so three-decade
+                # evidence never lives only in SCALE.md prose.
                 "series_sec": {
                     q: {
-                        "sf0.01": sec_timings.get(q),
-                        "sf0.1_paired": sf01_paired[q],
-                        "sf1": sf1_timings[q],
+                        k: v
+                        for k, v in (
+                            ("sf0.01", sec_timings.get(q)),
+                            ("sf0.1_paired", sf01_paired[q]),
+                            ("sf1", sf1_timings[q]),
+                            ("sf2", sf2_timings.get(q)),
+                        )
+                        if v is not None
                     }
                     for q in sf1_timings
                 },
                 "superlinear": sorted(
                     [q for q, r in ratios1.items() if r > ratio_sf1]
+                ),
+                "superlinear_sf2": sorted(
+                    [q for q, r in ratios2.items() if r > 2.0]
                 ),
             }
             if sf1_failures:
@@ -340,6 +408,7 @@ def main() -> int:
         "roc_auc": baseline_cmp.get("roc_auc"),
         "superlinear": scaling["superlinear"] if scaling else [],
         "superlinear_sf1": (scaling_sf1 or {}).get("superlinear"),
+        "superlinear_sf2": (scaling_sf1 or {}).get("superlinear_sf2"),
         "n_failures": len(failures),
     }
     print(json.dumps(summary), flush=True)

@@ -167,8 +167,10 @@ def test_mann_whitney_auc_matches_mllib_evaluator(spark, sf_small):
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
     row = entrymod.q_ml_classifier_metrics(spark, sf_small).first()
+    # resolve through the same routing the query used (non-oracle SFs
+    # write to a scratch root since the round-9 git-churn fix)
     pred = spark.read.parquet(
-        "/root/repo/artifacts/predcache/sf0.001/ml_classifier_metrics"
+        entrymod._pred_artifact(sf_small, "ml_classifier_metrics")
     )
     # rebuild a rawPrediction-like column from prob for the evaluator
     from pyspark.ml.functions import array_to_vector

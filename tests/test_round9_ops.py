@@ -401,3 +401,56 @@ def test_publish_artifact_is_byte_stable(spark, tmp_path):
         df.withColumn("prob", F.col("prob") + 0.05), out
     )
     assert open(parts[0], "rb").read() != before[0]
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture_sample: deterministic temperature rebalancing
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_flattens_and_is_partition_invariant(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        temperature_mixture_sample,
+    )
+
+    # skewed mixture: source a dominates 100:10:1
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(10_000 + i, "b") for i in range(100)]
+        + [(20_000 + i, "c") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mixture_sample(df, "source", "doc_id").collect()
+    ids = sorted(r.doc_id for r in kept)
+    # pure function of the data: any partitioning yields the same rows
+    ids_repart = sorted(
+        r.doc_id
+        for r in temperature_mixture_sample(
+            df.repartition(7, "doc_id"), "source", "doc_id"
+        ).collect()
+    )
+    assert ids == ids_repart and ids, "selection must be partition-invariant"
+    # temperature alpha=1/2 flattens: the dominant source's keep-RATE is
+    # strictly below the tail source's (sqrt-share weighting)
+    n = {s: 0 for s in "abc"}
+    for r in kept:
+        n[r.source] += 1
+    rate_a, rate_c = n["a"] / 1000, n["c"] / 10
+    assert rate_a < rate_c, (n, "alpha=0.5 must upweight the tail source")
+    # target_total=N div 2 -> roughly half the corpus survives
+    assert 0.3 * len(rows) < len(kept) < 0.7 * len(rows), len(kept)
+
+
+def test_temperature_mixture_explicit_target_caps_at_full_keep(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target >= corpus: every rate clamps at modulus -> everything kept
+    kept = temperature_mixture_sample(
+        df, "source", "doc_id", target_total=10_000
+    )
+    assert kept.count() == len(rows)
+    assert set(kept.columns) >= {"doc_id", "source", "rate_micro"}

@@ -535,6 +535,84 @@ def mixture_allocation(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int | None = None,
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source sampling (alpha = 0.5) — the multilingual
+    / multi-source REBALANCING step (XLM-R-style p_i^alpha mixing) that
+    turns :func:`mixture_allocation`'s *planned* shares into an actual
+    deterministic document selection: a source's keep-rate is
+    proportional to sqrt(share)/share, so dominant sources are
+    downsampled and tail sources kept near-whole, flattening the mixture
+    toward the temperature distribution.
+
+    Exactness contract: the ONLY floating-point step is one correctly-
+    rounded ``sqrt`` on an exact integer per source, immediately floored
+    to integer micro-units (``s_micro = floor(sqrt(n_docs) * 1e6)``) —
+    the ln/sqrt-then-integer discipline of tfidf/ab_welch. Everything
+    after is DECIMAL(38,0) integer arithmetic: with ``T`` the target
+    total (default ``N div 2``), ``S = sum(s_micro)``,
+
+        rate_micro_i = least(modulus, (T * s_micro_i * modulus)
+                                      div (S * n_docs_i))
+
+    and a row survives iff the Lehmer hash of its id mod ``modulus``
+    clears its source's rate — the same pure-function-of-the-data
+    selection as deterministic_stratified_sample, so the EXACT surviving
+    row set is engine-portable, rerun-stable, and oracle-checkable.
+    alpha is fixed at 1/2 because sqrt is the one power with a
+    correctly-rounded cross-engine guarantee; other temperatures would
+    ride on ``pow``'s unspecified last ulp.
+
+    Scale shape: one combinable per-source count, a 1-row broadcast
+    total, a broadcast rate join, then a narrow filter — no corpus
+    shuffle, no driver round-trip, nothing proportional to data but the
+    scan. Output: the surviving rows plus their source's ``rate_micro``
+    audit column."""
+    per = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_docs"))
+    per = per.withColumn(
+        "_s_micro",
+        F.floor(F.sqrt(F.col("_n_docs").cast("double")) * modulus).cast(
+            "bigint"
+        ),
+    )
+    tot = per.agg(
+        F.sum("_s_micro").alias("_S"), F.sum("_n_docs").alias("_N")
+    )
+    t_expr = (
+        f"CAST({int(target_total)} AS DECIMAL(38,0))"
+        if target_total is not None
+        else "CAST(_N AS DECIMAL(38,0)) div 2"
+    )
+    rates = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate_micro",
+            F.least(
+                F.lit(modulus).cast("bigint"),
+                F.expr(
+                    f"(({t_expr}) * _s_micro * {modulus}) div "
+                    "(CAST(_S AS DECIMAL(38,0)) * _n_docs)"
+                ).cast("bigint"),
+            ),
+        )
+        .select(source_col, "rate_micro")
+    )
+    from .cleaning import _lehmer_hash
+
+    h = F.pmod(_lehmer_hash(df, id_col), F.lit(modulus))
+    return (
+        df.withColumn("_h", h)
+        .join(F.broadcast(rates), source_col)
+        .filter(F.col("_h") < F.col("rate_micro"))
+        .drop("_h")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",
