@@ -3991,6 +3991,19 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer lifecycle CLOSED (round 9): train -> encode -> decode ->
+    verify losslessness per document. The decode genuinely inverts ids
+    through the vocabulary (no word-dictionary shortcut), and the oracle
+    replays train + encode + decode end-to-end, so n_tokens, the decoded
+    stream length, and the roundtrip flag are all differentially
+    checked — a wrong id, dropped token, or order bug flips the flag on
+    the Spark side only and the hash catches it."""
+    d = _t(spark, sf_dir, "documents")
+    m = textstats.bpe_merge_rounds(d, rounds=3)
+    return textstats.bpe_roundtrip_audit(d, m, rounds=3)
+
+
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of deterministically-nulled event values
     (event_id % 7) per event-type series — the trend-preserving gap
@@ -4126,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "export_shuffled": q_export_shuffled,
         "temperature_mixture": q_temperature_mixture,
+        "bpe_roundtrip": q_bpe_roundtrip,
     # ---- (2) round-9 implementation/oracle changes - re-verify ----
         "dq_report": q_dq_report,
         "quantile_state_merge": q_quantile_state_merge,
@@ -4480,7 +4494,9 @@ def oracle_bpe_sql(rounds: int = 3, tokclass: str = r"'[^\p{L}\p{N}]+'") -> str:
 
 
 def oracle_bpe_encode_sql(
-    rounds: int = 3, tokclass: str = r"'[^\p{L}\p{N}]+'"
+    rounds: int = 3,
+    tokclass: str = r"'[^\p{L}\p{N}]+'",
+    roundtrip: bool = False,
 ) -> str:
     """DuckDB oracle for textstats.bpe_encode over a same-corpus train:
     the full training chain (every w{r} materialized, unlike
@@ -4554,7 +4570,38 @@ def oracle_bpe_encode_sql(
                                x -> x <> '') AS ws
                     FROM documents
                 )
+            )""")
+    if roundtrip:
+        # Decode tail: word-level id lists invert GENUINELY through the
+        # vocabulary (ids -> symbols -> ordered concat), never via the
+        # dict's word column, then per-doc streams re-assemble in word
+        # order and compare against the original normalized word stream.
+        parts.append("""
+            , wdec AS (
+                SELECT word, string_agg(v.s, '' ORDER BY pos) AS dec_word
+                FROM (
+                    SELECT word, unnest(ids) AS tid,
+                           generate_subscripts(ids, 1) AS pos
+                    FROM wids
+                ) u JOIN vocab v USING (tid)
+                GROUP BY word
             )
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(len(x.ids)), 0) AS BIGINT) AS n_tokens,
+                   CAST(length(COALESCE(
+                       string_agg(x.dec_word, '' ORDER BY x.widx), ''))
+                       AS BIGINT) AS n_chars,
+                   COALESCE(string_agg(x.dec_word, '' ORDER BY x.widx), '')
+                   = COALESCE(string_agg(x.word, '' ORDER BY x.widx), '')
+                       AS roundtrip_ok
+            FROM documents d
+            LEFT JOIN (
+                SELECT dw.doc_id, dw.widx, dw.word, w.ids, wd.dec_word
+                FROM dw JOIN wids w USING (word) JOIN wdec wd USING (word)
+            ) x ON d.doc_id = x.doc_id
+            GROUP BY d.doc_id""")
+    else:
+        parts.append("""
             SELECT d.doc_id,
                    CAST(COALESCE(SUM(len(x.ids)), 0) AS BIGINT) AS n_tokens,
                    COALESCE(
@@ -9769,6 +9816,9 @@ def oracle_sql() -> dict[str, str]:
     # final merge applied, then vocabulary/id-sequence reassembly —
     # n_tokens and the exact per-doc id string both replayed.
     sqls["bpe_encode"] = oracle_bpe_encode_sql(rounds=3, tokclass=tokclass)
+    sqls["bpe_roundtrip"] = oracle_bpe_encode_sql(
+        rounds=3, tokclass=tokclass, roundtrip=True
+    )
     sqls["interpolate_linear"] = """
             WITH s AS (
                 SELECT event_type, event_id,

@@ -454,3 +454,47 @@ def test_temperature_mixture_explicit_target_caps_at_full_keep(spark):
     )
     assert kept.count() == len(rows)
     assert set(kept.columns) >= {"doc_id", "source", "rate_micro"}
+
+
+# ---------------------------------------------------------------------------
+# bpe decode / roundtrip: lifecycle losslessness + negative control
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_roundtrip_all_ok_and_corrupted_vocab_flips(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "low lower lowest newest widest"),
+            (3, ""),
+            (4, "aaa aaa bbb aaa"),
+        ],
+        "doc_id long, text string",
+    )
+    m = textstats.bpe_merge_rounds(docs, rounds=3)
+    audit = textstats.bpe_roundtrip_audit(docs, m, rounds=3).collect()
+    assert len(audit) == 4
+    by_id = {r.doc_id: r for r in audit}
+    assert all(r.roundtrip_ok for r in audit), audit
+    assert by_id[3].n_tokens == 0 and by_id[3].n_chars == 0
+    # decoded stream length == sum of word lengths (boundaries dropped)
+    assert by_id[1].n_chars == len("thecatsatonthemat")
+    # negative control: a corrupted vocabulary must FLIP the flag —
+    # guards against a vacuously-true comparison
+    enc = textstats.bpe_encode(docs, m, rounds=3)
+    vocab = textstats.bpe_vocab(docs, m, rounds=3)
+    bad_vocab = vocab.withColumn(
+        "sym",
+        F.when(F.col("token_id") == 1, F.lit("ZZ")).otherwise(F.col("sym")),
+    )
+    dec_bad = textstats.bpe_decode(enc, bad_vocab)
+    good = textstats.bpe_decode(enc, vocab)
+    n_diff = (
+        dec_bad.alias("b")
+        .join(good.alias("g"), "doc_id")
+        .filter(F.col("b.decoded_chars") != F.col("g.decoded_chars"))
+        .count()
+    )
+    assert n_diff > 0, "corrupting the vocab must change some decode"

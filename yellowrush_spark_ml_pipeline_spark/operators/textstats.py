@@ -1451,6 +1451,205 @@ def bpe_merge_rounds(
     return out
 
 
+def _bpe_doc_words(
+    docs: DataFrame, text_col: str, id_col: str, max_word_len: int
+) -> DataFrame:
+    """(id, word-position, truncated word) — the per-doc word stream both
+    the encode join and the roundtrip original-stream derive from."""
+    from ..functions.text import tokens
+
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("_widx", "_w"),
+        )
+        .filter(F.col("_w") != "")
+        .select(
+            id_col, "_widx", F.substring("_w", 1, max_word_len).alias("_word")
+        )
+    )
+
+
+def _bpe_encode_words(
+    dw: DataFrame, merges: DataFrame, rounds: int
+) -> DataFrame:
+    """Distinct-word dictionary -> encoded symbol arrays: the merge table
+    pivots to ONE broadcast row and the R merges unroll into a chained
+    codegen replace expression (zero shuffles, zero driver round-trips;
+    a missing merge round leaves words unchanged rather than nulling)."""
+    dict_df = (
+        dw.select("_word")
+        .distinct()
+        .select(
+            "_word",
+            F.concat(
+                F.lit(" "), F.regexp_replace("_word", "(.)", "$1 ")
+            ).alias("_sym"),
+        )
+    )
+    piv = merges.groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("merge_round") == r, F.col("left_sym"))
+            ).alias(f"_l{r}")
+            for r in range(1, rounds + 1)
+        ],
+        *[
+            F.max(
+                F.when(F.col("merge_round") == r, F.col("right_sym"))
+            ).alias(f"_r{r}")
+            for r in range(1, rounds + 1)
+        ],
+    )
+    sym = F.col("_sym")
+    for r in range(1, rounds + 1):
+        left, right = F.col(f"_l{r}"), F.col(f"_r{r}")
+        pat = F.concat(F.lit(" "), left, F.lit(" "), right, F.lit(" "))
+        to = F.concat(F.lit(" "), left, right, F.lit(" "))
+        merged = sym
+        for _ in range(5):
+            merged = F.replace(merged, pat, to)
+        sym = F.when(left.isNull(), sym).otherwise(merged)
+    return dict_df.crossJoin(F.broadcast(piv)).select(
+        "_word", F.split(F.trim(sym), " ").alias("_syms")
+    )
+
+
+def _bpe_vocab_of(enc: DataFrame) -> DataFrame:
+    """Deterministic symbol vocabulary of an encoded word dictionary:
+    id = row_number ordered by symbol — the single-partition window is
+    VOCAB-sized (base chars + R merges), a parameter, not data."""
+    from pyspark.sql import Window
+
+    return (
+        enc.select(F.explode("_syms").alias("_s"))
+        .distinct()
+        .select(
+            "_s",
+            F.row_number().over(Window.orderBy("_s")).cast("int").alias("_tid"),
+        )
+    )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: DataFrame,
+    rounds: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_len: int = 24,
+) -> DataFrame:
+    """The (token_id, sym) vocabulary a :func:`bpe_encode` run produces —
+    the relation :func:`bpe_decode` inverts ids through. Deterministic:
+    distinct encoded symbols of the corpus dictionary, id = row_number by
+    symbol, so the same (corpus, merges) always yields the same table."""
+    dw = _bpe_doc_words(docs, text_col, id_col, max_word_len)
+    enc = _bpe_encode_words(dw, merges, rounds)
+    return _bpe_vocab_of(enc).select(
+        F.col("_tid").alias("token_id"), F.col("_s").alias("sym")
+    )
+
+
+def bpe_decode(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """DECODE half of the tokenizer lifecycle: token-id sequences back to
+    the character stream, via a broadcast vocabulary join — token ids
+    posexplode, ids map to symbols, and the per-doc stream re-assembles
+    with array_sort(collect_list(struct(pos, sym))) (partition-invariant,
+    the encode discipline). Word boundaries are not part of the symbol
+    alphabet, so the output is the UNSEPARATED character stream —
+    exactly what the roundtrip audit compares against the concatenated
+    normalized words. Zero-token docs survive with '' (left join +
+    coalesce). Output: (id_col, decoded_chars)."""
+    toks = encoded.select(
+        F.col(id_col), F.posexplode(ids_col).alias("_pos", "_tid")
+    ).join(
+        F.broadcast(
+            vocab.select(
+                F.col("token_id").alias("_tid"), F.col("sym").alias("_s")
+            )
+        ),
+        "_tid",
+    )
+    dec = toks.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
+                lambda e: e["_s"],
+            ),
+        ).alias("decoded_chars")
+    )
+    return (
+        encoded.select(id_col)
+        .join(dec, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("decoded_chars", F.lit("")).alias("decoded_chars"),
+        )
+    )
+
+
+def bpe_roundtrip_audit(
+    docs: DataFrame,
+    merges: DataFrame,
+    rounds: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Tokenizer-lifecycle closure audit: ENCODE the corpus with the
+    trained merges, DECODE the token ids back through the vocabulary,
+    and verify per document that the decoded character stream equals the
+    original normalized word stream — the losslessness guarantee a
+    training pipeline needs before it ships token ids instead of text.
+
+    Output: (id_col, n_tokens, n_chars, roundtrip_ok) — ``n_chars`` is
+    the decoded stream length and ``roundtrip_ok`` the equality flag
+    (word boundaries are not in the symbol alphabet, so both sides are
+    the UNSEPARATED concatenation of normalized, length-capped words).
+
+    The decode is a genuine inversion (ids -> vocab symbols -> ordered
+    re-concatenation), not a shortcut through the word dictionary, so a
+    wrong vocabulary id, a dropped token, or an order bug all flip
+    ``roundtrip_ok`` — and the DuckDB oracle replays train + encode +
+    decode end-to-end, so the flag itself is differentially checked."""
+    dw = _bpe_doc_words(docs, text_col, id_col, max_word_len)
+    enc_words = _bpe_encode_words(dw, merges, rounds)
+    vocab = _bpe_vocab_of(enc_words).select(
+        F.col("_tid").alias("token_id"), F.col("_s").alias("sym")
+    )
+    encoded = bpe_encode(
+        docs, merges, rounds, text_col, id_col, max_word_len
+    )
+    dec = bpe_decode(encoded, vocab, id_col)
+    orig = dw.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_widx", "_word"))),
+                lambda e: e["_word"],
+            ),
+        ).alias("_orig_chars")
+    )
+    return (
+        encoded.join(dec, id_col)
+        .join(orig, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.length("decoded_chars").cast("bigint").alias("n_chars"),
+            (
+                F.col("decoded_chars") == F.coalesce("_orig_chars", F.lit(""))
+            ).alias("roundtrip_ok"),
+        )
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: DataFrame,
@@ -1498,64 +1697,11 @@ def bpe_encode(
     Output: (id_col, n_tokens BIGINT, token_ids ARRAY<INT>) — token ids
     index the deterministic symbol vocabulary.
     """
-    from pyspark.sql import Window
-
-    from ..functions.text import tokens
-
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    dw = (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(tokens(F.col(text_col))).alias("_widx", "_w"),
-        )
-        .filter(F.col("_w") != "")
-        .select(id_col, "_widx", F.substring("_w", 1, max_word_len).alias("_word"))
-    )
-    dict_df = (
-        dw.select("_word")
-        .distinct()
-        .select(
-            "_word",
-            F.concat(
-                F.lit(" "), F.regexp_replace("_word", "(.)", "$1 ")
-            ).alias("_sym"),
-        )
-    )
-    piv = merges.groupBy().agg(
-        *[
-            F.max(
-                F.when(F.col("merge_round") == r, F.col("left_sym"))
-            ).alias(f"_l{r}")
-            for r in range(1, rounds + 1)
-        ],
-        *[
-            F.max(
-                F.when(F.col("merge_round") == r, F.col("right_sym"))
-            ).alias(f"_r{r}")
-            for r in range(1, rounds + 1)
-        ],
-    )
-    sym = F.col("_sym")
-    for r in range(1, rounds + 1):
-        left, right = F.col(f"_l{r}"), F.col(f"_r{r}")
-        pat = F.concat(F.lit(" "), left, F.lit(" "), right, F.lit(" "))
-        to = F.concat(F.lit(" "), left, right, F.lit(" "))
-        merged = sym
-        for _ in range(5):
-            merged = F.replace(merged, pat, to)
-        sym = F.when(left.isNull(), sym).otherwise(merged)
-    enc = dict_df.crossJoin(F.broadcast(piv)).select(
-        "_word", F.split(F.trim(sym), " ").alias("_syms")
-    )
-    vocab = (
-        enc.select(F.explode("_syms").alias("_s"))
-        .distinct()
-        .select(
-            "_s",
-            F.row_number().over(Window.orderBy("_s")).cast("int").alias("_tid"),
-        )
-    )
+    dw = _bpe_doc_words(docs, text_col, id_col, max_word_len)
+    enc = _bpe_encode_words(dw, merges, rounds)
+    vocab = _bpe_vocab_of(enc)
     wids = (
         enc.select("_word", F.posexplode("_syms").alias("_pos", "_s"))
         .join(F.broadcast(vocab), "_s")
