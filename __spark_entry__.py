@@ -4004,6 +4004,29 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_roundtrip_audit(d, m, rounds=3)
 
 
+def q_export_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-COMPLETE export flow (round 9): BPE train -> encode
+    (REAL token counts) -> seeded split -> packing driven by the real
+    counts -> deterministic epoch order. Every stage consumes the
+    previous stage's true outputs in one lazy plan, and the oracle
+    replays the entire chain (training merges, vocabulary, per-doc
+    counts, split hash, packing window, Lehmer-md5 epoch key, exact
+    total order) — the strongest lifecycle integration check in the
+    text layer."""
+    from yellowrush_spark_ml_pipeline_spark.flows import export_tokenized_set
+
+    docs = _t(spark, sf_dir, "documents")
+    return export_tokenized_set(docs).select(
+        "doc_id",
+        "split",
+        "lang",
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
+        "shuffle_key",
+        "epoch_rank",
+    )
+
+
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of deterministically-nulled event values
     (event_id % 7) per event-type series — the trend-preserving gap
@@ -4129,8 +4152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only; (2) entries whose implementation or oracle CHANGED this
     # round re-enter the window for re-verification; (3) remaining slots
     # rotate through the stalest last-green entries (this round: the full
-    # r3 cohort + the 32 alphabetically-first of the 44 r4-stale entries,
-    # per VERIFIED.json; the 12 r4 leftovers lead the r10 fill). Every
+    # r3 cohort + the 28 alphabetically-first of the 44 r4-stale entries,
+    # per VERIFIED.json — 4 fewer than first rostered because the session
+    # added temperature_mixture / bpe_roundtrip / export_tokenized and
+    # re-entered dq_report; the 16 r4 leftovers lead the r10 fill). Every
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
@@ -4140,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shuffled": q_export_shuffled,
         "temperature_mixture": q_temperature_mixture,
         "bpe_roundtrip": q_bpe_roundtrip,
+        "export_tokenized": q_export_tokenized,
     # ---- (2) round-9 implementation/oracle changes - re-verify ----
         "dq_report": q_dq_report,
         "quantile_state_merge": q_quantile_state_merge,
@@ -4493,19 +4519,15 @@ def oracle_bpe_sql(rounds: int = 3, tokclass: str = r"'[^\p{L}\p{N}]+'") -> str:
     )
 
 
-def oracle_bpe_encode_sql(
-    rounds: int = 3,
-    tokclass: str = r"'[^\p{L}\p{N}]+'",
-    roundtrip: bool = False,
+def _oracle_bpe_chain(
+    rounds: int = 3, tokclass: str = r"'[^\p{L}\p{N}]+'"
 ) -> str:
-    """DuckDB oracle for textstats.bpe_encode over a same-corpus train:
-    the full training chain (every w{r} materialized, unlike
-    oracle_bpe_sql which skips the last application), then the encode
-    tail — the original word recovered by stripping separators from the
-    dictionary sym, a deterministic ROW_NUMBER vocabulary, per-word id
-    lists ordered by symbol position, and per-doc flattening ordered by
-    word position. LEFT JOIN keeps zero-token docs with n_tokens 0 and
-    an empty id string, mirroring the Spark half."""
+    """Shared DuckDB replay of BPE train + encode up to the per-word id
+    lists: the full training chain (every w{r} materialized), the
+    deterministic ROW_NUMBER vocabulary, per-word id lists ordered by
+    symbol position, and the per-occurrence doc word stream (dw). Ends
+    inside the WITH clause so callers append their own tail CTEs /
+    SELECT (encode output, roundtrip decode, tokenized export)."""
     parts = [
         f"""
             WITH tok AS (
@@ -4571,6 +4593,20 @@ def oracle_bpe_encode_sql(
                     FROM documents
                 )
             )""")
+    return "".join(parts)
+
+
+def oracle_bpe_encode_sql(
+    rounds: int = 3,
+    tokclass: str = r"'[^\p{L}\p{N}]+'",
+    roundtrip: bool = False,
+) -> str:
+    """DuckDB oracle for textstats.bpe_encode over a same-corpus train
+    (chain shared via :func:`_oracle_bpe_chain`): per-doc token counts +
+    flattened id strings, LEFT JOIN keeping zero-token docs with
+    n_tokens 0 and an empty id string, mirroring the Spark half. With
+    ``roundtrip=True``, the decode tail replaces the encode tail."""
+    parts = [_oracle_bpe_chain(rounds, tokclass)]
     if roundtrip:
         # Decode tail: word-level id lists invert GENUINELY through the
         # vocabulary (ids -> symbols -> ordered concat), never via the
@@ -4617,6 +4653,60 @@ def oracle_bpe_encode_sql(
             ) x ON d.doc_id = x.doc_id
             GROUP BY d.doc_id""")
     return "".join(parts)
+
+
+def oracle_export_tokenized_sql(
+    rounds: int = 3,
+    tokclass: str = r"'[^\p{L}\p{N}]+'",
+    capacity: int = 2048,
+    val_mod: int = 10,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of flows.export_tokenized_set end-to-end: the shared
+    BPE train+encode chain (per-doc REAL token counts via the id lists),
+    the seeded md5 split, the (split, lang) packing window over those
+    counts, the Lehmer-md5 epoch key (multiply through HUGEINT mirroring
+    Spark's DECIMAL(38,0) route), and the exact total order."""
+    h60 = lambda x: f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"  # noqa: E731
+    return _oracle_bpe_chain(rounds, tokclass) + f"""
+            , nt AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(COALESCE(SUM(len(x.ids)), 0) AS BIGINT)
+                           AS n_tokens
+                FROM documents d
+                LEFT JOIN (
+                    SELECT dw.doc_id, w.ids
+                    FROM dw JOIN wids w USING (word)
+                ) x ON d.doc_id = x.doc_id
+                GROUP BY d.doc_id, d.lang
+            ), tagged AS (
+                SELECT doc_id, lang, n_tokens,
+                       CASE WHEN {h60(f"(doc_id::VARCHAR || ':{seed}')")}
+                                 % {val_mod} = 0
+                            THEN 'val' ELSE 'train' END AS split
+                FROM nt
+            ), packed AS (
+                SELECT doc_id, split, lang,
+                       CAST(n_tokens AS BIGINT) AS pack_tokens,
+                       (SUM(n_tokens) OVER (PARTITION BY split, lang
+                                            ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) // {capacity} AS bin_id
+                FROM tagged
+            ), keyed AS (
+                SELECT *,
+                       CAST((48271::HUGEINT * {h60(
+                           "(split || '/' || lang || '/' || "
+                           f"bin_id::VARCHAR || ':{seed}')"
+                       )}) % 2305843009213693951 AS BIGINT) AS shuffle_key
+                FROM packed
+            )
+            SELECT doc_id, split, lang, CAST(bin_id AS BIGINT) AS bin_id,
+                   pack_tokens, shuffle_key,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY shuffle_key, split, lang, bin_id, doc_id
+                   ) AS BIGINT) AS epoch_rank
+            FROM keyed"""
 
 
 def oracle_pagerank_sql(
@@ -9818,6 +9908,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["bpe_encode"] = oracle_bpe_encode_sql(rounds=3, tokclass=tokclass)
     sqls["bpe_roundtrip"] = oracle_bpe_encode_sql(
         rounds=3, tokclass=tokclass, roundtrip=True
+    )
+    sqls["export_tokenized"] = oracle_export_tokenized_sql(
+        rounds=3, tokclass=tokclass
     )
     sqls["interpolate_linear"] = """
             WITH s AS (

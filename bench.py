@@ -168,6 +168,7 @@ def main() -> int:
             qmap = entrymod.queries()
             sf1_timings: dict[str, float] = {}
             sf2_timings: dict[str, float] = {}
+            sf1_paired2: dict[str, float] = {}
             sf01_paired: dict[str, float] = {}
             sf1_failures: dict[str, str] = {}
             # The scaling pass gets a FRESH SparkContext with shuffle
@@ -181,10 +182,15 @@ def main() -> int:
             # fresh one — a scaling MEASUREMENT must not inherit that.
             prev_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
             spark.stop()
+            # Heap sized to the data decade, same principle as shuffle
+            # partitions: the 12g default measures GCLocker thrash at
+            # sf1/sf2 graph shuffles, not plan cost (triangles sf2:
+            # 83.8 s at 12g vs 30.3 s at 28g, partitions unchanged).
             spark = get_spark(
                 "yellowrush-bench-sf1",
                 shuffle_partitions=prev_parts
                 * int(recorded.get("factor", 10)),
+                driver_mem=os.environ.get("SPARK_GRAFT_PROBE_MEM", "24g"),
             )
             dr = recorded.get("factor", 10)
             try:
@@ -229,60 +235,80 @@ def main() -> int:
                         sf1_timings[name] = round(t1, 2)
                     except Exception as exc:  # noqa: BLE001
                         sf1_failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-                # Round 9: THIRD decade point (sf1 -> sf2, a 2x step) for
-                # the top-10 heaviest — the step where single-box cache
-                # effects can't hide a quadratic behind fixed overheads
-                # (r7's containment hazard and r8's SRP hazard both showed
-                # up here first). Same paired discipline on the same fresh
-                # context: sf2 under its own partition config, one re-shot
-                # pair (keeping minima) for anything over the 2x ratio.
-                sf2_dir = os.environ.get(
-                    "SPARK_GRAFT_SF2_DIR",
-                    os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        ".localdata",
-                        "sf2",
-                    ),
+            finally:
+                spark.stop()
+                spark = get_spark("yellowrush-bench", shuffle_partitions=prev_parts)
+            # Round 9: THIRD decade point (sf1 -> sf2, a 2x step) for the
+            # top-10 heaviest — the step where single-box cache effects
+            # can't hide a quadratic behind fixed overheads (r7's
+            # containment hazard and r8's SRP hazard both showed up here
+            # first). The sf2 pass gets its OWN fresh context (the first
+            # cut reused the context aged by the full 25-query sf1 pass,
+            # and checkpoint/heap residue alone tripled k_core's sf2
+            # time); the 2x ratio is SELF-PAIRED inside that context —
+            # sf1 re-shot under its config, then sf2 under its own — so
+            # numerator and denominator share warmth exactly like the
+            # 10x-step pairing above. sf1_paired2 records the
+            # denominator actually used.
+            sf2_dir = os.environ.get(
+                "SPARK_GRAFT_SF2_DIR",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    ".localdata",
+                    "sf2",
+                ),
+            )
+            sf2_fresh = False
+            rec2: dict = {}
+            if sf2_dir and os.path.isdir(sf2_dir) and sf1_timings:
+                try:
+                    rec2 = json.load(
+                        open(os.path.join(sf2_dir, "provenance.json"))
+                    )
+                    sf2_fresh = rec2["files"] == provenance(rec2["src"])
+                except Exception:
+                    sf2_fresh = False
+            if sf2_fresh:
+                sf2_parts = str(prev_parts * int(rec2.get("factor", 20)))
+                top10 = sorted(
+                    sf1_timings, key=sf1_timings.get, reverse=True
+                )[:10]
+                spark.stop()
+                spark = get_spark(
+                    "yellowrush-bench-sf2",
+                    shuffle_partitions=prev_parts
+                    * int(rec2.get("factor", 20)),
+                    driver_mem=os.environ.get("SPARK_GRAFT_PROBE_MEM", "24g"),
                 )
-                sf2_fresh = False
-                rec2: dict = {}
-                if sf2_dir and os.path.isdir(sf2_dir):
-                    try:
-                        rec2 = json.load(
-                            open(os.path.join(sf2_dir, "provenance.json"))
-                        )
-                        sf2_fresh = rec2["files"] == provenance(rec2["src"])
-                    except Exception:
-                        sf2_fresh = False
-                if sf2_fresh:
-                    dr2 = rec2.get("factor", 20) / recorded.get("factor", 10)
-                    sf2_parts = str(prev_parts * int(rec2.get("factor", 20)))
-                    top10 = [
-                        q
-                        for q in sorted(
-                            sf1_timings, key=sf1_timings.get, reverse=True
-                        )
-                    ][:10]
+                dr2 = rec2.get("factor", 20) / recorded.get("factor", 10)
+                try:
+
+                    def _shot2(name: str, d: str, parts: str) -> float:
+                        spark.conf.set("spark.sql.shuffle.partitions", parts)
+                        t0 = time.perf_counter()
+                        materialize(qmap[name](spark, d))
+                        return time.perf_counter() - t0
+
                     for qi, name in enumerate(top10):
                         if qi and qi % 5 == 0:
                             spark.sparkContext._jvm.System.gc()
                         try:
-                            t2 = _shot(name, sf2_dir, sf2_parts)
-                            t1b = sf1_timings[name]
+                            t1b = _shot2(name, sf1_dir, sf1_parts)
+                            t2 = _shot2(name, sf2_dir, sf2_parts)
                             if t2 / max(t1b, 1e-3) > dr2:
-                                t1b = min(
-                                    t1b, round(_shot(name, sf1_dir, sf1_parts), 2)
-                                )
-                                t2 = min(t2, _shot(name, sf2_dir, sf2_parts))
-                                sf1_timings[name] = t1b
+                                t1b = min(t1b, _shot2(name, sf1_dir, sf1_parts))
+                                t2 = min(t2, _shot2(name, sf2_dir, sf2_parts))
+                            sf1_paired2[name] = round(t1b, 2)
                             sf2_timings[name] = round(t2, 2)
                         except Exception as exc:  # noqa: BLE001
                             sf1_failures[f"sf2:{name}"] = (
                                 f"{type(exc).__name__}: {exc}"[:200]
                             )
-            finally:
-                spark.stop()
-                spark = get_spark("yellowrush-bench", shuffle_partitions=prev_parts)
+                finally:
+                    spark.stop()
+                    spark = get_spark(
+                        "yellowrush-bench", shuffle_partitions=prev_parts
+                    )
             ratio_sf1 = dr
             ratios1 = {
                 q: round(sf1_timings[q] / max(sf01_paired[q], 1e-3), 2)
@@ -292,7 +318,11 @@ def main() -> int:
             # the superlinear detector reads ALL measured decades — a
             # query is flagged if ANY step exceeds its own data ratio.
             ratios2 = {
-                q: round(sf2_timings[q] / max(sf1_timings[q], 1e-3), 2)
+                q: round(
+                    sf2_timings[q]
+                    / max(sf1_paired2.get(q, sf1_timings[q]), 1e-3),
+                    2,
+                )
                 for q in sf2_timings
             }
             scaling_sf1 = {
@@ -311,6 +341,7 @@ def main() -> int:
                             ("sf0.01", sec_timings.get(q)),
                             ("sf0.1_paired", sf01_paired[q]),
                             ("sf1", sf1_timings[q]),
+                            ("sf1_paired2", sf1_paired2.get(q)),
                             ("sf2", sf2_timings.get(q)),
                         )
                         if v is not None

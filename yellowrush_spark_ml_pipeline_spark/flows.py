@@ -372,6 +372,60 @@ def epoch_shuffle(dataset: DataFrame, seed: int = 42) -> DataFrame:
     )
 
 
+def export_tokenized_set(
+    docs: DataFrame,
+    rounds: int = 3,
+    capacity: int = 2048,
+    val_mod: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """The tokenizer-complete final mile (round 9): train BPE merges on
+    the corpus, ENCODE it (real token counts, not the whitespace proxy),
+    seeded hash-mod train/val split, context-window packing within
+    (split, lang) driven by the REAL ``n_tokens``, and the deterministic
+    seeded epoch order — the first composition where every stage of
+    train → tokenize → split → pack → shuffle consumes the previous
+    stage's true outputs, and the whole chain stays one lazy plan
+    replayable by the DuckDB oracle.
+
+    Scale: BPE work is dictionary-sized (see bpe_encode); the split tag
+    is a narrow map; packing is one window per (split, lang); the epoch
+    key is a narrow hash expression. The corpus-sized relations move
+    through exactly the joins bpe_encode already needs plus one packing
+    window — no new data-sized shuffle versus the proxy-count export."""
+    from .functions.hashing import md5_hash60
+    from .operators.textstats import (
+        bpe_encode,
+        bpe_merge_rounds,
+        pack_sequences,
+    )
+
+    merges = bpe_merge_rounds(docs, rounds=rounds)
+    enc = bpe_encode(docs, merges, rounds=rounds)
+    base = docs.select("doc_id", "lang").join(
+        enc.select("doc_id", "n_tokens"), "doc_id"
+    )
+    split_hash = md5_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}"))
+    )
+    tagged = base.withColumn(
+        "split",
+        F.when(F.pmod(split_hash, F.lit(val_mod)) == 0, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+    grouped = tagged.withColumn("_grp", F.concat_ws("/", "split", "lang"))
+    packed = pack_sequences(
+        grouped, group_col="_grp", capacity=capacity, n_tokens_col="n_tokens"
+    )
+    dataset = tagged.drop("n_tokens").join(
+        packed.select(
+            "doc_id", F.col("n_tokens").alias("pack_tokens"), "bin_id"
+        ),
+        "doc_id",
+    )
+    return epoch_shuffle(dataset, seed=seed)
+
+
 def train_and_evaluate(
     df: DataFrame,
     feature_cols: list[str],

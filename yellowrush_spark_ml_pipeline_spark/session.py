@@ -31,6 +31,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    driver_mem: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-safe defaults.
 
@@ -42,7 +43,12 @@ def get_spark(
     # hidden scale ceiling (the sf1 bench pass OOM-killed the gateway on
     # it). Sized well under the box; on a real cluster the submitter's
     # --driver-memory/--executor-memory win because the JVM is already up.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    # Callers running data decades ABOVE the default testdata (the bench
+    # sf1/sf2 probe contexts) pass ``driver_mem`` to size the heap to the
+    # data, exactly like shuffle partitions — a 12 GiB heap at sf2 measures
+    # GCLocker thrash, not plans (triangles 83.8 s -> 30.3 s at 28 GiB,
+    # partitions unchanged; see SCALE.md round-9 probe).
+    driver_mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.driver.memory", driver_mem)
