@@ -290,7 +290,12 @@ def main() -> int:
                         return time.perf_counter() - t0
 
                     for qi, name in enumerate(top10):
-                        if qi and qi % 5 == 0:
+                        if qi:
+                            # per-QUERY GC here (not every 5): the sf2
+                            # working sets are GC-bound — checkpoint
+                            # residue from the previous probe alone
+                            # moved triangles 30 s -> 65 s (measured,
+                            # SCALE.md round-9 saturation section).
                             spark.sparkContext._jvm.System.gc()
                         try:
                             t1b = _shot2(name, sf1_dir, sf1_parts)
