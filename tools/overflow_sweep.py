@@ -51,6 +51,16 @@ ALLOWED: dict[str, str] = {
     "(1000 * n_types) div": "per-doc distinct-token count, bounded",
     "yellowrush_spark_ml_pipeline_spark/operators/textstats.py:"
     "(1000 * n_hapax) div": "per-doc hapax count, bounded",
+    # big_s is CAST(... AS HUGEINT) in its own CTE (tot) — the 40-char
+    # context window just can't see it; HUGEINT * BIGINT promotes, and
+    # S*n <= 1e9 * 1e12 micro-units << 2^127
+    "temperature_mixture": "big_s is HUGEINT-cast in the tot CTE; "
+    "product bounded ~1e21",
+    # docstring formula text; the code routes through
+    # CAST(_S AS DECIMAL(38,0)) * _n_docs (textstats.py
+    # temperature_mixture_sample)
+    "yellowrush_spark_ml_pipeline_spark/operators/textstats.py:"
+    "div (S * n_docs_i)": "docstring formula; code uses DECIMAL(38,0)",
 }
 
 _SQLISH = re.compile(r"(?i)\b(select|div|sum\s*\(|cast\s*\()")
