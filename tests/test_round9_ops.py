@@ -498,3 +498,22 @@ def test_bpe_roundtrip_all_ok_and_corrupted_vocab_flips(spark):
         .count()
     )
     assert n_diff > 0, "corrupting the vocab must change some decode"
+
+
+# ---------------------------------------------------------------------------
+# dq_report hybrid shape: all three probe shapes agree (crossover probe)
+# ---------------------------------------------------------------------------
+
+
+def test_dq_shapes_identical_output(spark, sf_small):
+    """The shipped hybrid must report exactly the same (check, violations)
+    rows as the refuted full-fusion shape and the pre-r7 unfused shape —
+    the crossover probe (tools/dq_crossover.py) asserts this per scale at
+    probe time; this pins it in the suite."""
+    from tools.dq_crossover import full_fusion, hybrid, unfused
+
+    ref = sorted(map(tuple, full_fusion(spark, sf_small).collect()))
+    assert ref, "fusion shape returned no rows"
+    for shape in (unfused, hybrid):
+        got = sorted(map(tuple, shape(spark, sf_small).collect()))
+        assert got == ref, (shape.__name__, got, ref)
