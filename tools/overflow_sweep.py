@@ -51,16 +51,23 @@ ALLOWED: dict[str, str] = {
     "(1000 * n_types) div": "per-doc distinct-token count, bounded",
     "yellowrush_spark_ml_pipeline_spark/operators/textstats.py:"
     "(1000 * n_hapax) div": "per-doc hapax count, bounded",
-    # big_s is CAST(... AS HUGEINT) in its own CTE (tot) — the 40-char
-    # context window just can't see it; HUGEINT * BIGINT promotes, and
-    # S*n <= 1e9 * 1e12 micro-units << 2^127
-    "temperature_mixture": "big_s is HUGEINT-cast in the tot CTE; "
-    "product bounded ~1e21",
-    # docstring formula text; the code routes through
-    # CAST(_S AS DECIMAL(38,0)) * _n_docs (textstats.py
-    # temperature_mixture_sample)
+    # DuckDB oracle: big_s is CAST(... AS HUGEINT) in its own CTE (tot)
+    # — the 40-char context window just can't see it; HUGEINT*BIGINT
+    # promotes to HUGEINT, and S*n can reach ~1e24 at 100 TB row counts
+    # (far beyond 2^63 — which is WHY it must be HUGEINT — and far
+    # below 2^127).  The Spark side is swept separately below.
+    "temperature_mixture": "oracle: big_s HUGEINT-cast in the tot CTE; "
+    "S*n ~1e24 needs >64-bit and HUGEINT provides it",
+    # docstring formula text only.  The r10 fix made the claim true:
+    # T is now CAST((_N div 2) AS DECIMAL(38,0)) — halve the BIGINT
+    # FIRST, then cast, because Spark's `div` always returns LONG and
+    # would otherwise demote the whole numerator to 64-bit (the r9
+    # ADVICE overflow, reproduced at ~7e4 single-source docs).  With T
+    # decimal, T*s_micro*modulus and S*n_docs both evaluate in
+    # DECIMAL(38,0); regression test pins the large-N case.
     "yellowrush_spark_ml_pipeline_spark/operators/textstats.py:"
-    "div (S * n_docs_i)": "docstring formula; code uses DECIMAL(38,0)",
+    "div (S * n_docs_i)": "docstring formula; code keeps T DECIMAL(38,0)"
+    " via CAST((_N div 2) AS DECIMAL(38,0)) — large-N pytest pins it",
 }
 
 _SQLISH = re.compile(r"(?i)\b(select|div|sum\s*\(|cast\s*\()")

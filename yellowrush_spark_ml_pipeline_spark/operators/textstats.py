@@ -583,10 +583,16 @@ def temperature_mixture_sample(
     tot = per.agg(
         F.sum("_s_micro").alias("_S"), F.sum("_n_docs").alias("_N")
     )
+    # NOTE: `div` is IntegralDivide and ALWAYS yields LONG in Spark —
+    # `CAST(_N AS DECIMAL(38,0)) div 2` would silently collapse T (and
+    # with it the whole rate numerator) back to 64-bit, overflowing at
+    # only ~7e4 single-source docs.  Integer-halve the BIGINT count
+    # first (always safe), THEN cast, so T * _s_micro * modulus stays
+    # DECIMAL(38,0) end to end.
     t_expr = (
         f"CAST({int(target_total)} AS DECIMAL(38,0))"
         if target_total is not None
-        else "CAST(_N AS DECIMAL(38,0)) div 2"
+        else "CAST((_N div 2) AS DECIMAL(38,0))"
     )
     rates = (
         per.crossJoin(F.broadcast(tot))
