@@ -67,3 +67,172 @@ def test_temperature_mixture_rate_never_negative_large_n(spark):
     assert all(v >= 0 for v in rates.values()), rates
     # alpha=1/2 flattening: tail source keep-rate strictly above dominant
     assert rates["books"] > rates["web"], rates
+
+# ---------------------------------------------------------------------------
+# semantic_dedup quantizer seam (r9 verdict #1): the ivf path (sampled
+# MLlib fit + narrow frozen-centroid assignment + k-ROW broadcast dist
+# join) must collapse planted twins exactly like the exact path, and the
+# two paths must agree on the keep set.
+# ---------------------------------------------------------------------------
+
+
+def _blob_corpus(spark, n_per=40, n_clusters=4, dim=8, seed=3, base_id=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 10.0
+    rows, vid = [], base_id
+    for c in range(n_clusters):
+        for _ in range(n_per):
+            vec = centers[c] + rng.normal(scale=1.0, size=dim)
+            rows.append((vid, [float(x) for x in vec]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _with_twins(spark, corpus, n_twins=10, offset=100_000, scale=2.0):
+    twins = corpus.filter(F.col("vec_id") < n_twins).select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(scale)).alias("embedding"),
+    )
+    return corpus.unionByName(twins)
+
+
+def test_semantic_dedup_ivf_planted_twins_collapse(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark)
+    df = _with_twins(spark, corpus)
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            df, threshold=0.9999, quantizer="ivf", n_lists=4, fit_fraction=1.0
+        ).collect()
+    }
+    assert len(out) == 170
+    for i in range(10):
+        orig, copy = out[i], out[100_000 + i]
+        # collinear copies normalize bit-identically: same cluster/dist
+        assert orig["cluster_id"] == copy["cluster_id"]
+        assert orig["dist"] == copy["dist"]
+        assert orig["keep"] == 1 and copy["keep"] == 0, (i, orig, copy)
+    assert sum(r["keep"] for r in out.values()) == 160
+
+
+def test_semantic_dedup_ivf_and_exact_agree_on_keep_set(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    df = _with_twins(spark, _blob_corpus(spark))
+    keep_ivf = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup(
+            df, threshold=0.9999, quantizer="ivf", n_lists=4, fit_fraction=1.0
+        ).collect()
+    }
+    keep_exact = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup(
+            df, threshold=0.9999, quantizer="exact", k=4
+        ).collect()
+    }
+    assert keep_ivf == keep_exact
+
+
+def test_semantic_dedup_rejects_unknown_quantizer(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    df = _blob_corpus(spark, n_per=3, n_clusters=2)
+    with pytest.raises(ValueError, match="quantizer"):
+        similarity.semantic_dedup(df, quantizer="pq")
+
+
+# ---------------------------------------------------------------------------
+# incremental semantic dedup (r9 verdict #3): daily batch vs persisted
+# kept-set under frozen centroids — copies of kept docs pruned, fresh
+# docs survive, within-batch canonical rule applies, corpus never
+# re-clustered (plan has no cartesian / nested-loop join).
+# ---------------------------------------------------------------------------
+
+
+def _incremental_setup(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark)
+    audit, cents = similarity.semantic_dedup_build(
+        corpus, threshold=0.9999, k=4
+    )
+    kept = (
+        audit.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    # batch: 10 collinear copies of kept corpus docs (must be pruned),
+    # 2 collinear twins of a NEW direction (smaller id kept, larger
+    # pruned by the within-batch rule), and the rest of a fresh blob
+    # far from the corpus (must survive)
+    copies = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 200_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    fresh = _blob_corpus(
+        spark, n_per=10, n_clusters=1, dim=8, seed=99, base_id=300_000
+    )
+    twin = fresh.filter(F.col("vec_id") == 300_000).select(
+        F.lit(300_100).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    batch = copies.unionByName(fresh).unionByName(twin)
+    return batch, kept, cents
+
+
+def test_semantic_dedup_incremental_prunes_copies_keeps_fresh(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    batch, kept, cents = _incremental_setup(spark)
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup_incremental(
+            batch, kept, cents, threshold=0.9999
+        ).collect()
+    }
+    assert len(out) == 21
+    # corpus rows are never re-judged — output is batch-only
+    assert all(vid >= 200_000 for vid in out)
+    pruned_copies = [i for i in range(10) if out[200_000 + i]["keep"] == 0]
+    assert len(pruned_copies) == 10, pruned_copies
+    # fresh blob survives (far from every kept member)
+    fresh_kept = [
+        vid for vid in out if 300_000 <= vid < 300_100 and out[vid]["keep"] == 1
+    ]
+    assert len(fresh_kept) == 10, fresh_kept
+    # within-batch canonical rule: collinear twins share dist, smaller
+    # id (300_000) kept, larger (300_100) pruned
+    assert out[300_000]["keep"] == 1 and out[300_100]["keep"] == 0
+    assert out[300_000]["dist"] == out[300_100]["dist"]
+
+
+def test_semantic_dedup_incremental_partition_invariant_no_cartesian(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    batch, kept, cents = _incremental_setup(spark)
+    out1 = sorted(
+        (r["vec_id"], r["keep"])
+        for r in similarity.semantic_dedup_incremental(
+            batch, kept, cents, threshold=0.9999
+        ).collect()
+    )
+    out2 = sorted(
+        (r["vec_id"], r["keep"])
+        for r in similarity.semantic_dedup_incremental(
+            batch.repartition(7, "vec_id"),
+            kept.repartition(5, "vec_id"),
+            cents,
+            threshold=0.9999,
+        ).collect()
+    )
+    assert out1 == out2
+    plan = similarity.semantic_dedup_incremental(
+        batch, kept, cents, threshold=0.9999
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -558,15 +558,17 @@ def semantic_dedup(
     id_col: str = "vec_id",
     target_cluster_size: int = 64,
     persist: bool = True,
+    quantizer: str = "exact",
+    n_lists: "int | str" = "auto",
+    fit_fraction: float = 0.25,
+    seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus on the unit sphere, then prune within-cluster cosine
     near-duplicates, keeping the most "canonical" member — the point
     closest to its centroid (ties by smaller id). The standard
-    embedding-level curation step for LLM corpora, composed from two
-    already-proven parts: :func:`kmeans_lloyd` (exact, partition-
-    invariant Lloyd assignment) and the normalized-dot cosine of the
-    embedding-dedup tier.
+    embedding-level curation step for LLM corpora.
 
     Semantics: a point is pruned iff SOME same-cluster neighbor with
     cosine >= ``threshold`` is strictly more canonical (smaller rounded
@@ -577,46 +579,115 @@ def semantic_dedup(
     including collinear copies, whose normalization is bit-identical —
     always share a cluster and always collapse.
 
-    ``k="auto"`` applies the corpus-relative discipline of the dedup
-    tier: k = clamp(ceil(n / target_cluster_size), 8, n), resolved by
-    ONE eager count (same documented exception as
-    :func:`embedding_cosine_dedup`). Fixed k makes the within-cluster
-    self-join quadratic at scale; auto-k holds expected cluster size at
-    ``target_cluster_size`` so candidate pairs stay ~n * target / 2 —
-    linear, and the assignment's broadcast centroid array stays
-    k x dim doubles, parameter-sized.
+    QUANTIZER SEAM (round 10) — two clusterings, one prune:
+
+    * ``quantizer="exact"`` (default, the ORACLE path):
+      :func:`kmeans_lloyd` — partition-invariant, cross-engine
+      replayable, bit-stable.  ``k="auto"`` holds expected cluster size
+      at ``target_cluster_size`` (k = clamp(ceil(n / target), 8, n), one
+      eager count), which keeps candidate PAIRS linear (~n * target / 2)
+      — but be explicit about what that costs upstream: with k
+      proportional to n, the Lloyd ASSIGNMENT broadcasts ONE row holding
+      all k centroid vectors — (n/target) x dim doubles, CORPUS-
+      proportional, in a single array cell — and every point folds over
+      all k centroids, so assignment work is n^2 * dim / target.  This
+      path buys oracle-replayable exactness at quadratic scale cost; it
+      is for differential verification and small/medium corpora, NOT the
+      100 TB plan.
+    * ``quantizer="ivf"`` (the PRODUCTION path): the sampled-fit MLlib
+      quantizer of :func:`ivf_build_index` — KMeans fit on a seed-pinned
+      ``fit_fraction`` Bernoulli sample, then one narrow full-corpus
+      assignment (frozen centroids; MLlib ships them as a proper
+      broadcast variable, not a one-row array cell, so no row-size
+      ceiling).  Per-point centroid distance comes from a k-ROW
+      broadcast-hash join on the list id.  ``n_lists="auto"`` uses the
+      standard IVF sizing n_lists ~ ceil(sqrt(n)) (FAISS discipline):
+      assignment work is n * sqrt(n) * dim and within-cluster candidate
+      pairs ~ n * sqrt(n) / 2 — total ~n^1.5, the accepted sub-quadratic
+      SemDeDup posture (the paper itself eats per-cluster pairwise).
+      Pass an int ``n_lists`` to pin cluster granularity (daily jobs
+      reuse a known-good setting).  NOT oracle-replayable: k-means||
+      init and Vector float paths are engine-internal, so register ivf-
+      path queries rows-only.  Keep/prune semantics are IDENTICAL to the
+      exact path — both feed the same prune; on well-separated clusters
+      the two paths produce the same keep set (pinned by pytest).
 
     Output: one audit row per point — (id, cluster_id, dist, n_close
     BIGINT, keep INT) — so keep/prune decisions, neighborhood density,
     and cluster geometry are all differentially checkable downstream.
 
-    Scale shape: kmeans_lloyd's zero-shuffle assignment + one
-    cluster-keyed self-join (bounded by auto-k cluster size) + one
-    groupBy on the point id + one left join back. No all-pairs join
-    anywhere. ``persist=True`` (default) localCheckpoints TWO relations:
-    the normalized corpus ``v`` (the unrolled Lloyd chain references its
-    input once per round per consumer — a measured 30 parquet scans of
-    the corpus in the lazy plan, 0 ReusedExchange; ONE scan after
-    truncation) and the assigned relation ``pts`` (three consumers:
-    both self-join sides and the audit output). At toy scale the eager
-    materialization costs ~1 s of constant (sf0.1 warm 3.0 s lazy vs
-    4.2 s persisted) and removes a 30x corpus-rescan multiplier — the
-    same deliberate 100 TB trade as embedding_cosine_dedup's auto
-    buckets."""
+    Scale shape: quantizer assignment + one cluster-keyed self-join
+    (bounded by cluster size) + one groupBy on the point id + one left
+    join back. No all-pairs join anywhere. ``persist=True`` (default)
+    localCheckpoints TWO relations: the normalized corpus ``v`` (the
+    unrolled Lloyd chain references its input once per round per
+    consumer — a measured 30 parquet scans of the corpus in the lazy
+    plan, 0 ReusedExchange; ONE scan after truncation) and the assigned
+    relation ``pts`` (three consumers: both self-join sides and the
+    audit output). At toy scale the eager materialization costs ~1 s of
+    constant and removes a 30x corpus-rescan multiplier — the same
+    deliberate 100 TB trade as embedding_cosine_dedup's auto buckets."""
     import math as _math
 
+    if quantizer not in ("exact", "ivf"):
+        raise ValueError(f"quantizer must be 'exact' or 'ivf', got {quantizer!r}")
     v = df.select(
         F.col(id_col), normalize(as_double_array(F.col(emb_col))).alias("_v")
     )
     if persist:
         v = v.localCheckpoint(eager=True)
-    if k == "auto":
-        n = v.count()  # one tiny count job — documented eager exception
-        k = max(8, min(n, _math.ceil(n / max(target_cluster_size, 1))))
-    assigned = kmeans_lloyd(v, k=k, n_assign=n_assign, emb_col="_v", id_col=id_col)
-    pts = assigned.join(v, id_col)
+    if quantizer == "ivf":
+        if n_lists == "auto":
+            n = v.count()  # one tiny count job — documented eager exception
+            n_lists = max(8, min(n, _math.ceil(_math.sqrt(n))))
+        assigned_ivf, centroids = ivf_build_index(
+            v,
+            id_col=id_col,
+            vec_col="_v",
+            n_lists=int(n_lists),
+            seed=seed,
+            max_iter=max_iter,
+            fit_fraction=fit_fraction,
+        )
+        # distance to the assigned centroid via a k-ROW broadcast join —
+        # the parameter-sized relation shape (n_lists rows), not a
+        # single row holding every centroid
+        cent_df = v.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cluster_id int, _c array<double>",
+        )
+        pts = (
+            assigned_ivf.withColumnRenamed("_list", "cluster_id")
+            .join(F.broadcast(cent_df), "cluster_id")
+            .select(
+                F.col(id_col),
+                F.col("cluster_id"),
+                F.round(
+                    euclidean_distance(F.col("_cv"), F.col("_c")), 6
+                ).alias("dist"),
+                F.col("_cv").alias("_v"),
+            )
+        )
+    else:
+        if k == "auto":
+            n = v.count()  # one tiny count job — documented eager exception
+            k = max(8, min(n, _math.ceil(n / max(target_cluster_size, 1))))
+        assigned = kmeans_lloyd(
+            v, k=k, n_assign=n_assign, emb_col="_v", id_col=id_col
+        )
+        pts = assigned.join(v, id_col)
     if persist:
         pts = pts.localCheckpoint(eager=True)
+    return _semantic_prune(pts, threshold, id_col)
+
+
+def _semantic_prune(
+    pts: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """The SemDeDup prune shared by both quantizer paths and the
+    incremental variant: within-cluster cosine neighbors >= threshold,
+    keep iff no strictly-more-canonical neighbor (smaller rounded
+    centroid dist, ties by id).  ``pts``: (id, cluster_id, dist, _v)."""
     a = pts.select(
         F.col(id_col).alias("_pid"),
         F.col("cluster_id").alias("_pc"),
@@ -645,6 +716,191 @@ def semantic_dedup(
     )
     return (
         pts.select(id_col, "cluster_id", "dist")
+        .join(stats, F.col(id_col) == F.col("_pid"), "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "dist",
+            F.coalesce("n_close", F.lit(0).cast("bigint")).alias("n_close"),
+            (F.coalesce("_pruned", F.lit(0)) == 0).cast("int").alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_build(
+    df: DataFrame,
+    threshold: float = 0.9,
+    k: "int | str" = "auto",
+    n_assign: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cluster_size: int = 64,
+    persist: bool = True,
+) -> "tuple[DataFrame, list[list[float]]]":
+    """Exact-path :func:`semantic_dedup` PLUS the frozen quantizer state
+    — the build half of the incremental lifecycle.  Returns (audit,
+    centroids): persist the audit (and the kept rows' embeddings) as the
+    corpus kept-set, the centroid list as JSON next to it, then judge
+    daily batches with :func:`semantic_dedup_incremental` — no
+    re-clustering, no corpus self-join.  The centroids are EXACTLY the
+    ones the audit's assignment used (same deterministic Lloyd chain,
+    same auto-k resolution), so incremental assignment reproduces the
+    build's cluster geometry bit-for-bit."""
+    import math as _math
+
+    if k == "auto":
+        n = df.count()
+        k = max(8, min(n, _math.ceil(n / max(target_cluster_size, 1))))
+    audit = semantic_dedup(
+        df,
+        threshold=threshold,
+        k=int(k),
+        n_assign=n_assign,
+        emb_col=emb_col,
+        id_col=id_col,
+        persist=persist,
+    )
+    # the SAME single normalization semantic_dedup applies internally —
+    # normalize is not bit-idempotent, so never normalize twice
+    v = df.select(
+        F.col(id_col), normalize(as_double_array(F.col(emb_col))).alias("_v")
+    )
+    centroids = kmeans_lloyd_centroids(
+        v, k=int(k), n_assign=n_assign, emb_col="_v", id_col=id_col
+    )
+    return audit, centroids
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    kept: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    kept_emb_col: str | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Daily-ingest SemDeDup — the embedding-tier analogue of
+    ``minhash_incremental_pairs`` (dedup.py): judge a NEW batch against a
+    PERSISTED kept-set under FROZEN cluster geometry, with no corpus
+    self-join and no re-clustering.
+
+    Inputs mirror what a production pipeline persists after a full
+    :func:`semantic_dedup` build: ``kept`` is the surviving rows of the
+    corpus WITH their embeddings and audit columns (``id, cluster_id,
+    dist, <emb>``); ``centroids`` is the frozen quantizer state (index =
+    cluster_id — the collected centroid list the build wrote next to the
+    parquet, exactly the "model is just data" footprint of
+    :func:`ivf_assign`).
+
+    Rules (deterministic, oracle-replayable when the centroids came from
+    the exact path):
+
+    * a batch doc is PRUNED iff (a) some KEPT corpus member of its
+      cluster has cosine >= ``threshold`` — incumbents always win;
+      they are already in the training set — or (b) some strictly more
+      canonical batch member of the same cluster is that close (the
+      same smaller-rounded-dist / smaller-id rule as the full build);
+    * kept corpus rows are never re-judged;
+    * a batch copy of a PRUNED corpus doc is judged only against the
+      kept-set (its canonical twin is kept, so it still collapses unless
+      the near-dup relation fails transitively — the same documented
+      greedy-chain semantics as the full build).
+
+    Scale shape: normalization + one narrow frozen-centroid argmin over
+    the BATCH only (:func:`ivf_assign` — nothing proportional to the
+    corpus), one k-row broadcast join for the audit distance, then two
+    cluster-keyed joins in which the BATCH side is broadcast — the
+    corpus is touched once, streamed map-side, and only rows whose
+    cluster_id appears in the batch survive the broadcast hash probe.
+    No corpus self-join, no re-cluster, no shuffle of the corpus.
+
+    Output: one audit row per BATCH doc — (id, cluster_id, dist,
+    n_close BIGINT, keep INT) — union-compatible with the full build's
+    audit table, so the daily merge is an append."""
+    spark = batch.sparkSession
+    kept_emb_col = kept_emb_col or emb_col
+    v = batch.select(
+        F.col(id_col), normalize(as_double_array(F.col(emb_col))).alias("_v")
+    )
+    if persist:
+        v = v.localCheckpoint(eager=True)
+    assigned = ivf_assign(v, centroids, id_col=id_col, vec_col="_v")
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster_id int, _c array<double>",
+    )
+    bpts = (
+        assigned.withColumnRenamed("_list", "cluster_id")
+        .join(F.broadcast(cent_df), "cluster_id")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.round(euclidean_distance(F.col("_cv"), F.col("_c")), 6).alias(
+                "dist"
+            ),
+            F.col("_cv").alias("_v"),
+        )
+    )
+    if persist:
+        bpts = bpts.localCheckpoint(eager=True)
+    cpts = kept.select(
+        F.col(id_col).alias("_qid"),
+        F.col("cluster_id").alias("_qc"),
+        normalize(as_double_array(F.col(kept_emb_col))).alias("_qv"),
+    )
+    a = bpts.select(
+        F.col(id_col).alias("_pid"),
+        F.col("cluster_id").alias("_pc"),
+        F.col("dist").alias("_pd"),
+        F.col("_v").alias("_pv"),
+    )
+    # (a) vs the kept corpus: incumbent wins at any cosine >= threshold.
+    # Batch side broadcast — the corpus streams through map-side.
+    nbr_corpus = (
+        cpts.join(F.broadcast(a), F.col("_qc") == F.col("_pc"))
+        .withColumn("_cos", F.round(dot(F.col("_pv"), F.col("_qv")), 6))
+        .filter(F.col("_cos") >= threshold)
+        .select("_pid", F.lit(1).alias("_flag"))
+    )
+    # (b) within the batch: the full build's canonical-neighbor rule.
+    b = bpts.select(
+        F.col(id_col).alias("_qid"),
+        F.col("cluster_id").alias("_qc"),
+        F.col("dist").alias("_qd"),
+        F.col("_v").alias("_qv"),
+    )
+    nbr_batch = (
+        a.join(
+            b,
+            (F.col("_pc") == F.col("_qc")) & (F.col("_pid") != F.col("_qid")),
+        )
+        .withColumn("_cos", F.round(dot(F.col("_pv"), F.col("_qv")), 6))
+        .filter(F.col("_cos") >= threshold)
+        .select(
+            "_pid",
+            (
+                (F.col("_qd") < F.col("_pd"))
+                | (
+                    (F.col("_qd") == F.col("_pd"))
+                    & (F.col("_qid") < F.col("_pid"))
+                )
+            )
+            .cast("int")
+            .alias("_flag"),
+        )
+    )
+    stats = (
+        nbr_corpus.unionByName(nbr_batch)
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_close"),
+            F.max("_flag").alias("_pruned"),
+        )
+    )
+    return (
+        bpts.select(id_col, "cluster_id", "dist")
         .join(stats, F.col(id_col) == F.col("_pid"), "left")
         .select(
             id_col,
@@ -692,6 +948,7 @@ def kmeans_lloyd(
     n_assign: int = 3,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's k-means as a fully declarative DataFrame
     program — ``n_assign`` assignment rounds with ``n_assign - 1``
@@ -722,7 +979,12 @@ def kmeans_lloyd(
     independent of row count. Total cost: ``n_assign`` narrow passes
     over the points plus tiny (cid, dim) shuffles — the optimal
     distributed Lloyd shape. Empty clusters (possible in principle,
-    not with spread seeds) drop out identically in both engines."""
+    not with spread seeds) drop out identically in both engines.
+
+    ``return_centroids=True`` returns the FINAL centroid relation
+    (cluster_id, centroid array<double>) — the state the last
+    assignment round used — instead of the assignment; see
+    :func:`kmeans_lloyd_centroids` for the collected form."""
     if k < 1 or n_assign < 1:
         raise ValueError("k and n_assign must be >= 1")
     pts = df.select(F.col(id_col), as_double_array(F.col(emb_col)).alias("_x"))
@@ -783,11 +1045,49 @@ def kmeans_lloyd(
             ).alias("_c")
         )
         assigned = _assign(cents)
+    if return_centroids:
+        return cents.select(
+            F.col("_cid").alias("cluster_id"), F.col("_c").alias("centroid")
+        )
     return assigned.select(
         F.col(id_col),
         F.col("cluster_id"),
         F.round(F.col("_dist"), 6).alias("dist"),
     )
+
+
+def kmeans_lloyd_centroids(
+    df: DataFrame,
+    k: int = 8,
+    n_assign: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """The FINAL centroids of the :func:`kmeans_lloyd` chain — exactly
+    the ones its last assignment round used — as a driver-small list
+    indexed by cluster_id.  This is the frozen-quantizer state an exact-
+    path :func:`semantic_dedup` build persists next to its audit table
+    so that :func:`semantic_dedup_incremental` can judge daily batches
+    under the SAME cluster geometry (the "model is just data" footprint:
+    k x dim doubles as JSON, no model object).  One driver-small collect
+    of a k-row relation — the documented eager exception."""
+    cents = kmeans_lloyd(
+        df, k=k, n_assign=n_assign, emb_col=emb_col, id_col=id_col,
+        return_centroids=True,
+    )
+    rows = cents.collect()
+    out: dict[int, list[float]] = {
+        int(r["cluster_id"]): [float(x) for x in r["centroid"]] for r in rows
+    }
+    # list index MUST equal cluster_id (the incremental assign and the
+    # persisted audit table key on it) — an emptied-out cluster would
+    # silently shift every later id, so refuse instead of compacting
+    if sorted(out) != list(range(len(out))):
+        raise ValueError(
+            f"non-contiguous cluster ids {sorted(out)[:8]}... — a cluster "
+            "emptied during Lloyd; re-run with smaller k or denser seeds"
+        )
+    return [out[i] for i in range(len(out))]
 
 
 def quantized_recall(
