@@ -2700,6 +2700,69 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the PRODUCTION quantizer path (round 10): sampled-fit
+    MLlib KMeans + narrow frozen-centroid assignment + k-row broadcast
+    dist join, then the same canonical-neighbor prune as the exact path
+    (similarity.semantic_dedup quantizer='ivf').  Same planted collinear
+    x2 copies as q_semantic_dedup, so the collapse is non-vacuous on any
+    clustering.  rows-only: k-means|| init and MLlib Vector float paths
+    are engine-internal, so no cross-engine oracle exists by design —
+    keep/prune semantics equality with the exact path is pinned by
+    pytest (tests/test_round10_ops.py) instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    return similarity.semantic_dedup(
+        emb.unionByName(planted),
+        threshold=0.9,
+        quantizer="ivf",
+        n_lists="auto",
+        fit_fraction=1.0,
+    )
+
+
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (round 10) — the daily-ingest shape for the
+    embedding tier, mirroring minhash_incremental_pairs: 80% of the
+    embeddings table is the persisted corpus (exact-path build:
+    semantic_dedup_build -> kept-set + frozen centroids), the other 20%
+    plus collinear x2 copies of corpus members arrive as the new batch,
+    judged by semantic_dedup_incremental under the FROZEN geometry — no
+    corpus self-join, no re-clustering.  The oracle replays the entire
+    lifecycle: corpus normalization, auto-k, every corpus Lloyd round,
+    the corpus prune, the batch's frozen-centroid argmin assignment, and
+    both incremental prune rules (incumbent-wins + within-batch
+    canonical)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    planted = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    batch = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    audit, cents = similarity.semantic_dedup_build(corpus, threshold=0.9, k="auto")
+    kept = (
+        audit.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    return similarity.semantic_dedup_incremental(
+        batch, kept, cents, threshold=0.9
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 PageRank over the bidirectional customer--supplier trade
     graph (3 fixed iterations, damping 0.85) — INTEGER fixed-point mass,
@@ -4159,6 +4222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
+    # ---- (0) NEW round 10, never driver-checked (oracle-backed first) ----
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "semantic_dedup_ivf": q_semantic_dedup_ivf,
     # ---- (1) NEW round 9, never driver-checked (oracle-backed) ----
         "bpe_encode": q_bpe_encode,
         "semantic_dedup": q_semantic_dedup,
@@ -4975,6 +5041,128 @@ def oracle_semantic_dedup_sql(
                              THEN 1 ELSE 0 END AS INT) AS keep
             FROM fin f LEFT JOIN nbr n ON f.vec_id = n.pid
         """.format(last=n_assign, thr=threshold)
+    )
+    return "".join(parts)
+
+
+def oracle_semantic_dedup_incremental_sql(
+    n_assign: int = 3,
+    threshold: float = 0.9,
+    target_cluster_size: int = 64,
+) -> str:
+    """DuckDB oracle for q_semantic_dedup_incremental — replays the FULL
+    incremental lifecycle: corpus (vec_id % 5 <> 0) normalization,
+    auto-k, the corpus Lloyd chain, the corpus canonical prune (-> the
+    kept-set), then the batch (vec_id % 5 = 0 plus planted x2 copies of
+    corpus ids < 10) assigned by argmin against the FROZEN final
+    centroids, pruned by (a) any kept incumbent at cosine >= threshold
+    and (b) the within-batch canonical rule."""
+    norm = (
+        "list_transform(embedding::DOUBLE[], "
+        "x -> x / sqrt(list_dot_product(embedding::DOUBLE[], "
+        "embedding::DOUBLE[])))"
+    )
+    parts = [
+        """
+            WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+            ), pts AS (
+                SELECT vec_id, {norm} AS x FROM corpus
+            ), kk AS (
+                SELECT GREATEST(8, LEAST(COUNT(*),
+                           CAST(CEIL(COUNT(*) / {target}.0) AS BIGINT))) AS k
+                FROM pts
+            ), c0 AS (
+                SELECT CAST(rn - 1 AS INT) AS cid, x AS c
+                FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                      FROM pts) CROSS JOIN kk
+                WHERE rn <= kk.k
+            )""".format(norm=norm, target=target_cluster_size)
+    ]
+    for i in range(1, n_assign + 1):
+        parts.append(
+            """, a{i} AS (
+                SELECT vec_id, x, cid, d FROM (
+                    SELECT p.vec_id, p.x, c.cid, list_distance(p.x, c.c) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.x, c.c) ASC, c.cid ASC
+                           ) AS rn
+                    FROM pts p CROSS JOIN c{j} c
+                ) WHERE rn = 1
+            )""".format(i=i, j=i - 1)
+        )
+        if i < n_assign:
+            parts.append(
+                """, u{i} AS (
+                SELECT cid, dim,
+                       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
+                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS val
+                FROM (
+                    SELECT cid, CAST(generate_subscripts(x, 1) - 1 AS INT) AS dim,
+                           unnest(x) AS v
+                    FROM a{i}
+                )
+                GROUP BY cid, dim
+            ), c{i} AS (
+                SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
+            )""".format(i=i)
+            )
+    parts.append(
+        """, fin AS (
+                SELECT vec_id, x, cid, ROUND(d, 6) AS dist FROM a{last}
+            ), nbrc AS (
+                SELECT pp.vec_id AS pid,
+                       MAX(CASE WHEN q.dist < pp.dist
+                                  OR (q.dist = pp.dist AND q.vec_id < pp.vec_id)
+                                THEN 1 ELSE 0 END) AS pruned
+                FROM fin pp JOIN fin q
+                  ON pp.cid = q.cid AND pp.vec_id <> q.vec_id
+                WHERE ROUND(list_dot_product(pp.x, q.x), 6) >= {thr}
+                GROUP BY pp.vec_id
+            ), keptc AS (
+                SELECT f.vec_id, f.cid, f.x
+                FROM fin f LEFT JOIN nbrc n ON f.vec_id = n.pid
+                WHERE COALESCE(n.pruned, 0) = 0
+            ), ball AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+                FROM embeddings WHERE vec_id < 10 AND vec_id % 5 <> 0
+            ), bpts AS (
+                SELECT vec_id, {norm} AS x FROM ball
+            ), ab AS (
+                SELECT vec_id, x, cid, ROUND(d, 6) AS dist FROM (
+                    SELECT p.vec_id, p.x, c.cid, list_distance(p.x, c.c) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.x, c.c) ASC, c.cid ASC
+                           ) AS rn
+                    FROM bpts p CROSS JOIN c{lastc} c
+                ) WHERE rn = 1
+            ), nbru AS (
+                SELECT b.vec_id AS pid, 1 AS flag
+                FROM ab b JOIN keptc k2 ON b.cid = k2.cid
+                WHERE ROUND(list_dot_product(b.x, k2.x), 6) >= {thr}
+                UNION ALL
+                SELECT p.vec_id AS pid,
+                       CASE WHEN q.dist < p.dist
+                              OR (q.dist = p.dist AND q.vec_id < p.vec_id)
+                            THEN 1 ELSE 0 END AS flag
+                FROM ab p JOIN ab q ON p.cid = q.cid AND p.vec_id <> q.vec_id
+                WHERE ROUND(list_dot_product(p.x, q.x), 6) >= {thr}
+            ), stats AS (
+                SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_close,
+                       MAX(flag) AS pruned
+                FROM nbru GROUP BY pid
+            )
+            SELECT b.vec_id, CAST(b.cid AS INT) AS cluster_id, b.dist,
+                   CAST(COALESCE(s.n_close, 0) AS BIGINT) AS n_close,
+                   CAST(CASE WHEN COALESCE(s.pruned, 0) = 0
+                             THEN 1 ELSE 0 END AS INT) AS keep
+            FROM ab b LEFT JOIN stats s ON b.vec_id = s.pid
+        """.format(last=n_assign, lastc=n_assign - 1, thr=threshold, norm=norm)
     )
     return "".join(parts)
 
@@ -8114,6 +8302,13 @@ def oracle_sql() -> dict[str, str]:
     # SemDeDup (round 9): the kmeans chain re-unrolled on the unit
     # sphere + canonical-neighbor prune; auto-k replayed as a scalar CTE.
     sqls["semantic_dedup"] = oracle_semantic_dedup_sql(
+        n_assign=3, threshold=0.9, target_cluster_size=64
+    )
+    # Incremental SemDeDup (round 10): corpus build + frozen-centroid
+    # batch judgment replayed end-to-end.  semantic_dedup_ivf is
+    # deliberately absent here (rows-only): MLlib k-means|| is
+    # engine-internal.
+    sqls["semantic_dedup_incremental"] = oracle_semantic_dedup_incremental_sql(
         n_assign=3, threshold=0.9, target_cluster_size=64
     )
 
