@@ -4054,6 +4054,35 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_persisted_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ARTIFACT lifecycle (round 10): train 3 BPE merges, save
+    the tokenizer (merges + frozen vocab + params) as a versioned
+    parquet artifact (textstats.save_tokenizer — the S7 model-sink
+    analogue), RELOAD it, and encode the corpus with the reloaded frozen
+    state.  On the training corpus the frozen vocabulary is total, so
+    the output must be bit-identical to the direct train->encode path —
+    the oracle is exactly q_bpe_encode's, which means save/load
+    round-trip fidelity is differentially checked by the driver, not
+    just pytest."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    m = textstats.bpe_merge_rounds(d, rounds=3)
+    vocab = textstats.bpe_vocab(d, m, 3)
+    path = tempfile.mkdtemp(prefix="yellowrush_tok_")
+    textstats.save_tokenizer(m, vocab, path, rounds=3)
+    t = textstats.load_tokenizer(spark, path)
+    enc = textstats.bpe_encode(
+        d, t["merges"], t["rounds"], max_word_len=t["max_word_len"],
+        vocab=t["vocab"],
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("token_ids", " ").alias("ids_str"),
+    )
+
+
 def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer lifecycle CLOSED (round 9): train -> encode -> decode ->
     verify losslessness per document. The decode genuinely inverts ids
@@ -4224,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # MIRROR_LOCAL.json) regardless of window position.
     # ---- (0) NEW round 10, never driver-checked (oracle-backed first) ----
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "bpe_persisted_encode": q_bpe_persisted_encode,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
     # ---- (1) NEW round 9, never driver-checked (oracle-backed) ----
         "bpe_encode": q_bpe_encode,
@@ -10101,6 +10131,12 @@ def oracle_sql() -> dict[str, str]:
     # final merge applied, then vocabulary/id-sequence reassembly —
     # n_tokens and the exact per-doc id string both replayed.
     sqls["bpe_encode"] = oracle_bpe_encode_sql(rounds=3, tokclass=tokclass)
+    # round 10: save->load->frozen-vocab encode must equal the direct
+    # path on the training corpus — same oracle, so artifact fidelity
+    # is driver-checked differentially
+    sqls["bpe_persisted_encode"] = oracle_bpe_encode_sql(
+        rounds=3, tokclass=tokclass
+    )
     sqls["bpe_roundtrip"] = oracle_bpe_encode_sql(
         rounds=3, tokclass=tokclass, roundtrip=True
     )

@@ -1663,6 +1663,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_word_len: int = 24,
+    vocab: "DataFrame | None" = None,
 ) -> DataFrame:
     """Apply a trained BPE merge list (:func:`bpe_merge_rounds` output)
     to tokenize the corpus — the ENCODE half of the tokenizer lifecycle
@@ -1702,15 +1703,33 @@ def bpe_encode(
 
     Output: (id_col, n_tokens BIGINT, token_ids ARRAY<INT>) — token ids
     index the deterministic symbol vocabulary.
+
+    ``vocab`` (round 10): pass a FROZEN (token_id, sym) vocabulary —
+    e.g. from :func:`load_tokenizer` — instead of deriving it from the
+    corpus being encoded.  This is the train-once/encode-daily deploy
+    shape: ids stay stable across batches; symbols outside the frozen
+    vocabulary encode as the UNK sentinel ``-1``.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     dw = _bpe_doc_words(docs, text_col, id_col, max_word_len)
     enc = _bpe_encode_words(dw, merges, rounds)
-    vocab = _bpe_vocab_of(enc)
+    if vocab is None:
+        # corpus-derived vocabulary (total by construction — every
+        # encoded symbol appears in it, so left == inner here)
+        voc = _bpe_vocab_of(enc)
+    else:
+        # FROZEN vocabulary from a persisted tokenizer artifact
+        # (save_tokenizer/load_tokenizer): symbols the training corpus
+        # never produced map to the UNK sentinel -1 — deterministic,
+        # and downstream counts still see every token position
+        voc = vocab.select(
+            F.col("sym").alias("_s"), F.col("token_id").alias("_tid")
+        )
     wids = (
         enc.select("_word", F.posexplode("_syms").alias("_pos", "_s"))
-        .join(F.broadcast(vocab), "_s")
+        .join(F.broadcast(voc), "_s", "left")
+        .withColumn("_tid", F.coalesce("_tid", F.lit(-1)))
         .groupBy("_word")
         .agg(
             F.transform(
@@ -1746,6 +1765,86 @@ def bpe_encode(
             "token_ids",
         )
     )
+
+
+TOKENIZER_FORMAT_VERSION = 1
+
+
+def save_tokenizer(
+    merges: DataFrame,
+    vocab: DataFrame,
+    path: str,
+    rounds: int,
+    max_word_len: int = 24,
+) -> None:
+    """Persist a trained BPE tokenizer as a VERSIONED parquet artifact —
+    the S7 model-sink analogue for the tokenizer lifecycle (train once,
+    encode daily; compare ml.pipelines.save_model for MLlib pipelines).
+
+    Layout under ``path``: ``merges.parquet`` (the
+    :func:`bpe_merge_rounds` table — merge_round, left_sym, right_sym,
+    pair_count), ``vocab.parquet`` (the :func:`bpe_vocab` table —
+    token_id, sym), and ``meta.json`` pinning ``format_version``,
+    ``rounds`` and ``max_word_len`` so a loader can refuse artifacts
+    written by an incompatible future layout instead of silently
+    mis-encoding.  Both relations are parameter-sized (R merge rows,
+    |vocab| symbol rows), so overwrite-mode parquet writes are trivial
+    at any corpus scale."""
+    import json as _json
+    import os as _os
+
+    merges.select(
+        "merge_round", "left_sym", "right_sym", "pair_count"
+    ).write.mode("overwrite").parquet(_os.path.join(path, "merges.parquet"))
+    vocab.select("token_id", "sym").write.mode("overwrite").parquet(
+        _os.path.join(path, "vocab.parquet")
+    )
+    meta = {
+        "format_version": TOKENIZER_FORMAT_VERSION,
+        "rounds": int(rounds),
+        "max_word_len": int(max_word_len),
+    }
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(meta, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def load_tokenizer(spark, path: str) -> dict:
+    """Load a :func:`save_tokenizer` artifact.  Returns ``{"merges":
+    DataFrame, "vocab": DataFrame, "rounds": int, "max_word_len": int}``
+    — exactly the arguments :func:`bpe_encode` consumes
+    (``bpe_encode(docs, t["merges"], t["rounds"],
+    max_word_len=t["max_word_len"], vocab=t["vocab"])``), with the
+    frozen vocabulary keeping ids stable across daily batches.
+
+    Raises ``ValueError`` on a missing/garbled ``meta.json`` or a
+    ``format_version`` this code does not understand (the stale-version
+    guard: refusing is strictly better than silently mis-encoding a
+    training corpus)."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(path, "meta.json")
+    try:
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"not a tokenizer artifact (no readable meta.json): {path}"
+        ) from exc
+    ver = meta.get("format_version")
+    if ver != TOKENIZER_FORMAT_VERSION:
+        raise ValueError(
+            f"tokenizer artifact {path} has format_version {ver!r}; this "
+            f"code reads version {TOKENIZER_FORMAT_VERSION} — re-train or "
+            "upgrade"
+        )
+    return {
+        "merges": spark.read.parquet(_os.path.join(path, "merges.parquet")),
+        "vocab": spark.read.parquet(_os.path.join(path, "vocab.parquet")),
+        "rounds": int(meta["rounds"]),
+        "max_word_len": int(meta["max_word_len"]),
+    }
 
 
 def tfidf_cosine_pairs(
