@@ -4119,6 +4119,35 @@ def q_export_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL final mile as one composed lazy plan (round 10):
+    temperature-scaled source rebalancing -> BPE train on the rebalanced
+    mixture -> encode (real token counts) -> seeded split -> packing ->
+    deterministic epoch order, with the per-source rate_micro audit
+    riding through to the output (flows.export_tokenized_set with
+    mixture=True).  The corpus is skewed first (src0/src1 whole, every
+    3rd doc elsewhere) so the sqrt-flattening is non-vacuous, and the
+    oracle replays EVERYTHING: rate arithmetic, hash selection, the
+    tokenizer chain over the rebalanced corpus, split, packing window,
+    Lehmer epoch key, and the exact total order."""
+    from yellowrush_spark_ml_pipeline_spark.flows import export_tokenized_set
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1") | (F.col("doc_id") % 3 == 0)
+    )
+    return export_tokenized_set(docs, mixture=True).select(
+        "doc_id",
+        "split",
+        "lang",
+        "source",
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
+        "rate_micro",
+        "shuffle_key",
+        "epoch_rank",
+    )
+
+
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of deterministically-nulled event values
     (event_id % 7) per event-type series — the trend-preserving gap
@@ -4254,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- (0) NEW round 10, never driver-checked (oracle-backed first) ----
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "bpe_persisted_encode": q_bpe_persisted_encode,
+        "export_mixture": q_export_mixture,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
     # ---- (1) NEW round 9, never driver-checked (oracle-backed) ----
         "bpe_encode": q_bpe_encode,
@@ -4616,7 +4646,10 @@ def oracle_bpe_sql(rounds: int = 3, tokclass: str = r"'[^\p{L}\p{N}]+'") -> str:
 
 
 def _oracle_bpe_chain(
-    rounds: int = 3, tokclass: str = r"'[^\p{L}\p{N}]+'"
+    rounds: int = 3,
+    tokclass: str = r"'[^\p{L}\p{N}]+'",
+    doc_rel: str = "documents",
+    prefix: str = "",
 ) -> str:
     """Shared DuckDB replay of BPE train + encode up to the per-word id
     lists: the full training chain (every w{r} materialized), the
@@ -4626,11 +4659,11 @@ def _oracle_bpe_chain(
     SELECT (encode output, roundtrip decode, tokenized export)."""
     parts = [
         f"""
-            WITH tok AS (
+            WITH {prefix}tok AS (
                 SELECT list_filter(
                            regexp_split_to_array(lower(text), {tokclass}),
                            x -> x <> '') AS ws
-                FROM documents
+                FROM {doc_rel}
             ), w0 AS (
                 SELECT substr(unnest(ws), 1, 24) AS word FROM tok
             ), wf AS (
@@ -4686,7 +4719,7 @@ def _oracle_bpe_chain(
                            list_filter(
                                regexp_split_to_array(lower(text), {tokclass}),
                                x -> x <> '') AS ws
-                    FROM documents
+                    FROM {doc_rel}
                 )
             )""")
     return "".join(parts)
@@ -4803,6 +4836,92 @@ def oracle_export_tokenized_sql(
                        ORDER BY shuffle_key, split, lang, bin_id, doc_id
                    ) AS BIGINT) AS epoch_rank
             FROM keyed"""
+
+
+def oracle_export_mixture_sql(
+    rounds: int = 3,
+    tokclass: str = r"'[^\p{L}\p{N}]+'",
+    capacity: int = 2048,
+    val_mod: int = 10,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of flows.export_tokenized_set(mixture=True) over the
+    skewed sub-corpus (src0/src1 whole, every 3rd doc elsewhere): the
+    temperature-mixture rate CTEs + deterministic hash selection decide
+    the corpus, the BPE chain trains on the REBALANCED mixture, and the
+    split/pack/epoch tail runs over the surviving docs with the
+    per-source rate_micro audit joined through to the final order."""
+    h60 = lambda x: f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"  # noqa: E731
+    prefix = """base AS (
+                SELECT * FROM documents
+                WHERE source IN ('src0', 'src1') OR doc_id % 3 = 0
+            ), per AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM base GROUP BY source
+            ), sm AS (
+                SELECT source, n_docs,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                            AS BIGINT) AS s_micro
+                FROM per
+            ), tot AS (
+                SELECT CAST(SUM(s_micro) AS HUGEINT) AS big_s,
+                       CAST(SUM(n_docs) AS HUGEINT) AS big_n
+                FROM sm
+            ), rr AS (
+                SELECT source,
+                       least(1000000,
+                             CAST(((big_n // 2) * s_micro * 1000000)
+                                  // (big_s * n_docs) AS BIGINT))
+                           AS rate_micro
+                FROM sm, tot
+            ), mixdocs AS (
+                SELECT d.* FROM base d JOIN rr USING (source)
+                WHERE ((d.doc_id % 2147483647) * 48271) % 2147483647
+                      % 1000000 < rr.rate_micro
+            ), """
+    return _oracle_bpe_chain(
+        rounds, tokclass, doc_rel="mixdocs", prefix=prefix
+    ) + f"""
+            , nt AS (
+                SELECT d.doc_id, d.lang, d.source,
+                       CAST(COALESCE(SUM(len(x.ids)), 0) AS BIGINT)
+                           AS n_tokens
+                FROM mixdocs d
+                LEFT JOIN (
+                    SELECT dw.doc_id, w.ids
+                    FROM dw JOIN wids w USING (word)
+                ) x ON d.doc_id = x.doc_id
+                GROUP BY d.doc_id, d.lang, d.source
+            ), tagged AS (
+                SELECT doc_id, lang, source, n_tokens,
+                       CASE WHEN {h60(f"(doc_id::VARCHAR || ':{seed}')")}
+                                 % {val_mod} = 0
+                            THEN 'val' ELSE 'train' END AS split
+                FROM nt
+            ), packed AS (
+                SELECT doc_id, split, lang, source,
+                       CAST(n_tokens AS BIGINT) AS pack_tokens,
+                       (SUM(n_tokens) OVER (PARTITION BY split, lang
+                                            ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) // {capacity} AS bin_id
+                FROM tagged
+            ), keyed AS (
+                SELECT *,
+                       CAST((48271::HUGEINT * {h60(
+                           "(split || '/' || lang || '/' || "
+                           f"bin_id::VARCHAR || ':{seed}')"
+                       )}) % 2305843009213693951 AS BIGINT) AS shuffle_key
+                FROM packed
+            )
+            SELECT k.doc_id, k.split, k.lang, k.source,
+                   CAST(k.bin_id AS BIGINT) AS bin_id, k.pack_tokens,
+                   rr.rate_micro, k.shuffle_key,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY k.shuffle_key, k.split, k.lang, k.bin_id,
+                                k.doc_id
+                   ) AS BIGINT) AS epoch_rank
+            FROM keyed k JOIN rr USING (source)"""
 
 
 def oracle_pagerank_sql(
@@ -10141,6 +10260,11 @@ def oracle_sql() -> dict[str, str]:
         rounds=3, tokclass=tokclass, roundtrip=True
     )
     sqls["export_tokenized"] = oracle_export_tokenized_sql(
+        rounds=3, tokclass=tokclass
+    )
+    # round 10: the mixture-composed final mile (rebalance -> tokenize
+    # -> split -> pack -> epoch order) replayed end-to-end
+    sqls["export_mixture"] = oracle_export_mixture_sql(
         rounds=3, tokclass=tokclass
     )
     sqls["interpolate_linear"] = """

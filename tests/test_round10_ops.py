@@ -341,3 +341,54 @@ def test_tokenizer_stale_version_and_garbled_meta_refused(spark, tmp_path):
         textstats.load_tokenizer(spark, path)
     with pytest.raises(ValueError, match="meta.json"):
         textstats.load_tokenizer(spark, str(tmp_path / "nonexistent"))
+
+
+# ---------------------------------------------------------------------------
+# mixture-composed export (r9 verdict #6): export_tokenized_set with
+# mixture=True = temperature rebalance -> BPE -> split -> pack -> epoch
+# order as ONE plan; per-source counts reconcile with the rates, and
+# the composition equals hand-chaining the two stages.
+# ---------------------------------------------------------------------------
+
+
+def test_export_mixture_reconciles_and_equals_hand_chain(spark, sf_small):
+    from yellowrush_spark_ml_pipeline_spark.flows import export_tokenized_set
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        temperature_mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").filter(
+        F.col("source").isin("src0", "src1") | (F.col("doc_id") % 3 == 0)
+    )
+    out = export_tokenized_set(docs, mixture=True)
+    rows = out.collect()
+    assert rows, "mixture export produced nothing"
+    # (a) rate_micro is a per-source constant riding through the plan
+    per_source_rates = {}
+    for r in rows:
+        per_source_rates.setdefault(r["source"], set()).add(r["rate_micro"])
+    assert all(len(v) == 1 for v in per_source_rates.values())
+    # (b) per-source kept counts reconcile with n_docs * rate / 1e6
+    # (exact-distribution slack: the Lehmer hash is uniform, n is small)
+    n_by_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept_by_source = {}
+    for r in rows:
+        kept_by_source[r["source"]] = kept_by_source.get(r["source"], 0) + 1
+    for s, kept in kept_by_source.items():
+        expected = n_by_source[s] * next(iter(per_source_rates[s])) / 1e6
+        assert abs(kept - expected) <= max(4, 0.5 * n_by_source[s]), (
+            s, kept, expected,
+        )
+    # (c) the composition IS the two stages chained by hand
+    sampled = temperature_mixture_sample(docs, "source", "doc_id").drop(
+        "rate_micro"
+    )
+    hand = export_tokenized_set(sampled, mixture=False)
+    common = ["doc_id", "split", "lang", "bin_id", "pack_tokens",
+              "shuffle_key", "epoch_rank"]
+    a = sorted(tuple(r[c] for c in common) for r in rows)
+    b = sorted(tuple(r[c] for c in common) for r in hand.collect())
+    assert a == b

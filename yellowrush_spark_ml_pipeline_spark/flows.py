@@ -378,6 +378,9 @@ def export_tokenized_set(
     capacity: int = 2048,
     val_mod: int = 10,
     seed: int = 42,
+    mixture: bool = False,
+    source_col: str = "source",
+    mixture_target: int | None = None,
 ) -> DataFrame:
     """The tokenizer-complete final mile (round 9): train BPE merges on
     the corpus, ENCODE it (real token counts, not the whitespace proxy),
@@ -392,7 +395,18 @@ def export_tokenized_set(
     is a narrow map; packing is one window per (split, lang); the epoch
     key is a narrow hash expression. The corpus-sized relations move
     through exactly the joins bpe_encode already needs plus one packing
-    window — no new data-sized shuffle versus the proxy-count export."""
+    window — no new data-sized shuffle versus the proxy-count export.
+
+    ``mixture=True`` (round 10) inserts the temperature-scaled source
+    REBALANCING stage (textstats.temperature_mixture_sample, alpha=1/2)
+    before the tokenizer: the deterministic hash-rate selection decides
+    the corpus, the tokenizer trains on the REBALANCED mixture (the
+    order a real pipeline uses — the tokenizer should see the
+    distribution it will encode), and the per-source ``rate_micro``
+    audit column rides through to the final epoch-ordered output so a
+    manifest can reconcile row counts against the planned rates. The
+    stage is one combinable per-source count + a broadcast rate join +
+    a narrow filter — nothing data-sized beyond the scan."""
     from .functions.hashing import md5_hash60
     from .operators.textstats import (
         bpe_encode,
@@ -400,9 +414,18 @@ def export_tokenized_set(
         pack_sequences,
     )
 
+    if mixture:
+        from .operators.textstats import temperature_mixture_sample
+
+        docs = temperature_mixture_sample(
+            docs, source_col, "doc_id", target_total=mixture_target
+        )
     merges = bpe_merge_rounds(docs, rounds=rounds)
     enc = bpe_encode(docs, merges, rounds=rounds)
-    base = docs.select("doc_id", "lang").join(
+    keep_cols = ["doc_id", "lang"] + (
+        [source_col, "rate_micro"] if mixture else []
+    )
+    base = docs.select(*keep_cols).join(
         enc.select("doc_id", "n_tokens"), "doc_id"
     )
     split_hash = md5_hash60(
