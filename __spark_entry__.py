@@ -2098,6 +2098,57 @@ def q_text_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gated curation (round 10, the FineWeb-edu shape): train
+    the text quality classifier (label 1 = natural prose, 0 = planted
+    token-soup spam), then run the FULL curation flow with the model as
+    the quality gate (flows.curate_corpus quality_scorer=model) over the
+    corpus + planted spam — scoring is a broadcast-model narrow map in
+    place of the heuristic score, everything downstream (threshold,
+    lang-ID, MinHash dedup, canonical keep) unchanged.  Output: per-lang
+    survivor accounting with an id-sum pin plus the count of spam
+    survivors (expected ~0 — the planted spam is linearly separable).
+    rows-only: LR weights aren't SQL-expressible; the flow-equality and
+    spam-filtering contracts are pinned in pytest
+    (tests/test_round10_ops.py)."""
+    from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
+    from yellowrush_spark_ml_pipeline_spark.ml import train_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    spam = docs.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.concat(F.lit("buy"), F.col("doc_id") % 7), 40)
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(spam)
+    seed = (
+        docs.select("doc_id", "text")
+        .withColumn("label", F.lit(1.0))
+        .unionByName(
+            spam.select("doc_id", "text").withColumn("label", F.lit(0.0))
+        )
+    )
+    model, _, _ = train_quality_classifier(seed)
+    curated = curate_corpus(
+        corpus, quality_scorer=model, min_quality=0.5, hash_fn="md5"
+    )
+    return (
+        curated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum((F.col("doc_id") >= 5000000).cast("int"))
+            .cast("bigint")
+            .alias("n_spam_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot (melt) of a per-flag aggregate: the reshape
     primitive (pivot's inverse, SURVEY §2.7-adjacent). Aggregates are
@@ -4285,6 +4336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_persisted_encode": q_bpe_persisted_encode,
         "export_mixture": q_export_mixture,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
+        "curate_scored": q_curate_scored,
     # ---- (1) NEW round 9, never driver-checked (oracle-backed) ----
         "bpe_encode": q_bpe_encode,
         "semantic_dedup": q_semantic_dedup,

@@ -392,3 +392,64 @@ def test_export_mixture_reconciles_and_equals_hand_chain(spark, sf_small):
     a = sorted(tuple(r[c] for c in common) for r in rows)
     b = sorted(tuple(r[c] for c in common) for r in hand.collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# classifier-gated curation (r9 verdict stretch #8): a trained text
+# classifier replaces the heuristic quality gate (FineWeb-edu shape) —
+# planted spam is filtered at the threshold; a scorer that mirrors the
+# heuristic reproduces the default flow's survivors exactly.
+# ---------------------------------------------------------------------------
+
+
+def test_curate_corpus_model_gate_filters_planted_spam(spark, sf_oracle):
+    from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
+    from yellowrush_spark_ml_pipeline_spark.ml import train_quality_classifier
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    spam = docs.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.concat(F.lit("buy"), F.col("doc_id") % 7), 40)
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    seed = (
+        docs.select("doc_id", "text")
+        .withColumn("label", F.lit(1.0))
+        .unionByName(
+            spam.select("doc_id", "text").withColumn("label", F.lit(0.0))
+        )
+    )
+    model, _, _ = train_quality_classifier(seed)
+    curated = curate_corpus(
+        docs.unionByName(spam), quality_scorer=model, min_quality=0.5
+    )
+    ids = [r["doc_id"] for r in curated.select("doc_id").collect()]
+    n_spam_kept = sum(1 for i in ids if i >= 5000000)
+    n_clean_kept = sum(1 for i in ids if i < 5000000)
+    # the token-soup spam is linearly separable: none survives the gate
+    assert n_spam_kept == 0, n_spam_kept
+    # and the gate keeps most natural prose (it was the positive class)
+    assert n_clean_kept >= 0.8 * docs.count(), n_clean_kept
+
+
+def test_curate_corpus_heuristic_scorer_equals_default(spark, sf_small):
+    from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        quality_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    default_ids = sorted(
+        r["doc_id"] for r in curate_corpus(docs).select("doc_id").collect()
+    )
+    mirrored_ids = sorted(
+        r["doc_id"]
+        for r in curate_corpus(docs, quality_scorer=quality_score)
+        .select("doc_id")
+        .collect()
+    )
+    assert default_ids == mirrored_ids and default_ids

@@ -175,6 +175,7 @@ def curate_corpus(
     canonical: str = "min_id",
     hash_fn: str = "xxhash64",
     persist_intermediate: bool = False,
+    quality_scorer=None,
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
@@ -186,6 +187,25 @@ def curate_corpus(
     None keeps the zero-Python heuristic. ``max_bucket_size`` is the
     boilerplate-skew guard on the dedup candidate join (see
     ``dedup.minhash_lsh_candidates``) — set it for web-scale corpora.
+
+    ``quality_scorer`` (round 10) swaps the gate itself — the
+    FineWeb-edu shape, where a trained classifier replaces the C4-style
+    heuristic rules:
+
+    * ``None`` — the heuristic :func:`quality_score` composite (default);
+    * a fitted MLlib model (anything with ``.transform``, e.g.
+      ``ml.train_quality_classifier``'s output) — documents are scored
+      with ``P(label=1)`` as ``quality_score`` (train with label 1 =
+      KEEP).  The model ships to executors as a broadcast and scoring
+      is a narrow map fused behind the scan — no join, no shuffle, no
+      Python (MLlib LR transform is JVM-side);
+    * a callable ``df -> df`` adding ``quality_score`` (and the
+      heuristic's feature columns) — passing
+      ``textstats.quality_score`` itself reproduces the default flow
+      exactly (pinned by test).
+
+    Every path yields the same columns, so the threshold filter, dedup
+    tier, and sink are untouched.
 
     This is the 100 TB shape: scoring/lang-ID are narrow map stages fused
     into the scan; dedup candidates come from banded self-joins (never
@@ -203,7 +223,22 @@ def curate_corpus(
             *[c for c in docs.columns if c != "text"],
             F.col("redacted_text").alias("text"),
         )
-    kept = quality_score(docs).filter(F.col("quality_score") >= min_quality)
+    if quality_scorer is None:
+        scored = quality_score(docs)
+    elif hasattr(quality_scorer, "transform"):
+        from pyspark.ml.functions import vector_to_array
+
+        feats = quality_score(docs).drop("quality_score")
+        preds = quality_scorer.transform(feats)
+        scored = preds.select(
+            *feats.columns,
+            F.round(vector_to_array("probability")[1], 6).alias(
+                "quality_score"
+            ),
+        )
+    else:
+        scored = quality_scorer(docs)
+    kept = scored.filter(F.col("quality_score") >= min_quality)
     kept = language_id(kept, scorer=lang_scorer)
     # `kept` feeds THREE consumers (signature build, Jaccard-verify join,
     # canonical join-back), and its quality/lang-ID stage is regex-heavy;
