@@ -4323,35 +4323,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r*.json MUST sit in the first 50, oracle-backed before
     # rows-only; (2) entries whose implementation or oracle CHANGED this
     # round re-enter the window for re-verification; (3) remaining slots
-    # rotate through the stalest last-green entries (this round: the full
-    # r3 cohort + the 28 alphabetically-first of the 44 r4-stale entries,
-    # per VERIFIED.json — 4 fewer than first rostered because the session
-    # added temperature_mixture / bpe_roundtrip / export_tokenized and
-    # re-entered dq_report; the 16 r4 leftovers lead the r10 fill). Every
+    # rotate through the stalest last-green entries. Round 10: the five
+    # new queries lead, the seven round-10-touched entries re-enter, the
+    # ENTIRE 16-query r4-stale tail drains (the r9 verdict ask #2 - after
+    # this window no oracle-backed query's last driver-green is < r5),
+    # and the remaining 22 slots take the alphabetically-first of the 23
+    # r5-stale entries (top_supplier leads the r11 fill). Every
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
-    # ---- (0) NEW round 10, never driver-checked (oracle-backed first) ----
+    # ---- (1) NEW round 10, never driver-checked (oracle-backed first) ----
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "bpe_persisted_encode": q_bpe_persisted_encode,
         "export_mixture": q_export_mixture,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
         "curate_scored": q_curate_scored,
-    # ---- (1) NEW round 9, never driver-checked (oracle-backed) ----
-        "bpe_encode": q_bpe_encode,
-        "semantic_dedup": q_semantic_dedup,
-        "export_shuffled": q_export_shuffled,
+    # ---- (2) round-10 implementation/oracle changes - re-verify ----
         "temperature_mixture": q_temperature_mixture,
+        "semantic_dedup": q_semantic_dedup,
+        "bpe_encode": q_bpe_encode,
         "bpe_roundtrip": q_bpe_roundtrip,
         "export_tokenized": q_export_tokenized,
-    # ---- (2) round-9 implementation/oracle changes - re-verify ----
+        "curate_corpus": q_curate_corpus,
+        "export_manifest": q_export_manifest,
+    # ---- (3) rotation fill: the full r4-stale tail (r9 verdict ask #2) ----
+        "returned_customers": q_returned_customers,
+        "rolling_zscore": q_rolling_zscore,
+        "rollup_merge": q_rollup_merge,
+        "rrf_fusion": q_rrf_fusion,
+        "session_stats": q_session_stats,
+        "shipping_priority": q_shipping_priority,
+        "simhash": q_simhash,
+        "similarity_lsh": q_similarity_lsh,
+        "source_kl_drift": q_source_kl_drift,
+        "source_overlap": q_source_overlap,
+        "table_checksum": q_table_checksum,
+        "top_paths": q_top_paths,
+        "trade_volume": q_trade_volume,
+        "triangles": q_triangles,
+        "unpivot_metrics": q_unpivot_metrics,
+        "weighted_sample": q_weighted_sample,
+    # ---- (3) rotation fill: alphabetically-first r5-stale ----
+        "association_rules": q_association_rules,
+        "benford": q_benford,
+        "burst_runs": q_burst_runs,
+        "chi_square": q_chi_square,
+        "column_entropy": q_column_entropy,
+        "cusum_changepoint": q_cusum_changepoint,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "excess_suppliers": q_excess_suppliers,
+        "forecast_backtest": q_forecast_backtest,
+        "forecast_revenue": q_forecast_revenue,
+        "gini_revenue": q_gini_revenue,
+        "kaplan_meier": q_kaplan_meier,
+        "mann_whitney": q_mann_whitney,
+        "market_share": q_market_share,
+        "ohlc_bars": q_ohlc_bars,
+        "order_priority_check": q_order_priority_check,
+        "part_supplier_counts": q_part_supplier_counts,
+        "product_profit": q_product_profit,
+        "psi_drift": q_psi_drift,
+        "rfm_segments": q_rfm_segments,
+        "shipmode_priority": q_shipmode_priority,
+        "theil_sen": q_theil_sen,
+    # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "export_shuffled": q_export_shuffled,
         "dq_report": q_dq_report,
         "quantile_state_merge": q_quantile_state_merge,
         "k_core": q_k_core,
         "ml_classifier_metrics": q_ml_classifier_metrics,
         "text_classifier_metrics": q_text_classifier_metrics,
         "pack_sequences": q_pack_sequences,
-    # ---- (3) rotation fill: stalest oracle-backed (last green r3) ----
         "skew_profile": q_skew_profile,
         "stratified_sample": q_stratified_sample,
         "strip_html": q_strip_html,
@@ -4362,18 +4404,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "winsorize": q_winsorize,
         "zorder_key": q_zorder_key,
-    # ---- (3) rotation fill: stalest oracle-backed (last green r4) ----
         "ab_welch": q_ab_welch,
         "bm25_topk": q_bm25_topk,
         "co_visitation": q_co_visitation,
         "conversion_lag": q_conversion_lag,
-        "curate_corpus": q_curate_corpus,
         "customer_distribution": q_customer_distribution,
         "dedup_groups": q_dedup_groups,
         "dup_ngram_spans": q_dup_ngram_spans,
         "event_transitions": q_event_transitions,
         "ewma": q_ewma,
-        "export_manifest": q_export_manifest,
         "fingerprint_dedup": q_fingerprint_dedup,
         "first_touch_attribution": q_first_touch_attribution,
         "funnel_window": q_funnel_window,
@@ -4391,11 +4430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": q_pack_efficiency,
         "pagerank_personalized": q_pagerank_personalized,
         "quantile_normalize": q_quantile_normalize,
-        "returned_customers": q_returned_customers,
-        "rolling_zscore": q_rolling_zscore,
-        "rollup_merge": q_rollup_merge,
-        "rrf_fusion": q_rrf_fusion,
-        # ---- past the 50-entry driver window ----
         "similarity_ivf": q_similarity_ivf,
         "similarity_incremental": q_similarity_incremental,
         "label_propagation": q_label_propagation,
@@ -4529,45 +4563,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_fit": q_ols_fit,
         "snapshot_diff": q_snapshot_diff,
         "lttb_downsample": q_lttb_downsample,
-        "benford": q_benford,
-        "gini_revenue": q_gini_revenue,
-        "chi_square": q_chi_square,
-        "association_rules": q_association_rules,
-        "psi_drift": q_psi_drift,
-        "theil_sen": q_theil_sen,
-        "mann_whitney": q_mann_whitney,
-        "column_entropy": q_column_entropy,
-        "kaplan_meier": q_kaplan_meier,
-        "order_priority_check": q_order_priority_check,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "product_profit": q_product_profit,
-        "shipmode_priority": q_shipmode_priority,
         "top_supplier": q_top_supplier,
-        "part_supplier_counts": q_part_supplier_counts,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "excess_suppliers": q_excess_suppliers,
-        "forecast_backtest": q_forecast_backtest,
-        "rfm_segments": q_rfm_segments,
-        "ohlc_bars": q_ohlc_bars,
-        "cusum_changepoint": q_cusum_changepoint,
-        "burst_runs": q_burst_runs,
         "language_id_model": q_language_id_model,
         "video_pipeline": q_video_pipeline,
         "compression_ratio": q_compression_ratio,
         "sketch_stats": q_sketch_stats,
-        "trade_volume": q_trade_volume,
-        "triangles": q_triangles,
-        "source_kl_drift": q_source_kl_drift,
-        "table_checksum": q_table_checksum,
-        "top_paths": q_top_paths,
-        "source_overlap": q_source_overlap,
-        "session_stats": q_session_stats,
-        "weighted_sample": q_weighted_sample,
-        "shipping_priority": q_shipping_priority,
-        "similarity_lsh": q_similarity_lsh,
-        "simhash": q_simhash,
-        "unpivot_metrics": q_unpivot_metrics,
     }
 
 
