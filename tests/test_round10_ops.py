@@ -453,3 +453,35 @@ def test_curate_corpus_heuristic_scorer_equals_default(spark, sf_small):
         .collect()
     )
     assert default_ids == mirrored_ids and default_ids
+
+
+def test_semantic_dedup_ivf_build_feeds_incremental(spark):
+    """Production lifecycle end to end: ivf build -> frozen centroids ->
+    incremental judge. Planted copies of kept corpus docs are pruned,
+    fresh far docs survive — same contract as the exact-path lifecycle."""
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark)
+    audit, cents = similarity.semantic_dedup_build(
+        corpus, threshold=0.9999, quantizer="ivf", n_lists=4, fit_fraction=1.0
+    )
+    kept = (
+        audit.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    copies = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 200_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    fresh = _blob_corpus(
+        spark, n_per=10, n_clusters=1, dim=8, seed=99, base_id=300_000
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup_incremental(
+            copies.unionByName(fresh), kept, cents, threshold=0.9999
+        ).collect()
+    }
+    assert sum(1 for i in range(10) if out[200_000 + i] == 0) == 10
+    assert sum(1 for v in range(300_000, 300_010) if out[v] == 1) == 10

@@ -736,18 +736,66 @@ def semantic_dedup_build(
     id_col: str = "vec_id",
     target_cluster_size: int = 64,
     persist: bool = True,
+    quantizer: str = "exact",
+    n_lists: "int | str" = "auto",
+    fit_fraction: float = 0.25,
+    seed: int = 42,
+    max_iter: int = 8,
 ) -> "tuple[DataFrame, list[list[float]]]":
-    """Exact-path :func:`semantic_dedup` PLUS the frozen quantizer state
-    — the build half of the incremental lifecycle.  Returns (audit,
+    """:func:`semantic_dedup` PLUS the frozen quantizer state — the
+    build half of the incremental lifecycle.  Returns (audit,
     centroids): persist the audit (and the kept rows' embeddings) as the
     corpus kept-set, the centroid list as JSON next to it, then judge
     daily batches with :func:`semantic_dedup_incremental` — no
     re-clustering, no corpus self-join.  The centroids are EXACTLY the
-    ones the audit's assignment used (same deterministic Lloyd chain,
-    same auto-k resolution), so incremental assignment reproduces the
-    build's cluster geometry bit-for-bit."""
+    ones the audit's assignment used, so incremental assignment
+    reproduces the build's cluster geometry bit-for-bit.
+
+    ``quantizer="exact"`` (default): the deterministic Lloyd chain —
+    oracle-replayable, the differential-verification build.
+    ``quantizer="ivf"``: the production build — the sampled-fit MLlib
+    quantizer of the :func:`semantic_dedup` ivf path; the returned
+    centroids are the fitted model's centers, the same "model is just
+    data" JSON footprint either way.  Both feed the incremental judge
+    unchanged."""
     import math as _math
 
+    if quantizer == "ivf":
+        v = df.select(
+            F.col(id_col),
+            normalize(as_double_array(F.col(emb_col))).alias("_v"),
+        )
+        if persist:
+            v = v.localCheckpoint(eager=True)
+        if n_lists == "auto":
+            n = v.count()
+            n_lists = max(8, min(n, _math.ceil(_math.sqrt(n))))
+        # fit ONCE here and reuse for audit + returned state — calling
+        # semantic_dedup(quantizer="ivf") separately would re-fit and
+        # (with MLlib's engine-internal init) could disagree
+        assigned_ivf, centroids = ivf_build_index(
+            v, id_col=id_col, vec_col="_v", n_lists=int(n_lists),
+            seed=seed, max_iter=max_iter, fit_fraction=fit_fraction,
+        )
+        cent_df = v.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cluster_id int, _c array<double>",
+        )
+        pts = (
+            assigned_ivf.withColumnRenamed("_list", "cluster_id")
+            .join(F.broadcast(cent_df), "cluster_id")
+            .select(
+                F.col(id_col),
+                F.col("cluster_id"),
+                F.round(
+                    euclidean_distance(F.col("_cv"), F.col("_c")), 6
+                ).alias("dist"),
+                F.col("_cv").alias("_v"),
+            )
+        )
+        if persist:
+            pts = pts.localCheckpoint(eager=True)
+        return _semantic_prune(pts, threshold, id_col), centroids
     if k == "auto":
         n = df.count()
         k = max(8, min(n, _math.ceil(n / max(target_cluster_size, 1))))
