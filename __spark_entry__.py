@@ -1590,6 +1590,33 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index PERSISTENCE lifecycle (round 10): build the
+    exact-replayable index (ivf_build_index_exact — one job, one
+    driver-small centroid collect), SAVE it as a versioned artifact
+    (assigned parquet partitioned by list id + centroids JSON +
+    format-version guard), RELOAD it, and search the reloaded index.
+    Values must equal the in-session search, so the oracle is exactly
+    q_similarity_ivf's full-lifecycle DuckDB replay — artifact
+    round-trip fidelity is driver-checked differentially, the same
+    discipline as bpe_persisted_encode."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, cents = similarity.ivf_build_index_exact(
+        emb, n_lists=16, lloyd_iters=2
+    )
+    path = tempfile.mkdtemp(prefix="yellowrush_ivf_")
+    similarity.save_ivf_index(assigned, cents, path)
+    assigned2, cents2 = similarity.load_ivf_index(spark, path)
+    return similarity.ivf_search_index_exact(
+        assigned2, cents2, queries_df, k=10, n_probe=4
+    )
+
+
 def q_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF daily-ingest lifecycle, ORACLE-backed since round 7: index
     built on 90% of the corpus with the exact-replayable quantizer, the
@@ -4327,8 +4354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new queries lead, the seven round-10-touched entries re-enter, the
     # ENTIRE 16-query r4-stale tail drains (the r9 verdict ask #2 - after
     # this window no oracle-backed query's last driver-green is < r5),
-    # and the remaining 22 slots take the alphabetically-first of the 23
-    # r5-stale entries (top_supplier leads the r11 fill). Every
+    # and the remaining 21 slots take the alphabetically-first of the 23
+    # r5-stale entries (theil_sen + top_supplier lead the r11 fill). Every
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
@@ -4336,6 +4363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "bpe_persisted_encode": q_bpe_persisted_encode,
         "export_mixture": q_export_mixture,
+        "similarity_ivf_persisted": q_similarity_ivf_persisted,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
         "curate_scored": q_curate_scored,
     # ---- (2) round-10 implementation/oracle changes - re-verify ----
@@ -4385,8 +4413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "rfm_segments": q_rfm_segments,
         "shipmode_priority": q_shipmode_priority,
-        "theil_sen": q_theil_sen,
     # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "theil_sen": q_theil_sen,
         "export_shuffled": q_export_shuffled,
         "dq_report": q_dq_report,
         "quantile_state_merge": q_quantile_state_merge,
@@ -6950,6 +6978,9 @@ def oracle_sql() -> dict[str, str]:
             idx AS (SELECT vec_id, cv, l FROM a2),
             {_ivf_search_tail}
         """
+    # round 10: build->save->load->search must equal the in-session
+    # lifecycle — same replay, so artifact fidelity is driver-checked
+    sqls["similarity_ivf_persisted"] = sqls["similarity_ivf"]
 
     sqls["similarity_incremental"] = f"""
             WITH {_ivf_base},

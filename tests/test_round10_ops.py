@@ -485,3 +485,69 @@ def test_semantic_dedup_ivf_build_feeds_incremental(spark):
     }
     assert sum(1 for i in range(10) if out[200_000 + i] == 0) == 10
     assert sum(1 for v in range(300_000, 300_010) if out[v] == 1) == 10
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence (round 10): save/load as a versioned artifact —
+# reloaded index searches identically; the assigned parquet is
+# partitioned by list id so probes prune at the scan; stale versions
+# are refused; both quantizer kinds round-trip.
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_save_load_search_identical(spark, sf_small, tmp_path):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, cents = similarity.ivf_build_index_exact(
+        emb, n_lists=8, lloyd_iters=2
+    )
+    before = sorted(
+        tuple(r)
+        for r in similarity.ivf_search_index_exact(
+            assigned, cents, queries_df, k=5, n_probe=3
+        ).collect()
+    )
+    path = str(tmp_path / "ivf_exact")
+    similarity.save_ivf_index(assigned, cents, path)
+    assigned2, cents2 = similarity.load_ivf_index(spark, path)
+    assert cents2 == cents  # int centroids round-trip exactly
+    search2 = similarity.ivf_search_index_exact(
+        assigned2, cents2, queries_df, k=5, n_probe=3
+    )
+    after = sorted(tuple(r) for r in search2.collect())
+    assert before == after and before
+    # probe pruning reaches the scan: the reloaded index is partitioned
+    # by _list, so the probed join shows PartitionFilters on _list
+    plan = search2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "_list" in plan
+
+
+def test_ivf_index_float_kind_roundtrip_and_version_guard(
+    spark, sf_small, tmp_path
+):
+    import json
+
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    assigned, cents = similarity.ivf_build_index(
+        emb, n_lists=4, fit_fraction=1.0
+    )
+    path = str(tmp_path / "ivf_float")
+    similarity.save_ivf_index(assigned, cents, path)
+    assigned2, cents2 = similarity.load_ivf_index(spark, path)
+    assert cents2 == cents
+    assert assigned2.count() == assigned.count()
+    meta_path = tmp_path / "ivf_float" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    assert meta["kind"] == "float" and meta["n_lists"] == 4
+    meta["format_version"] = 99
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="format_version"):
+        similarity.load_ivf_index(spark, path)
+    with pytest.raises(ValueError, match="meta.json"):
+        similarity.load_ivf_index(spark, str(tmp_path / "missing"))

@@ -1413,6 +1413,82 @@ def ivf_assign_exact(
     )
 
 
+IVF_INDEX_FORMAT_VERSION = 1
+
+
+def save_ivf_index(assigned: DataFrame, centroids, path: str) -> None:
+    """Persist an IVF index as a versioned artifact — the similarity-
+    search analogue of the S7 model sink (and of save_tokenizer for the
+    BPE lifecycle): the assigned corpus goes to parquet PARTITIONED BY
+    the list id (so a search probing ``n_probe`` lists prunes to those
+    partitions at the scan — PartitionFilters, no full-index read), the
+    centroids go to JSON next to it (parameter-sized: n_lists x dim
+    numbers — "the model is just data"), and ``meta.json`` pins the
+    format version and quantizer kind so a loader refuses incompatible
+    layouts instead of silently mis-searching.
+
+    Accepts BOTH quantizer forms: the exact-integer centroids of
+    :func:`ivf_build_index_exact` (``[(list_id, int-vector)]``) and the
+    float centroids of :func:`ivf_build_index` (``[[float]]``)."""
+    import json as _json
+    import os as _os
+
+    exact = bool(centroids) and isinstance(centroids[0], tuple)
+    assigned.write.mode("overwrite").partitionBy("_list").parquet(
+        _os.path.join(path, "assigned.parquet")
+    )
+    payload = (
+        [[int(l), [int(x) for x in c]] for l, c in centroids]
+        if exact
+        else [[float(x) for x in c] for c in centroids]
+    )
+    with open(_os.path.join(path, "centroids.json"), "w") as fh:
+        _json.dump(payload, fh)
+        fh.write("\n")
+    meta = {
+        "format_version": IVF_INDEX_FORMAT_VERSION,
+        "kind": "exact" if exact else "float",
+        "n_lists": len(centroids),
+    }
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(meta, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def load_ivf_index(spark, path: str):
+    """Load a :func:`save_ivf_index` artifact -> (assigned, centroids),
+    ready for :func:`ivf_search_index_exact` (kind 'exact') or
+    :func:`ivf_search_index` (kind 'float') — and for frozen-centroid
+    daily ingest via the matching assign function.  Raises ValueError on
+    a missing/garbled meta.json or an unknown format_version (refusing
+    beats silently mis-searching a stale layout)."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(path, "meta.json")) as fh:
+            meta = _json.load(fh)
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"not an IVF index artifact (no readable meta.json): {path}"
+        ) from exc
+    ver = meta.get("format_version")
+    if ver != IVF_INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"IVF index artifact {path} has format_version {ver!r}; this "
+            f"code reads version {IVF_INDEX_FORMAT_VERSION}"
+        )
+    with open(_os.path.join(path, "centroids.json")) as fh:
+        raw = _json.load(fh)
+    centroids = (
+        [(int(l), [int(x) for x in c]) for l, c in raw]
+        if meta.get("kind") == "exact"
+        else [[float(x) for x in c] for c in raw]
+    )
+    assigned = spark.read.parquet(_os.path.join(path, "assigned.parquet"))
+    return assigned, centroids
+
+
 def ivf_search_index_exact(
     assigned: DataFrame,
     centroids: "list[tuple[int, list[int]]] | DataFrame",
