@@ -551,3 +551,36 @@ def test_ivf_index_float_kind_roundtrip_and_version_guard(
         similarity.load_ivf_index(spark, path)
     with pytest.raises(ValueError, match="meta.json"):
         similarity.load_ivf_index(spark, str(tmp_path / "missing"))
+
+
+def test_semantic_state_save_load_feeds_incremental(spark, tmp_path):
+    """Persisted daily-ingest lifecycle: build -> save state -> load in a
+    'new session' -> incremental judgment identical to in-session."""
+    import json
+
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    batch, kept, cents = _incremental_setup(spark)
+    in_session = sorted(
+        (r["vec_id"], r["keep"])
+        for r in similarity.semantic_dedup_incremental(
+            batch, kept, cents, threshold=0.9999
+        ).collect()
+    )
+    path = str(tmp_path / "sem_state")
+    similarity.save_semantic_state(kept, cents, path)
+    kept2, cents2 = similarity.load_semantic_state(spark, path)
+    assert cents2 == cents
+    reloaded = sorted(
+        (r["vec_id"], r["keep"])
+        for r in similarity.semantic_dedup_incremental(
+            batch, kept2, cents2, threshold=0.9999
+        ).collect()
+    )
+    assert reloaded == in_session
+    meta_path = tmp_path / "sem_state" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["format_version"] = 42
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="format_version"):
+        similarity.load_semantic_state(spark, path)

@@ -819,6 +819,68 @@ def semantic_dedup_build(
     return audit, centroids
 
 
+SEMANTIC_STATE_FORMAT_VERSION = 1
+
+
+def save_semantic_state(
+    kept: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Persist a :func:`semantic_dedup_build` result as the versioned
+    artifact the daily :func:`semantic_dedup_incremental` job loads:
+    the kept-set (audit columns + embeddings) as parquet PARTITIONED BY
+    cluster_id — so a batch touching few clusters prunes the corpus
+    read at the scan — plus the frozen centroids as JSON and a
+    format-version meta guard.  Same artifact discipline as
+    save_tokenizer / save_ivf_index."""
+    import json as _json
+    import os as _os
+
+    kept.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        _os.path.join(path, "kept.parquet")
+    )
+    with open(_os.path.join(path, "centroids.json"), "w") as fh:
+        _json.dump([[float(x) for x in c] for c in centroids], fh)
+        fh.write("\n")
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(
+            {
+                "format_version": SEMANTIC_STATE_FORMAT_VERSION,
+                "n_clusters": len(centroids),
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+
+
+def load_semantic_state(spark, path: str):
+    """Load a :func:`save_semantic_state` artifact -> (kept, centroids)
+    for :func:`semantic_dedup_incremental`.  Raises ValueError on a
+    missing/garbled meta.json or an unknown format_version."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(path, "meta.json")) as fh:
+            meta = _json.load(fh)
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"not a semantic-dedup state artifact (no readable meta.json): "
+            f"{path}"
+        ) from exc
+    ver = meta.get("format_version")
+    if ver != SEMANTIC_STATE_FORMAT_VERSION:
+        raise ValueError(
+            f"semantic state artifact {path} has format_version {ver!r}; "
+            f"this code reads version {SEMANTIC_STATE_FORMAT_VERSION}"
+        )
+    with open(_os.path.join(path, "centroids.json")) as fh:
+        centroids = [[float(x) for x in c] for c in _json.load(fh)]
+    kept = spark.read.parquet(_os.path.join(path, "kept.parquet"))
+    return kept, centroids
+
+
 def semantic_dedup_incremental(
     batch: DataFrame,
     kept: DataFrame,
