@@ -58,6 +58,17 @@ ALLOWED: dict[str, str] = {
     # below 2^127).  The Spark side is swept separately below.
     "temperature_mixture": "oracle: big_s HUGEINT-cast in the tot CTE; "
     "S*n ~1e24 needs >64-bit and HUGEINT provides it",
+    # export_mixture composes the same rate CTEs (r10): big_s is
+    # CAST(... AS HUGEINT) in its tot CTE, so the divisor product is
+    # HUGEINT — the 40-char window can't see the cast.  The second key
+    # is the same expression seen on the source surface: the
+    # oracle_export_mixture_sql GENERATOR assembles the SQL from part
+    # literals, so the part containing the divisor never equals a full
+    # oracle text and gets swept under the file name.
+    "export_mixture": "oracle: same HUGEINT rate CTEs as "
+    "temperature_mixture (big_s HUGEINT in tot)",
+    "__spark_entry__.py:// (big_s * n_docs)": "generator part literal of "
+    "the export_mixture oracle; big_s is HUGEINT-cast in its tot CTE",
     # docstring formula text only.  The r10 fix made the claim true:
     # T is now CAST((_N div 2) AS DECIMAL(38,0)) — halve the BIGINT
     # FIRST, then cast, because Spark's `div` always returns LONG and
