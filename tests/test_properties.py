@@ -670,3 +670,65 @@ def test_fuzzy_pairs_blocking_complete_for_any_single_edit(
     want_dist = 0 if edited == base else 1
     assert len(got) == 1
     assert got[0].edit_distance == want_dist
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=2_000_000), min_size=1, max_size=6
+    )
+)
+@example(counts=[1_000_000])          # the r9 ADVICE overflow repro scale
+@example(counts=[70_000])             # the pre-fix threshold (~7e4)
+@example(counts=[2_000_000, 1])       # extreme skew: tiny source clamps
+@_SETTINGS
+def test_temperature_mixture_rates_match_python_ints(spark, counts):
+    """The per-source keep-rate must equal the exact Python-int model
+    rate = min(1e6, (N // 2) * s_micro * 1e6 // (S * n)) with s_micro =
+    floor(sqrt(n) * 1e6) — for ANY source-count profile, including the
+    magnitudes where the pre-r10 LONG arithmetic overflowed (Spark's
+    `div` returns LONG, so the old CAST(_N AS DECIMAL) div 2 collapsed
+    the whole numerator to 64-bit).  Rates are checked, not the row
+    selection, so corpora here are 1-row-per-source with a planted _n."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        temperature_mixture_sample,
+    )
+
+    s_micro = [math.floor(math.sqrt(n) * 1_000_000) for n in counts]
+    big_s, big_n = sum(s_micro), sum(counts)
+    model = {
+        f"s{i}": min(
+            1_000_000,
+            (big_n // 2) * s_micro[i] * 1_000_000 // (big_s * counts[i]),
+        )
+        for i in range(len(counts))
+    }
+    # drive the REAL operator on a corpus whose groupBy yields exactly
+    # `counts`: sequence() explode stays JVM-side, and 2e6 rows is a
+    # trivial local job
+    df = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"s{i}").alias("source"), F.lit(n).alias("_n")
+                    )
+                    for i, n in enumerate(counts)
+                ]
+            )
+        ).alias("e")
+    ).select(
+        F.col("e.source").alias("source"),
+        F.explode(F.sequence(F.lit(1), F.col("e._n"))).alias("k"),
+    ).select(
+        "source",
+        (F.xxhash64("source") + F.col("k")).alias("doc_id"),
+    )
+    out = temperature_mixture_sample(df, "source", "doc_id")
+    rows = {
+        r["source"]: r["rate_micro"]
+        for r in out.select("source", "rate_micro").distinct().collect()
+    }
+    # sources whose rate is 0 produce no rows — absent from `rows`
+    for src_name, want in model.items():
+        got = rows.get(src_name, 0 if model[src_name] == 0 else None)
+        assert got == want, (src_name, got, want, counts)
