@@ -649,3 +649,27 @@ def test_pq_train_rejects_indivisible_dim(spark):
     corpus = _blob_corpus(spark, n_per=5, n_clusters=2, dim=8, seed=5)
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_train(corpus, m=3)
+
+
+def test_pq_search_refuses_gapped_codebook(spark):
+    """A codebook whose (subspace, cluster_id) ids are not dense would
+    silently shift the positional ADC lookup — the operator must refuse
+    loudly instead."""
+    from py4j.protocol import Py4JJavaError
+
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=10, n_clusters=2, dim=8, seed=31)
+    cb = similarity.pq_train(corpus, m=2, k=3, n_assign=2)
+    gapped = cb.filter(
+        ~((F.col("subspace") == 1) & (F.col("cluster_id") == 1))
+    )
+    enc = similarity.pq_encode(corpus, cb, m=2)
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="not dense"):
+        similarity.pq_search_adc(enc, gapped, queries, k=5, m=2).collect()
+    # and the dense codebook still searches fine after the guard
+    ok = similarity.pq_search_adc(enc, cb, queries, k=5, m=2).collect()
+    assert len(ok) == 5

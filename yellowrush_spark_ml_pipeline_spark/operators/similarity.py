@@ -610,7 +610,36 @@ def pq_search_adc(
             F.slice(F.col("_qv"), e["s"] * F.lit(sub) + 1, sub), e["v"]
         ),
     )
-    qlut = q.select(query_id_col, kk.alias("_k"), lut.alias("_lut"))
+    # the positional lookup REQUIRES dense (s, c) ids: a codebook whose
+    # cluster emptied during Lloyd would silently shift every later
+    # position and mis-score candidates — refuse loudly instead.  The
+    # check is one boolean over the parameter-sized sorted array, per
+    # query row (a handful of rows).
+    dense = F.aggregate(
+        F.zip_with(
+            F.col("_cb"),
+            F.sequence(F.lit(0), F.size(F.col("_cb")) - 1),
+            lambda e, i: (e["s"] == (i / kk).cast("int"))
+            & (e["c"] == F.pmod(i, kk)),
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    ) & (F.size(F.col("_cb")) == F.lit(m) * kk)
+    qlut = q.select(
+        query_id_col,
+        kk.alias("_k"),
+        F.when(dense, lut)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "pq_search_adc: codebook (subspace, cluster_id) ids are "
+                    "not dense — a cluster emptied during training; re-train "
+                    "with smaller k or denser seeds"
+                )
+            )
+        )
+        .alias("_lut"),
+    )
     scored = encoded.crossJoin(F.broadcast(qlut)).select(
         query_id_col,
         F.col(id_col),
