@@ -1600,6 +1600,8 @@ def q_similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_similarity_ivf's full-lifecycle DuckDB replay — artifact
     round-trip fidelity is driver-checked differentially, the same
     discipline as bpe_persisted_encode."""
+    import atexit
+    import shutil
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1610,6 +1612,10 @@ def q_similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_lists=16, lloyd_iters=2
     )
     path = tempfile.mkdtemp(prefix="yellowrush_ivf_")
+    # clean the scratch artifact at process exit (after the driver has
+    # materialized the result) — an eager checkpoint here would erase
+    # the partition-pruned FileScan this query exists to present
+    atexit.register(shutil.rmtree, path, True)
     similarity.save_ivf_index(assigned, cents, path)
     assigned2, cents2 = similarity.load_ivf_index(spark, path)
     return similarity.ivf_search_index_exact(
@@ -1634,6 +1640,68 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = similarity.pq_train(emb, m=4, k=8, n_assign=2)
     enc = similarity.pq_encode(emb, cb, m=4)
     return similarity.pq_search_adc(enc, cb, queries_df, k=10, m=4)
+
+
+def _pq_ivf_parts(spark: SparkSession, sf_dir: str):
+    """Shared build for the composed IVF-PQ queries: sampled-fit PQ
+    codebooks (fit_fraction=0.5 — the md5-gated deterministic sample,
+    so the seam itself is oracle-verified), the exact coarse IVF index,
+    and codes stored IN the inverted lists (extra_cols carries _list
+    through the encode — no corpus re-join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = similarity.pq_train(emb, m=4, k=8, n_assign=2, fit_fraction=0.5)
+    assigned, cents = similarity.ivf_build_index_exact(
+        emb, n_lists=16, lloyd_iters=2
+    )
+    enc = similarity.pq_encode(
+        assigned.select("vec_id", "_list", F.col("_cv").alias("embedding")),
+        cb,
+        m=4,
+        extra_cols=["_list"],
+    )
+    return enc, cb, cents, queries_df
+
+
+def q_pq_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed search (round 11 — the FAISS IVFADC production
+    tier the r10 verdict asked for): coarse exact-IVF probe of 4/16
+    lists, then ADC scoring restricted to the probed lists' PQ codes —
+    pq_search scans every code; this scans ~1/4 of them.  The PQ
+    codebooks train on a DETERMINISTIC md5-gated half of the corpus
+    (pq_train fit_fraction=0.5 — the sampled-fit seam), so the oracle
+    replays the ENTIRE composition: the sampled subspace Lloyd chains,
+    the full-corpus encode argmins, the coarse integer Lloyd build, the
+    per-query probe selection, and the LUT fold in Spark's exact
+    left-to-right order."""
+    enc, cb, cents, queries_df = _pq_ivf_parts(spark, sf_dir)
+    return similarity.pq_search_ivf_adc(
+        enc, cb, cents, queries_df, k=10, m=4, n_probe=4
+    )
+
+
+def q_pq_search_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index PERSISTENCE lifecycle (round 11): build the composed
+    index, SAVE it (codes parquet PARTITIONED BY list id + codebooks
+    parquet + centroids JSON + format-version guard), RELOAD, search the
+    reloaded artifact.  Values must equal the in-session search, so the
+    oracle is exactly q_pq_search_ivf's full replay — artifact fidelity
+    is driver-checked differentially, and the presented plan carries the
+    partition-pruned FileScan (only probed lists are read)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    enc, cb, cents, queries_df = _pq_ivf_parts(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="yellowrush_pq_")
+    atexit.register(shutil.rmtree, path, True)
+    similarity.save_pq_index(enc, cb, cents, path)
+    enc2, cb2, cents2, _meta = similarity.load_pq_index(spark, path)
+    return similarity.pq_search_ivf_adc(
+        enc2, cb2, cents2, queries_df, k=10, m=4, n_probe=4
+    )
 
 
 def q_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4161,12 +4229,16 @@ def q_bpe_persisted_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is exactly q_bpe_encode's, which means save/load
     round-trip fidelity is differentially checked by the driver, not
     just pytest."""
+    import atexit
+    import shutil
     import tempfile
 
     d = _t(spark, sf_dir, "documents")
     m = textstats.bpe_merge_rounds(d, rounds=3)
     vocab = textstats.bpe_vocab(d, m, 3)
     path = tempfile.mkdtemp(prefix="yellowrush_tok_")
+    # scratch artifact — removed at process exit, after materialization
+    atexit.register(shutil.rmtree, path, True)
     textstats.save_tokenizer(m, vocab, path, rounds=3)
     t = textstats.load_tokenizer(spark, path)
     enc = textstats.bpe_encode(
@@ -4379,6 +4451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
+    # ---- (1) NEW round 11, never driver-checked (oracle-backed first) ----
+        "pq_search_ivf": q_pq_search_ivf,
+        "pq_search_ivf_persisted": q_pq_search_ivf_persisted,
     # ---- (1) NEW round 10, never driver-checked (oracle-backed first) ----
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "bpe_persisted_encode": q_bpe_persisted_encode,
@@ -5301,6 +5376,142 @@ def oracle_pq_search_sql(
                 FROM adc
             ) WHERE rank <= {topk}
         """.format(nq=n_queries, terms=dist_terms, joins=joins, topk=topk)
+    )
+    return "".join(parts)
+
+
+def oracle_pq_search_ivf_sql(
+    ivf_base: str,
+    ivf_lloyd: str,
+    ivf_d2: str,
+    m: int = 4,
+    k: int = 8,
+    n_assign: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    n_queries: int = 5,
+    n_probe: int = 4,
+    fit_micro: int = 500_000,
+) -> str:
+    """DuckDB oracle for the composed IVF-PQ lifecycle (q_pq_search_ivf
+    and its persisted twin): the md5-gated sampled-fit subspace Lloyd
+    chains (pq_train fit_fraction — seeds and updates over the FIT
+    subset, encode argmins over the FULL corpus), the exact-integer
+    coarse IVF build (the same a0..c2 chain the similarity_ivf oracle
+    replays — passed in as CTE text), per-query probe selection (n_probe
+    nearest lists, ties by list id), and ADC restricted to probed lists
+    as the left-to-right sum of per-subspace L2 distances."""
+    sub = dim // m
+    gate = (
+        "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) "
+        f"% 1000000 < {fit_micro}"
+    )
+    parts = [f"""
+            WITH pts AS (
+                SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+            ), {ivf_base},
+            {ivf_lloyd},
+            idx AS (SELECT vec_id, l FROM a2)"""]
+    lastc = n_assign - 1
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f""", s{s}p AS (
+                SELECT vec_id, x[{lo}:{hi}] AS sx FROM pts
+            ), s{s}pf AS (
+                SELECT vec_id, sx FROM s{s}p WHERE {gate}
+            ), s{s}c0 AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                           AS cid,
+                       sx AS c
+                FROM (SELECT vec_id, sx FROM s{s}pf ORDER BY vec_id LIMIT {k})
+            )"""
+        )
+        for i in range(1, n_assign):
+            parts.append(
+                f""", s{s}a{i} AS (
+                SELECT vec_id, sx, cid FROM (
+                    SELECT p.vec_id, p.sx, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.sx, c.c) ASC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM s{s}pf p CROSS JOIN s{s}c{i - 1} c
+                ) WHERE rn = 1
+            ), s{s}u{i} AS (
+                SELECT cid, dim,
+                       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
+                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS val
+                FROM (
+                    SELECT cid, CAST(generate_subscripts(sx, 1) - 1 AS INT)
+                               AS dim,
+                           unnest(sx) AS v
+                    FROM s{s}a{i}
+                )
+                GROUP BY cid, dim
+            ), s{s}c{i} AS (
+                SELECT cid, list(val ORDER BY dim) AS c
+                FROM s{s}u{i} GROUP BY cid
+            )"""
+            )
+        # encode: FULL-corpus argmin against the final sampled-fit codebook
+        parts.append(
+            f""", s{s}e AS (
+                SELECT vec_id, cid FROM (
+                    SELECT p.vec_id, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.sx, c.c) ASC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM s{s}p p CROSS JOIN s{s}c{lastc} c
+                ) WHERE rn = 1
+            )"""
+        )
+    dist_terms = " + ".join(
+        f"list_distance(q.qx[{s * sub + 1}:{(s + 1) * sub}], c{s}.c)"
+        for s in range(m)
+    )
+    pq_joins = " ".join(
+        f"JOIN s{s}e e{s} ON e{s}.vec_id = p.vec_id "
+        f"JOIN s{s}c{lastc} c{s} ON c{s}.cid = e{s}.cid"
+        for s in range(m)
+    )
+    probe_d2 = ivf_d2.format(a="q.qqv", c="c.c")
+    parts.append(
+        f""", qs AS (
+                SELECT vec_id AS query_id, cv AS qx, qv AS qqv
+                FROM base WHERE vec_id < {n_queries}
+            ), pd AS (
+                SELECT q.query_id, c.l, {probe_d2} AS d2
+                FROM qs q CROSS JOIN c2 c
+            ), pr AS (
+                SELECT query_id, l FROM (
+                    SELECT query_id, l,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY d2 ASC, l ASC) AS rn
+                    FROM pd
+                ) WHERE rn <= {n_probe}
+            ), adc AS (
+                SELECT q.query_id, p.vec_id,
+                       ROUND({dist_terms}, 6) AS approx_dist
+                FROM pts p
+                JOIN idx ix ON ix.vec_id = p.vec_id
+                JOIN pr ON pr.l = ix.l
+                JOIN qs q ON q.query_id = pr.query_id
+                {pq_joins}
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank, approx_dist
+            FROM (
+                SELECT query_id, vec_id, approx_dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY approx_dist ASC, vec_id ASC
+                       ) AS rank
+                FROM adc
+            ) WHERE rank <= {topk}
+        """
     )
     return "".join(parts)
 
@@ -8655,6 +8866,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["pq_search"] = oracle_pq_search_sql(
         m=4, k=8, n_assign=2, dim=64, topk=10
     )
+    # round 11: the composed IVF-PQ tier (IVFADC) — sampled-fit PQ
+    # codebooks + coarse integer-IVF probe + list-pruned ADC, replayed
+    # end to end; the persisted twin must equal the in-session search,
+    # so artifact fidelity is driver-checked differentially.
+    sqls["pq_search_ivf"] = oracle_pq_search_ivf_sql(
+        _ivf_base, _ivf_lloyd_ctes("base"), _ivf_d2,
+        m=4, k=8, n_assign=2, dim=64, topk=10, n_probe=4,
+        fit_micro=500_000,
+    )
+    sqls["pq_search_ivf_persisted"] = sqls["pq_search_ivf"]
     # SemDeDup (round 9): the kmeans chain re-unrolled on the unit
     # sphere + canonical-neighbor prune; auto-k replayed as a scalar CTE.
     sqls["semantic_dedup"] = oracle_semantic_dedup_sql(

@@ -130,9 +130,16 @@ def test_never_driver_checked_queries_lead_the_window():
     seen: set[str] = set()
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
         try:
-            seen |= set(json.load(open(path)))
+            data = json.load(open(path))
         except Exception:
-            pass
+            continue
+        for name, rec in data.items():
+            # An err-bearing presentation verified NOTHING — it must not
+            # count as checked, or the roster never re-presents it
+            # (video_pipeline sat unverified r5→r10 exactly this way).
+            # "no_oracle" is the driver's rows-only marker, not an error.
+            if rec.get("err") in (None, "no_oracle"):
+                seen.add(name)
     order = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     never = [n for n in order if n not in seen]

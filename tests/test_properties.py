@@ -723,12 +723,27 @@ def test_temperature_mixture_rates_match_python_ints(spark, counts):
         "source",
         (F.xxhash64("source") + F.col("k")).alias("doc_id"),
     )
-    out = temperature_mixture_sample(df, "source", "doc_id")
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        temperature_mixture_rates,
+    )
+
+    # assert against the FULL per-source rate relation, not surviving
+    # rows: a source with a small positive rate can legitimately lose
+    # every hash draw and vanish from the sample (the r10 ADVICE
+    # fragility) — its rate must still be exact
     rows = {
+        r["source"]: r["rate_micro"]
+        for r in temperature_mixture_rates(df, "source").collect()
+    }
+    assert set(rows) == set(model)
+    for src_name, want in model.items():
+        assert rows[src_name] == want, (src_name, rows[src_name], want, counts)
+    # the sample itself must carry only rates from that relation, and
+    # only rows whose source rate is positive
+    out = temperature_mixture_sample(df, "source", "doc_id")
+    sampled = {
         r["source"]: r["rate_micro"]
         for r in out.select("source", "rate_micro").distinct().collect()
     }
-    # sources whose rate is 0 produce no rows — absent from `rows`
-    for src_name, want in model.items():
-        got = rows.get(src_name, 0 if model[src_name] == 0 else None)
-        assert got == want, (src_name, got, want, counts)
+    for src_name, got in sampled.items():
+        assert got == model[src_name] and got > 0, (src_name, got)

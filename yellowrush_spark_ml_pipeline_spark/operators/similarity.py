@@ -19,6 +19,7 @@ no Python in the scoring loop.
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -453,6 +454,7 @@ def pq_train(
     n_assign: int = 2,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """Product-quantization codebook training (Jégou et al. 2011 — the
     FAISS IVF-PQ compression tier, between :func:`quantize_embeddings`'s
@@ -470,17 +472,36 @@ def pq_train(
     (subspace, cluster_id, centroid) with m*k rows total.
 
     ``dim % m`` must be 0 (contiguous equal splits — the standard PQ
-    layout); raises otherwise rather than silently padding."""
+    layout); raises otherwise rather than silently padding.
+
+    ``fit_fraction`` is the production sampled-fit seam (the same
+    discipline as :func:`ivf_build_index`): codebooks train on a
+    DETERMINISTIC md5-gated subset — ``md5_hash60(id) % 1e6 <
+    fit_fraction * 1e6`` — never on the full corpus.  Unlike MLlib's
+    Bernoulli sample, the gate is a pure function of the id, so the
+    sampled fit stays partition-invariant AND oracle-replayable (DuckDB
+    applies the same md5 predicate).  Encoding always covers the full
+    corpus; only training narrows."""
+    from ..functions.hashing import md5_hash60
+
     first = df.select(F.size(as_double_array(F.col(emb_col)))).first()
     if first is None:
         raise ValueError("pq_train: empty corpus")
     dim = int(first[0])
     if m < 1 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if not (0.0 < fit_fraction <= 1.0):
+        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
+    fit = df
+    if fit_fraction < 1.0:
+        fit = df.filter(
+            md5_hash60(F.col(id_col).cast("string")) % F.lit(1_000_000)
+            < F.lit(int(fit_fraction * 1_000_000))
+        )
     sub = dim // m
     parts = []
     for s in range(m):
-        vs = df.select(
+        vs = fit.select(
             F.col(id_col),
             F.slice(
                 as_double_array(F.col(emb_col)), s * sub + 1, sub
@@ -507,6 +528,7 @@ def pq_encode(
     m: int,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Encode vectors against trained PQ codebooks: per subspace, the
     nearest-centroid id (ties by smaller centroid id — total order).
@@ -517,7 +539,11 @@ def pq_encode(
     each point computes all m argmins in a single narrow TRANSFORM over
     that array — zero shuffles, fused into the scan.  This is the
     frozen-codebook ingest map: daily batches encode without touching
-    the training corpus, exactly like ivf_assign."""
+    the training corpus, exactly like ivf_assign.
+
+    ``extra_cols`` are carried through unchanged — e.g. the IVF list id
+    when building a composed IVF-PQ index (codes stored IN the inverted
+    lists, the FAISS layout), so no corpus-sized re-join afterwards."""
     cb = F.broadcast(
         codebooks.select(
             F.struct(
@@ -530,6 +556,19 @@ def pq_encode(
     v = as_double_array(F.col(emb_col))
     first = df.select(F.size(v)).first()
     dim = int(first[0]) if first else 0
+    # Mirror pq_train's refusal: with dim % m != 0 the trailing
+    # dim - m*(dim//m) components would silently drop from every
+    # subspace slice — wrong codes with no error. Also cross-check m
+    # against the codebook itself (max subspace + 1, parameter-sized).
+    if m < 1 or (first is not None and dim % m != 0):
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    cb_row = codebooks.agg(
+        (F.max("subspace") + 1).alias("_m")
+    ).first()
+    if cb_row is not None and cb_row["_m"] is not None and int(cb_row["_m"]) != m:
+        raise ValueError(
+            f"pq_encode: m={m} but codebook has {int(cb_row['_m'])} subspaces"
+        )
     sub = dim // m if m else 0
     # per-subspace argmin on the SQRT euclidean — the proven
     # cross-engine-exact kernel (euclidean_distance == DuckDB
@@ -550,10 +589,85 @@ def pq_encode(
             )
         )["c"].cast("int"),
     )
+    extras = [F.col(c) for c in extra_cols]
     return (
-        df.select(F.col(id_col), v.alias("_x"))
+        df.select(F.col(id_col), *extras, v.alias("_x"))
         .crossJoin(cb)
-        .select(F.col(id_col), codes.alias("codes"))
+        .select(F.col(id_col), *extras, codes.alias("codes"))
+    )
+
+
+def _pq_query_lut(
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query ADC lookup table — (query_id, _k, _lut) with
+    LUT[s*k + c] = ||q_s - centroid(s,c)|| (L2, NOT squared: the score
+    is the sum of per-subspace L2 distances — a deliberate variant of
+    squared-ADC, because euclidean_distance == list_distance is the
+    proven cross-engine-exact kernel while a squared fold summed in
+    engine-specific order is not; ranking quality is recall-tested).
+    Shared by :func:`pq_search_adc` (full scan) and
+    :func:`pq_search_ivf_adc` (list-pruned scan).
+
+    Refuses a dim % m mismatch (silently-wrong LUT otherwise) and a
+    non-dense codebook: the positional lookup REQUIRES dense (s, c)
+    ids — a cluster that emptied during Lloyd would silently shift
+    every later position and mis-score candidates.  The dense check is
+    one boolean over the parameter-sized sorted array, per query row
+    (a handful of rows)."""
+    cb = (
+        codebooks.select(
+            F.struct(
+                F.col("subspace").alias("s"),
+                F.col("cluster_id").alias("c"),
+                F.col("centroid").alias("v"),
+            ).alias("_e")
+        ).agg(F.sort_array(F.collect_list("_e")).alias("_cb"))
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    ).crossJoin(F.broadcast(cb))
+    first = queries.select(F.size(as_double_array(F.col(vec_col)))).first()
+    dim = int(first[0]) if first else 0
+    if m < 1 or (first is not None and dim % m != 0):
+        raise ValueError(f"pq ADC: dim {dim} not divisible by m={m}")
+    sub = dim // m if m else 0
+    kk = F.size(F.filter(F.col("_cb"), lambda e: e["s"] == 0))
+    # _cb is sorted by (s, c) so array position IS s*k + c.
+    lut = F.transform(
+        F.col("_cb"),
+        lambda e: euclidean_distance(
+            F.slice(F.col("_qv"), e["s"] * F.lit(sub) + 1, sub), e["v"]
+        ),
+    )
+    dense = F.aggregate(
+        F.zip_with(
+            F.col("_cb"),
+            F.sequence(F.lit(0), F.size(F.col("_cb")) - 1),
+            lambda e, i: (e["s"] == (i / kk).cast("int"))
+            & (e["c"] == F.pmod(i, kk)),
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    ) & (F.size(F.col("_cb")) == F.lit(m) * kk)
+    return q.select(
+        query_id_col,
+        kk.alias("_k"),
+        F.when(dense, lut)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "pq ADC: codebook (subspace, cluster_id) ids are "
+                    "not dense — a cluster emptied during training; re-train "
+                    "with smaller k or denser seeds"
+                )
+            )
+        )
+        .alias("_lut"),
     )
 
 
@@ -582,64 +696,7 @@ def pq_search_adc(
     (PQ compresses the scan, IVF prunes it — compose with list
     filtering for both).  Output: (query_id, id, rank, approx_dist)
     with the deterministic (distance asc, id asc) total order."""
-    cb = (
-        codebooks.select(
-            F.struct(
-                F.col("subspace").alias("s"),
-                F.col("cluster_id").alias("c"),
-                F.col("centroid").alias("v"),
-            ).alias("_e")
-        ).agg(F.sort_array(F.collect_list("_e")).alias("_cb"))
-    )
-    q = queries.select(
-        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
-    ).crossJoin(F.broadcast(cb))
-    first = queries.select(F.size(as_double_array(F.col(vec_col)))).first()
-    dim = int(first[0]) if first else 0
-    sub = dim // m if m else 0
-    kk = F.size(F.filter(F.col("_cb"), lambda e: e["s"] == 0))
-    # LUT[s*k + c] = ||q_s - centroid(s,c)|| (L2, NOT squared): the score
-    # is the sum of per-subspace L2 distances — a deliberate variant of
-    # squared-ADC, because euclidean_distance == list_distance is the
-    # proven cross-engine-exact kernel while a squared fold summed in
-    # engine-specific order is not; ranking quality is recall-tested.
-    # _cb is sorted by (s, c) so array position IS s*k + c.
-    lut = F.transform(
-        F.col("_cb"),
-        lambda e: euclidean_distance(
-            F.slice(F.col("_qv"), e["s"] * F.lit(sub) + 1, sub), e["v"]
-        ),
-    )
-    # the positional lookup REQUIRES dense (s, c) ids: a codebook whose
-    # cluster emptied during Lloyd would silently shift every later
-    # position and mis-score candidates — refuse loudly instead.  The
-    # check is one boolean over the parameter-sized sorted array, per
-    # query row (a handful of rows).
-    dense = F.aggregate(
-        F.zip_with(
-            F.col("_cb"),
-            F.sequence(F.lit(0), F.size(F.col("_cb")) - 1),
-            lambda e, i: (e["s"] == (i / kk).cast("int"))
-            & (e["c"] == F.pmod(i, kk)),
-        ),
-        F.lit(True),
-        lambda acc, x: acc & x,
-    ) & (F.size(F.col("_cb")) == F.lit(m) * kk)
-    qlut = q.select(
-        query_id_col,
-        kk.alias("_k"),
-        F.when(dense, lut)
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    "pq_search_adc: codebook (subspace, cluster_id) ids are "
-                    "not dense — a cluster emptied during training; re-train "
-                    "with smaller k or denser seeds"
-                )
-            )
-        )
-        .alias("_lut"),
-    )
+    qlut = _pq_query_lut(codebooks, queries, m, vec_col, query_id_col)
     scored = encoded.crossJoin(F.broadcast(qlut)).select(
         query_id_col,
         F.col(id_col),
@@ -666,6 +723,182 @@ def pq_search_adc(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "approx_dist")
     )
+
+
+def pq_search_ivf_adc(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    centroids: "list[tuple[int, list[int]]] | DataFrame",
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """The composed FAISS production tier — IVF list pruning x PQ code
+    compression (IVFADC, Jégou et al. 2011 §IV): each query probes its
+    ``n_probe`` nearest coarse lists by exact INTEGER centroid distance
+    (ties by list id — the same probe rule, and the same frozen
+    centroids, as :func:`ivf_search_index_exact`), then ADC-scores ONLY
+    the PQ codes stored in those lists.  :func:`pq_search_adc` scans
+    every code; this scans ~n_probe/n_lists of them — at 100 TB the
+    difference between touching the whole index and touching 1/4 of it,
+    on top of PQ's 128x byte shrink.
+
+    ``encoded``: (id, _list, codes) — the inverted-list layout from
+    ``pq_encode(assigned, ..., extra_cols=["_list"])`` or a reloaded
+    :func:`load_pq_index` artifact (parquet PARTITIONED BY _list, so
+    the probe join prunes the scan to probed partitions).
+
+    Plan shape: probes and LUTs are parameter-sized broadcasts (n_q x
+    n_probe rows; n_q x m*k doubles); the code scan joins them
+    broadcast-hash, so the only data-proportional work is the pruned
+    narrow scan + one batch-sized top-k window per query.  Everything
+    is exact integer / proven-kernel arithmetic — the whole composed
+    lifecycle (coarse Lloyd, subspace Lloyd, encode, probe, LUT, fold
+    order) replays in DuckDB."""
+    q = queries.select(
+        F.col(query_id_col),
+        _quantize_ints(as_double_array(F.col(vec_col)), scale_bits).alias(
+            "_qv_i"
+        ),
+    ).crossJoin(F.broadcast(_cs_rel(centroids, queries.sparkSession)))
+    probed = q.withColumn(
+        "_list",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        _cs_struct_dists(F.col("_qv_i"), F.col("cs"))
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s.getField("l"),
+            )
+        ),
+    ).select(query_id_col, "_list")
+    qlut = _pq_query_lut(codebooks, queries, m, vec_col, query_id_col)
+    scored = (
+        encoded.join(F.broadcast(probed), "_list")
+        .join(F.broadcast(qlut), query_id_col)
+        .select(
+            query_id_col,
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda c, s: F.element_at(
+                            F.col("_lut"),
+                            (s * F.col("_k") + c + 1).cast("int"),
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "approx_dist")
+    )
+
+
+PQ_INDEX_FORMAT_VERSION = 1
+
+
+def save_pq_index(
+    encoded: DataFrame, codebooks: DataFrame, centroids, path: str
+) -> None:
+    """Persist a composed IVF-PQ index as a versioned artifact — the
+    compressed sibling of :func:`save_ivf_index`: the (id, _list,
+    codes) relation goes to parquet PARTITIONED BY the list id (a
+    search probing ``n_probe`` lists prunes to those partitions at the
+    scan), the PQ codebooks to their own parameter-sized parquet, the
+    coarse centroids to JSON, and ``meta.json`` pins the format version
+    plus m/k so a loader refuses incompatible layouts."""
+    import json as _json
+    import os as _os
+
+    encoded.write.mode("overwrite").partitionBy("_list").parquet(
+        _os.path.join(path, "codes.parquet")
+    )
+    codebooks.write.mode("overwrite").parquet(
+        _os.path.join(path, "codebooks.parquet")
+    )
+    exact = bool(centroids) and isinstance(centroids[0], tuple)
+    payload = (
+        [[int(l), [int(x) for x in c]] for l, c in centroids]
+        if exact
+        else [[float(x) for x in c] for c in centroids]
+    )
+    with open(_os.path.join(path, "centroids.json"), "w") as fh:
+        _json.dump(payload, fh)
+        fh.write("\n")
+    mk = (
+        codebooks.agg(
+            (F.max("subspace") + 1).alias("_m"),
+            (F.max("cluster_id") + 1).alias("_k"),
+        ).first()
+    )
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(
+            {
+                "format_version": PQ_INDEX_FORMAT_VERSION,
+                "kind": "exact" if exact else "float",
+                "n_lists": len(payload),
+                "m": int(mk["_m"]) if mk and mk["_m"] is not None else 0,
+                "k": int(mk["_k"]) if mk and mk["_k"] is not None else 0,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+
+
+def load_pq_index(spark, path: str):
+    """Load a :func:`save_pq_index` artifact -> (encoded, codebooks,
+    centroids, meta) ready for :func:`pq_search_ivf_adc`.  Raises
+    ValueError on a missing/garbled meta.json or an unknown
+    format_version (refusing beats silently mis-searching)."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(path, "meta.json")) as fh:
+            meta = _json.load(fh)
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"not a PQ index artifact (no readable meta.json): {path}"
+        ) from exc
+    ver = meta.get("format_version")
+    if ver != PQ_INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"PQ index artifact {path} has format_version {ver!r}; this "
+            f"code reads version {PQ_INDEX_FORMAT_VERSION}"
+        )
+    with open(_os.path.join(path, "centroids.json")) as fh:
+        raw = _json.load(fh)
+    centroids = (
+        [(int(l), [int(x) for x in c]) for l, c in raw]
+        if meta.get("kind") == "exact"
+        else [[float(x) for x in c] for c in raw]
+    )
+    encoded = spark.read.parquet(_os.path.join(path, "codes.parquet"))
+    codebooks = spark.read.parquet(_os.path.join(path, "codebooks.parquet"))
+    return encoded, codebooks, centroids, meta
 
 
 def embedding_cosine_dedup(
@@ -1018,27 +1251,44 @@ def semantic_dedup_build(
         if persist:
             pts = pts.localCheckpoint(eager=True)
         return _semantic_prune(pts, threshold, id_col), centroids
-    if k == "auto":
-        n = df.count()
-        k = max(8, min(n, _math.ceil(n / max(target_cluster_size, 1))))
-    audit = semantic_dedup(
-        df,
-        threshold=threshold,
-        k=int(k),
-        n_assign=n_assign,
-        emb_col=emb_col,
-        id_col=id_col,
-        persist=persist,
-    )
-    # the SAME single normalization semantic_dedup applies internally —
-    # normalize is not bit-idempotent, so never normalize twice
+    # exact path: run the Lloyd chain ONCE and derive BOTH halves from
+    # it — the centroid list via kmeans_lloyd_centroids, the audit by
+    # re-assigning against those frozen final centroids (bit-identical
+    # to the chain's own last assignment round: same euclidean kernel,
+    # same (dist, cid) argmin tie-break, same 6-digit rounding).
+    # Running semantic_dedup() separately would repeat the full chain —
+    # 2x training cost and a parameter-drift hazard between call sites.
     v = df.select(
         F.col(id_col), normalize(as_double_array(F.col(emb_col))).alias("_v")
     )
+    if persist:
+        v = v.localCheckpoint(eager=True)
+    if k == "auto":
+        n = v.count()
+        k = max(8, min(n, _math.ceil(n / max(target_cluster_size, 1))))
     centroids = kmeans_lloyd_centroids(
         v, k=int(k), n_assign=n_assign, emb_col="_v", id_col=id_col
     )
-    return audit, centroids
+    cent_df = v.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster_id int, _c array<double>",
+    )
+    pts = (
+        ivf_assign(v, centroids, id_col=id_col, vec_col="_v")
+        .withColumnRenamed("_list", "cluster_id")
+        .join(F.broadcast(cent_df), "cluster_id")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.round(euclidean_distance(F.col("_cv"), F.col("_c")), 6).alias(
+                "dist"
+            ),
+            F.col("_cv").alias("_v"),
+        )
+    )
+    if persist:
+        pts = pts.localCheckpoint(eager=True)
+    return _semantic_prune(pts, threshold, id_col), centroids
 
 
 SEMANTIC_STATE_FORMAT_VERSION = 1
@@ -1112,6 +1362,8 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     kept_emb_col: str | None = None,
     persist: bool = True,
+    broadcast_batch: bool | None = None,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Daily-ingest SemDeDup — the embedding-tier analogue of
     ``minhash_incremental_pairs`` (dedup.py): judge a NEW batch against a
@@ -1148,6 +1400,23 @@ def semantic_dedup_incremental(
     cluster_id appears in the batch survive the broadcast hash probe.
     No corpus self-join, no re-cluster, no shuffle of the corpus.
 
+    The batch-side broadcast is SIZE-GATED (the r10 verdict's OOM
+    hazard: a backfill-sized batch pinned as a broadcast relation blows
+    every executor). ``broadcast_batch`` mirrors
+    :func:`~..joins.broadcast_dim_join`'s contract:
+
+    * ``None`` (default) — decide from a bounded count of the batch:
+      broadcast iff ``count(batch) <= max_broadcast_rows``. The count
+      is cheap when ``persist=True`` (it reads the localCheckpoint the
+      function takes anyway); with ``persist=False`` it costs one extra
+      scan of the batch plan.
+    * ``True``  — pin the broadcast (daily-sized batches; zero corpus
+      shuffle).
+    * ``False`` — shuffle-hash join keyed on cluster_id instead (the
+      backfill path: the corpus shuffles once on cluster_id — the
+      correct, bounded-memory plan when the batch itself is
+      corpus-sized). Output is identical row-for-row (pytest-pinned).
+
     Output: one audit row per BATCH doc — (id, cluster_id, dist,
     n_close BIGINT, keep INT) — union-compatible with the full build's
     audit table, so the daily merge is an append."""
@@ -1177,6 +1446,10 @@ def semantic_dedup_incremental(
     )
     if persist:
         bpts = bpts.localCheckpoint(eager=True)
+    if broadcast_batch is None:
+        # Bounded decision, not a guess: one count over the (usually
+        # checkpointed) batch. At 100 TB the corpus never enters this.
+        broadcast_batch = bpts.count() <= max_broadcast_rows
     cpts = kept.select(
         F.col(id_col).alias("_qid"),
         F.col("cluster_id").alias("_qc"),
@@ -1189,9 +1462,11 @@ def semantic_dedup_incremental(
         F.col("_v").alias("_pv"),
     )
     # (a) vs the kept corpus: incumbent wins at any cosine >= threshold.
-    # Batch side broadcast — the corpus streams through map-side.
+    # Gated: batch broadcast (corpus streams map-side, zero corpus
+    # shuffle) for daily batches; cluster_id shuffle-hash for backfills.
+    a_hinted = F.broadcast(a) if broadcast_batch else a.hint("shuffle_hash")
     nbr_corpus = (
-        cpts.join(F.broadcast(a), F.col("_qc") == F.col("_pc"))
+        cpts.join(a_hinted, F.col("_qc") == F.col("_pc"))
         .withColumn("_cos", F.round(dot(F.col("_pv"), F.col("_qv")), 6))
         .filter(F.col("_cos") >= threshold)
         .select("_pid", F.lit(1).alias("_flag"))
@@ -1203,8 +1478,10 @@ def semantic_dedup_incremental(
         F.col("dist").alias("_qd"),
         F.col("_v").alias("_qv"),
     )
+    # Same gate for the within-batch self-join: a backfill-sized batch
+    # must not be auto-broadcast by AQE either.
     nbr_batch = (
-        a.join(
+        (a if broadcast_batch else a.hint("shuffle_hash")).join(
             b,
             (F.col("_pc") == F.col("_qc")) & (F.col("_pid") != F.col("_qid")),
         )

@@ -573,6 +573,34 @@ def temperature_mixture_sample(
     shuffle, no driver round-trip, nothing proportional to data but the
     scan. Output: the surviving rows plus their source's ``rate_micro``
     audit column."""
+    rates = temperature_mixture_rates(
+        df, source_col=source_col, target_total=target_total, modulus=modulus
+    )
+    from .cleaning import _lehmer_hash
+
+    h = F.pmod(_lehmer_hash(df, id_col), F.lit(modulus))
+    return (
+        df.withColumn("_h", h)
+        .join(F.broadcast(rates), source_col)
+        .filter(F.col("_h") < F.col("rate_micro"))
+        .drop("_h")
+    )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    target_total: int | None = None,
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """The per-source keep-rate relation of
+    :func:`temperature_mixture_sample` — (source, rate_micro), one row
+    PER SOURCE regardless of whether any of that source's rows survive
+    the hash draw.  Exposed separately so rate audits (and the property
+    suite) assert against the full per-source relation instead of
+    inferring rates from surviving rows — a source whose every doc id
+    hashes above a small positive rate is absent from the sample but
+    must still carry its exact rate here."""
     per = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_docs"))
     per = per.withColumn(
         "_s_micro",
@@ -608,15 +636,7 @@ def temperature_mixture_sample(
         )
         .select(source_col, "rate_micro")
     )
-    from .cleaning import _lehmer_hash
-
-    h = F.pmod(_lehmer_hash(df, id_col), F.lit(modulus))
-    return (
-        df.withColumn("_h", h)
-        .join(F.broadcast(rates), source_col)
-        .filter(F.col("_h") < F.col("rate_micro"))
-        .drop("_h")
-    )
+    return rates
 
 
 def pack_sequences(
