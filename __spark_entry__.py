@@ -2263,6 +2263,86 @@ def q_curate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_scored_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gated curation, ORACLE-PROMOTED (round 11 — the same
+    persisted-prediction discipline that promoted ml_classifier_metrics
+    in r9): the trained LR's per-doc quality scores persist as a
+    committed parquet artifact, then the ENTIRE downstream flow —
+    threshold gate, heuristic language ID, md5-mode MinHash dedup,
+    connected components, canonical keep — runs FROM that artifact and
+    replays in DuckDB from the same file.  Only the model weights stay
+    non-SQL (the planted-spam filtering contract for the live-model
+    path is pinned in tests/test_round10_ops.py); everything downstream
+    of the scores — exactly where a curation bug would live — is
+    differentially hash-checked."""
+    from yellowrush_spark_ml_pipeline_spark.flows import curate_corpus
+    from yellowrush_spark_ml_pipeline_spark.ml import train_quality_classifier
+    from yellowrush_spark_ml_pipeline_spark.ml.pipelines import (
+        _publish_artifact,
+    )
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spam = docs.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.concat(F.lit("buy"), F.col("doc_id") % 7), 40)
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(spam)
+    seed = (
+        docs.select("doc_id", "text")
+        .withColumn("label", F.lit(1.0))
+        .unionByName(
+            spam.select("doc_id", "text").withColumn("label", F.lit(0.0))
+        )
+    )
+    model, _, _ = train_quality_classifier(seed)
+    from pyspark.ml.functions import vector_to_array
+
+    feats = quality_score(corpus).drop("quality_score")
+    art_path = _pred_artifact(sf_dir, "curate_scored")
+    _publish_artifact(
+        model.transform(feats).select(
+            "doc_id",
+            F.round(vector_to_array("probability")[1], 6).alias(
+                "quality_score"
+            ),
+        ),
+        art_path,
+    )
+    scores_rel = spark.read.parquet(art_path)
+
+    def scorer(df: DataFrame) -> DataFrame:
+        # the callable quality_scorer seam: heuristic feature columns
+        # (n_tokens etc.) + the PERSISTED model score.  No broadcast
+        # hint: the score artifact is corpus-proportional (one row per
+        # doc), so pinning it would be the exact OOM the r10 verdict
+        # flagged elsewhere — AQE picks BHJ at small SF on its own
+        return quality_score(df).drop("quality_score").join(
+            scores_rel, "doc_id"
+        )
+
+    curated = curate_corpus(
+        corpus, quality_scorer=scorer, min_quality=0.5, hash_fn="md5"
+    )
+    return curated.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        "lang_pred",
+        "n_tokens",
+        "quality_score",
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot (melt) of a per-flag aggregate: the reshape
     primitive (pivot's inverse, SURVEY §2.7-adjacent). Aggregates are
@@ -4437,40 +4517,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Ordering contract (tests/test_policy.py): the grading driver verifies
     # a 50-entry PREFIX of this dict each round, so the prefix is a rotation
-    # duty roster: (1) any entry with NO driver row in any committed
+    # duty roster: (1) any entry with NO CLEAN driver row in any committed
     # CORRECTNESS_r*.json MUST sit in the first 50, oracle-backed before
-    # rows-only; (2) entries whose implementation or oracle CHANGED this
-    # round re-enter the window for re-verification; (3) remaining slots
-    # rotate through the stalest last-green entries. Round 10: the five
-    # new queries lead, the seven round-10-touched entries re-enter, the
-    # ENTIRE 16-query r4-stale tail drains (the r9 verdict ask #2 - after
-    # this window no oracle-backed query's last driver-green is < r5),
-    # and the remaining 20 slots take the alphabetically-first of the 23
-    # r5-stale entries (shipmode_priority, theil_sen + top_supplier lead
-    # the r11 fill). Every
+    # rows-only (an err-bearing presentation counts as never-checked —
+    # the r10 verdict's video_pipeline crack); (2) entries whose
+    # implementation or oracle CHANGED this round re-enter the window;
+    # (3) remaining slots rotate through the stalest last-green entries.
+    # Round 11: the three new queries lead, video_pipeline re-enters as
+    # never-cleanly-checked (its only r5 row errored in the driver
+    # canonicalizer; the output fix has been in the tree since), the
+    # eight round-11-touched entries re-verify, the ENTIRE stale
+    # rows-only tail drains (sketch_stats r2 ... multimodal_features r7
+    # — after this window no rows-only entry's last clean presentation
+    # is older than r10), and the remaining 32 slots take the 3 r5-stale
+    # then alphabetically-first r6-stale oracle entries (the r6 tail
+    # continues in r12: readability, salted_agg, skew_join, ...).  Every
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
     # ---- (1) NEW round 11, never driver-checked (oracle-backed first) ----
         "pq_search_ivf": q_pq_search_ivf,
         "pq_search_ivf_persisted": q_pq_search_ivf_persisted,
-    # ---- (1) NEW round 10, never driver-checked (oracle-backed first) ----
+        "curate_scored_persisted": q_curate_scored_persisted,
+    # ---- (1b) never CLEANLY driver-checked, rows-only ----
+        "video_pipeline": q_video_pipeline,
+    # ---- (2) round-11 implementation/oracle changes - re-verify ----
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "bpe_persisted_encode": q_bpe_persisted_encode,
-        "export_mixture": q_export_mixture,
-        "similarity_ivf_persisted": q_similarity_ivf_persisted,
         "pq_search": q_pq_search,
+        "temperature_mixture": q_temperature_mixture,
+        "curate_corpus": q_curate_corpus,
+        "export_manifest": q_export_manifest,
+        "export_shuffled": q_export_shuffled,
+        "bpe_persisted_encode": q_bpe_persisted_encode,
+        "similarity_ivf_persisted": q_similarity_ivf_persisted,
+    # ---- (3) rotation fill: the full stale rows-only tail ----
+        "sketch_stats": q_sketch_stats,
+        "compression_ratio": q_compression_ratio,
+        "language_id_model": q_language_id_model,
+        "media_probe": q_media_probe,
+        "minhash_dedup_fast": q_minhash_dedup_fast,
+        "multimodal_features": q_multimodal_features,
+    # ---- (3) rotation fill: stalest oracle-backed (r5, then r6 alpha) ----
+        "shipmode_priority": q_shipmode_priority,
+        "theil_sen": q_theil_sen,
+        "top_supplier": q_top_supplier,
+        "autocorr": q_autocorr,
+        "bigram_nll": q_bigram_nll,
+        "bitmap_activity": q_bitmap_activity,
+        "bollinger": q_bollinger,
+        "bpe_merges": q_bpe_merges,
+        "calibration_bins": q_calibration_bins,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "dedup_consensus": q_dedup_consensus,
+        "dedup_eval": q_dedup_eval,
+        "fd_violations": q_fd_violations,
+        "filter_funnel": q_filter_funnel,
+        "golden_record": q_golden_record,
+        "group_split": q_group_split,
+        "hll_distinct": q_hll_distinct,
+        "idle_customers": q_idle_customers,
+        "important_stock": q_important_stock,
+        "interpolate_linear": q_interpolate_linear,
+        "k_anonymity": q_k_anonymity,
+        "large_volume_customers": q_large_volume_customers,
+        "line_dedup": q_line_dedup,
+        "lttb_downsample": q_lttb_downsample,
+        "min_cost_supplier": q_min_cost_supplier,
+        "ndcg_eval": q_ndcg_eval,
+        "ols_fit": q_ols_fit,
+        "percentile_sketch": q_percentile_sketch,
+        "profile_table": q_profile_table,
+        "promo_revenue_share": q_promo_revenue_share,
+        "quantize_recall": q_quantize_recall,
+        "range_windows": q_range_windows,
+    # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "export_mixture": q_export_mixture,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
         "curate_scored": q_curate_scored,
-    # ---- (2) round-10 implementation/oracle changes - re-verify ----
-        "temperature_mixture": q_temperature_mixture,
         "semantic_dedup": q_semantic_dedup,
         "bpe_encode": q_bpe_encode,
         "bpe_roundtrip": q_bpe_roundtrip,
         "export_tokenized": q_export_tokenized,
-        "curate_corpus": q_curate_corpus,
-        "export_manifest": q_export_manifest,
-    # ---- (3) rotation fill: the full r4-stale tail (r9 verdict ask #2) ----
         "returned_customers": q_returned_customers,
         "rolling_zscore": q_rolling_zscore,
         "rollup_merge": q_rollup_merge,
@@ -4487,7 +4614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "unpivot_metrics": q_unpivot_metrics,
         "weighted_sample": q_weighted_sample,
-    # ---- (3) rotation fill: alphabetically-first r5-stale ----
         "association_rules": q_association_rules,
         "benford": q_benford,
         "burst_runs": q_burst_runs,
@@ -4508,10 +4634,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "psi_drift": q_psi_drift,
         "rfm_segments": q_rfm_segments,
-    # ---- beyond the 50-entry window (still mirror-proven every round) ----
-        "shipmode_priority": q_shipmode_priority,
-        "theil_sen": q_theil_sen,
-        "export_shuffled": q_export_shuffled,
         "dq_report": q_dq_report,
         "quantile_state_merge": q_quantile_state_merge,
         "k_core": q_k_core,
@@ -4604,9 +4726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "woe_iv": q_woe_iv,
         "minhash_dedup_autocap": q_minhash_dedup_autocap,
-        "minhash_dedup_fast": q_minhash_dedup_fast,
-        "media_probe": q_media_probe,
-        "multimodal_features": q_multimodal_features,
         "top_per_group": q_top_per_group,
         "moving_average": q_moving_average,
         "null_safe_join": q_null_safe_join,
@@ -4645,53 +4764,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "unigram_nll": q_unigram_nll,
         "window_ranks": q_window_ranks,
-        "dedup_consensus": q_dedup_consensus,
-        "hll_distinct": q_hll_distinct,
-        "bitmap_activity": q_bitmap_activity,
         "salted_agg": q_salted_agg,
         "zone_maps": q_zone_maps,
         "zone_prune": q_zone_prune,
-        "range_windows": q_range_windows,
-        "dedup_eval": q_dedup_eval,
-        "bigram_nll": q_bigram_nll,
-        "bollinger": q_bollinger,
-        "group_split": q_group_split,
         "target_encoding": q_target_encoding,
         "weighted_median": q_weighted_median,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
         "winnow_pairs": q_winnow_pairs,
-        "quantize_recall": q_quantize_recall,
-        "k_anonymity": q_k_anonymity,
         "skew_join": q_skew_join,
-        "calibration_bins": q_calibration_bins,
-        "bpe_merges": q_bpe_merges,
-        "interpolate_linear": q_interpolate_linear,
-        "fd_violations": q_fd_violations,
-        "golden_record": q_golden_record,
-        "percentile_sketch": q_percentile_sketch,
-        "ndcg_eval": q_ndcg_eval,
-        "profile_table": q_profile_table,
-        "min_cost_supplier": q_min_cost_supplier,
-        "important_stock": q_important_stock,
-        "promo_revenue_share": q_promo_revenue_share,
         "small_order_revenue": q_small_order_revenue,
-        "large_volume_customers": q_large_volume_customers,
         "waiting_suppliers": q_waiting_suppliers,
-        "idle_customers": q_idle_customers,
-        "line_dedup": q_line_dedup,
         "readability": q_readability,
-        "filter_funnel": q_filter_funnel,
         "ttr_stats": q_ttr_stats,
         "time_weighted_avg": q_time_weighted_avg,
-        "autocorr": q_autocorr,
-        "ols_fit": q_ols_fit,
         "snapshot_diff": q_snapshot_diff,
-        "lttb_downsample": q_lttb_downsample,
-        "top_supplier": q_top_supplier,
-        "language_id_model": q_language_id_model,
-        "video_pipeline": q_video_pipeline,
-        "compression_ratio": q_compression_ratio,
-        "sketch_stats": q_sketch_stats,
     }
 
 
@@ -7618,19 +7703,41 @@ def oracle_sql() -> dict[str, str]:
                     FROM kept
                 )
             )"""
-    def _curate_chain(src_sql: str, threshold: float) -> str:
+    def _curate_chain(
+        src_sql: str, threshold: float, score_artifact: str | None = None
+    ) -> str:
         """CTE chain corpus→qual→kept→langp→(minhash)→grp mirroring
-        curate_corpus(hash_fn="md5") up to the canonical filter."""
-        return (
-            f"""corpus AS ({src_sql}
-            ), qual AS ("""
-            + curate_quality
-            + """
+        curate_corpus(hash_fn="md5") up to the canonical filter.
+
+        ``score_artifact`` (round 11) swaps the quality gate onto a
+        persisted per-doc score parquet — the classifier-gated flow
+        with the model's scores as the shared ground truth (n_tokens
+        still comes from the heuristic CTE, exactly as the Spark
+        callable-scorer seam composes them)."""
+        if score_artifact is not None:
+            kept_sql = f"""
+            ), art AS (
+                SELECT doc_id, quality_score
+                FROM read_parquet('{score_artifact}')
+            ), kept AS (
+                SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars,
+                       q.n_tokens, a.quality_score
+                FROM corpus c JOIN qual q USING (doc_id)
+                             JOIN art a USING (doc_id)
+                WHERE a.quality_score >= 0.5"""
+        else:
+            kept_sql = """
             ), kept AS (
                 SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars,
                        q.n_tokens, q.quality_score
                 FROM corpus c JOIN qual q USING (doc_id)
-                WHERE q.quality_score >= 0.5
+                WHERE q.quality_score >= 0.5"""
+        return (
+            f"""corpus AS ({src_sql}
+            ), qual AS ("""
+            + curate_quality
+            + kept_sql
+            + """
             ), langp AS ("""
             + curate_lang
             + """
@@ -7665,6 +7772,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id < 25"""
     sqls["curate_corpus"] = (
         "WITH RECURSIVE " + _curate_chain(curate_src, 0.5) + curate_select
+    )
+
+    # round 11: the classifier-gated flow, oracle-promoted — the LR's
+    # per-doc scores persist as a parquet artifact (the ml_classifier_
+    # metrics discipline) and DuckDB replays the whole downstream flow
+    # (threshold → lang-ID → md5 MinHash dedup → components → canonical)
+    # from the same file.  Spam corpus: 40 repeats of 'buy'||(id%7).
+    curate_scored_src = """
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 5000000,
+                       rtrim(repeat('buy' || (doc_id % 7) || ' ', 40)),
+                       lang, source, n_chars
+                FROM documents"""
+    sqls["curate_scored_persisted"] = (
+        "WITH RECURSIVE "
+        + _curate_chain(
+            curate_scored_src,
+            0.7,
+            score_artifact=os.path.join(
+                _pred_artifact(_ORACLE_SF_TAG, "curate_scored"), "*.parquet"
+            ),
+        )
+        + curate_select
     )
 
     # export_manifest: curation (defaults: threshold 0.7, no planting) →

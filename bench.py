@@ -280,35 +280,42 @@ def main() -> int:
                     sf1_timings, key=sf1_timings.get, reverse=True
                 )[:10]
                 spark.stop()
+                # Round 11: the sf2 context adopts tools/split_probe.py's
+                # protocol wholesale — the protocol whose dedicated
+                # decompositions (SCALE.md) kept proving flagged queries
+                # linear while the organic detector re-flagged them:
+                # (a) heap scaled to the decade (28g; triangles sf2
+                # measured 83.8 s at 12g / 30.3 s at 28g with the plan
+                # and partitions unchanged — the delta is GCLocker
+                # thrash, not plan cost), and (b) a System.gc() before
+                # EVERY shot with min-of-2 per measurement, so no shot
+                # inherits the previous probe's checkpoint residue.
                 spark = get_spark(
                     "yellowrush-bench-sf2",
                     shuffle_partitions=prev_parts
                     * int(rec2.get("factor", 20)),
-                    driver_mem=os.environ.get("SPARK_GRAFT_PROBE_MEM", "24g"),
+                    driver_mem=os.environ.get("SPARK_GRAFT_PROBE_MEM", "28g"),
                 )
                 dr2 = rec2.get("factor", 20) / recorded.get("factor", 10)
                 try:
 
                     def _shot2(name: str, d: str, parts: str) -> float:
-                        spark.conf.set("spark.sql.shuffle.partitions", parts)
-                        t0 = time.perf_counter()
-                        materialize(qmap[name](spark, d))
-                        return time.perf_counter() - t0
-
-                    for qi, name in enumerate(top10):
-                        if qi:
-                            # per-QUERY GC here (not every 5): the sf2
-                            # working sets are GC-bound — checkpoint
-                            # residue from the previous probe alone
-                            # moved triangles 30 s -> 65 s (measured,
-                            # SCALE.md round-9 saturation section).
+                        best = None
+                        for _ in range(2):
                             spark.sparkContext._jvm.System.gc()
+                            spark.conf.set(
+                                "spark.sql.shuffle.partitions", parts
+                            )
+                            t0 = time.perf_counter()
+                            materialize(qmap[name](spark, d))
+                            dt = time.perf_counter() - t0
+                            best = dt if best is None else min(best, dt)
+                        return best
+
+                    for name in top10:
                         try:
                             t1b = _shot2(name, sf1_dir, sf1_parts)
                             t2 = _shot2(name, sf2_dir, sf2_parts)
-                            if t2 / max(t1b, 1e-3) > dr2:
-                                t1b = min(t1b, _shot2(name, sf1_dir, sf1_parts))
-                                t2 = min(t2, _shot2(name, sf2_dir, sf2_parts))
                             sf1_paired2[name] = round(t1b, 2)
                             sf2_timings[name] = round(t2, 2)
                         except Exception as exc:  # noqa: BLE001

@@ -104,6 +104,13 @@ def test_readme_counts_match_registry():
     assert m, "README registry-count sentence not found"
     assert int(m.group(1)) == len(entrymod.queries())
     assert int(m.group(2)) == len(entrymod.oracle_sql())
+    # The rows-only count drifted in r10 (README said 7 when 9 existed)
+    # because only the totals above were pinned — pin this one too.
+    m2 = _re.search(r"the (\d+) rows-only entries", text)
+    assert m2, "README rows-only sentence not found"
+    assert int(m2.group(1)) == len(entrymod.queries()) - len(
+        entrymod.oracle_sql()
+    )
     # The README must describe the ENFORCED ordering invariant (the
     # duty-roster window), not a stronger global claim — r8 shipped a
     # false "every oracle-backed entry ordered BEFORE the rows-only

@@ -283,3 +283,85 @@ def test_pq_train_fit_fraction_gates_training_set(spark):
     assert _rows(sampled) == _rows(manual)
     with pytest.raises(ValueError, match="fit_fraction"):
         similarity.pq_train(corpus, m=4, k=4, fit_fraction=0.0)
+
+
+# ---------------------------------------------------------------------------
+# semantic-state daily merge (r10 verdict stretch #9): append keepers
+# into the versioned artifact after each incremental judge — day-2
+# copies of day-1 keepers must be pruned (the fold landed), the version
+# bumps per fold, and after N days the kept-id set equals a one-shot
+# build over the union for planted collinear-dup cases.
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_state_daily_lifecycle(spark, tmp_path):
+    import json
+
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark)
+    audit0, cents = similarity.semantic_dedup_build(
+        corpus, threshold=0.9999, k=4
+    )
+    kept0 = (
+        audit0.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    path = str(tmp_path / "sem_state")
+    similarity.save_semantic_state(kept0, cents, path)
+
+    # day 1: collinear copies of 10 corpus docs (prune) + a fresh blob
+    copies1 = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 200_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    fresh1 = _blob_corpus(
+        spark, n_per=10, n_clusters=1, dim=8, seed=99, base_id=300_000
+    )
+    a1 = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup_daily(
+            copies1.unionByName(fresh1), path, threshold=0.9999
+        ).collect()
+    }
+    assert all(a1[200_000 + i] == 0 for i in range(10))
+    assert all(a1[300_000 + i] == 1 for i in range(10))
+    meta = json.loads((tmp_path / "sem_state" / "meta.json").read_text())
+    assert meta["state_version"] == 2
+
+    # day 2: collinear copies of day-1 KEEPERS — pruned only if the
+    # day-1 fold actually landed in the artifact — plus another blob
+    copies2 = fresh1.filter(F.col("vec_id") < 300_005).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    fresh2 = _blob_corpus(
+        spark, n_per=8, n_clusters=1, dim=8, seed=77, base_id=500_000
+    )
+    a2 = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup_daily(
+            copies2.unionByName(fresh2), path, threshold=0.9999
+        ).collect()
+    }
+    assert all(a2[400_000 + i] == 0 for i in range(5)), a2
+    assert all(a2[500_000 + i] == 1 for i in range(8))
+    meta = json.loads((tmp_path / "sem_state" / "meta.json").read_text())
+    assert meta["state_version"] == 3
+
+    # N-day fold == one-shot build on the union (planted cases: the
+    # only near-dups above 0.9999 are the collinear copies)
+    kept_final, _ = similarity.load_semantic_state(spark, path)
+    union = corpus.unionByName(copies1).unionByName(fresh1).unionByName(
+        copies2
+    ).unionByName(fresh2)
+    oneshot, _ = similarity.semantic_dedup_build(
+        union, threshold=0.9999, k=6
+    )
+    incr_ids = {r["vec_id"] for r in kept_final.select("vec_id").collect()}
+    oneshot_ids = {
+        r["vec_id"]
+        for r in oneshot.filter(F.col("keep") == 1).select("vec_id").collect()
+    }
+    assert incr_ids == oneshot_ids

