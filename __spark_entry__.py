@@ -1682,6 +1682,22 @@ def q_pq_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact re-rank (round 11 — the complete FAISS two-stage
+    recipe): the composed IVF-PQ search shortlists 50 candidates per
+    query by approximate ADC distance, then ONLY those 50 fetch raw
+    vectors for exact cosine re-ranking — PQ distortion picks the
+    shortlist, exact arithmetic picks the order.  Both stages replay in
+    DuckDB (the pq_search_ivf chain plus an exact-cosine tail), so the
+    oracle differentially checks that re-ranking reads exactly the
+    shortlisted candidates and nothing else."""
+    enc, cb, cents, queries_df = _pq_ivf_parts(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_search_rerank(
+        enc, cb, cents, queries_df, emb, k=10, shortlist=50, m=4, n_probe=4
+    )
+
+
 def q_pq_search_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ index PERSISTENCE lifecycle (round 11): build the composed
     index, SAVE it (codes parquet PARTITIONED BY list id + codebooks
@@ -4538,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- (1) NEW round 11, never driver-checked (oracle-backed first) ----
         "pq_search_ivf": q_pq_search_ivf,
         "pq_search_ivf_persisted": q_pq_search_ivf_persisted,
+        "pq_search_rerank": q_pq_search_rerank,
         "curate_scored_persisted": q_curate_scored_persisted,
     # ---- (1b) never CLEANLY driver-checked, rows-only ----
         "video_pipeline": q_video_pipeline,
@@ -4589,8 +4606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "promo_revenue_share": q_promo_revenue_share,
         "quantize_recall": q_quantize_recall,
-        "range_windows": q_range_windows,
     # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "range_windows": q_range_windows,
         "export_mixture": q_export_mixture,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
         "curate_scored": q_curate_scored,
@@ -5477,6 +5494,7 @@ def oracle_pq_search_ivf_sql(
     n_queries: int = 5,
     n_probe: int = 4,
     fit_micro: int = 500_000,
+    rerank_shortlist: "int | None" = None,
 ) -> str:
     """DuckDB oracle for the composed IVF-PQ lifecycle (q_pq_search_ivf
     and its persisted twin): the md5-gated sampled-fit subspace Lloyd
@@ -5485,7 +5503,12 @@ def oracle_pq_search_ivf_sql(
     coarse IVF build (the same a0..c2 chain the similarity_ivf oracle
     replays — passed in as CTE text), per-query probe selection (n_probe
     nearest lists, ties by list id), and ADC restricted to probed lists
-    as the left-to-right sum of per-subspace L2 distances."""
+    as the left-to-right sum of per-subspace L2 distances.
+
+    ``rerank_shortlist`` (q_pq_search_rerank): instead of emitting the
+    ADC order, shortlist that many candidates per query by approximate
+    distance and emit the EXACT-cosine re-rank of the shortlist — the
+    FAISS two-stage tail."""
     sub = dim // m
     gate = (
         "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) "
@@ -5586,7 +5609,11 @@ def oracle_pq_search_ivf_sql(
                 JOIN pr ON pr.l = ix.l
                 JOIN qs q ON q.query_id = pr.query_id
                 {pq_joins}
-            )
+            )"""
+    )
+    if rerank_shortlist is None:
+        parts.append(
+            f"""
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank, approx_dist
             FROM (
                 SELECT query_id, vec_id, approx_dist,
@@ -5597,7 +5624,39 @@ def oracle_pq_search_ivf_sql(
                 FROM adc
             ) WHERE rank <= {topk}
         """
-    )
+        )
+    else:
+        parts.append(
+            f""", sl AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY query_id
+                               ORDER BY approx_dist ASC, vec_id ASC
+                           ) AS rn
+                    FROM adc
+                ) WHERE rn <= {rerank_shortlist}
+            ), ex AS (
+                SELECT s.query_id, s.vec_id,
+                       ROUND(list_dot_product(q.qx, p.x)
+                             / (sqrt(list_dot_product(q.qx, q.qx))
+                                * sqrt(list_dot_product(p.x, p.x))), 6)
+                           AS cosine
+                FROM sl s
+                JOIN pts p ON p.vec_id = s.vec_id
+                JOIN qs q ON q.query_id = s.query_id
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cosine
+            FROM (
+                SELECT query_id, vec_id, cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC
+                       ) AS rank
+                FROM ex
+            ) WHERE rank <= {topk}
+        """
+        )
     return "".join(parts)
 
 
@@ -9007,6 +9066,11 @@ def oracle_sql() -> dict[str, str]:
         fit_micro=500_000,
     )
     sqls["pq_search_ivf_persisted"] = sqls["pq_search_ivf"]
+    sqls["pq_search_rerank"] = oracle_pq_search_ivf_sql(
+        _ivf_base, _ivf_lloyd_ctes("base"), _ivf_d2,
+        m=4, k=8, n_assign=2, dim=64, topk=10, n_probe=4,
+        fit_micro=500_000, rerank_shortlist=50,
+    )
     # SemDeDup (round 9): the kmeans chain re-unrolled on the unit
     # sphere + canonical-neighbor prune; auto-k replayed as a scalar CTE.
     sqls["semantic_dedup"] = oracle_semantic_dedup_sql(

@@ -365,3 +365,35 @@ def test_semantic_state_daily_lifecycle(spark, tmp_path):
         for r in oneshot.filter(F.col("keep") == 1).select("vec_id").collect()
     }
     assert incr_ids == oneshot_ids
+
+
+def test_pq_search_rerank_exact_order_on_covered_blobs(spark):
+    """IVFADC + exact re-rank: when the shortlist covers the query's
+    whole blob (all its exact top-k live there), the re-ranked top-k
+    must EQUAL brute-force exact cosine top-k — PQ distortion picks the
+    shortlist, exact arithmetic picks the order."""
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=30, n_clusters=4, dim=8, seed=11)
+    m, k = 2, 4
+    cb = similarity.pq_train(corpus, m=m, k=k, n_assign=2)
+    assigned, cents = similarity.ivf_build_index_exact(
+        corpus, n_lists=8, lloyd_iters=2
+    )
+    enc = similarity.pq_encode(
+        assigned.select("vec_id", "_list", F.col("_cv").alias("embedding")),
+        cb,
+        m=m,
+        extra_cols=["_list"],
+    )
+    queries = corpus.filter(F.col("vec_id").isin(0, 35, 65, 95)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _rows(
+        similarity.pq_search_rerank(
+            enc, cb, cents, queries, corpus,
+            k=5, shortlist=30, m=m, n_probe=4,
+        )
+    )
+    exact = _rows(similarity.brute_force_topk(corpus, queries, k=5))
+    assert got == exact and got

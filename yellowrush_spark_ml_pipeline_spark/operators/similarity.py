@@ -815,6 +815,75 @@ def pq_search_ivf_adc(
     )
 
 
+def pq_search_rerank(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    centroids: "list[tuple[int, list[int]]] | DataFrame",
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 4,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """IVFADC + exact re-rank — the complete FAISS two-stage recipe
+    (Jégou et al. 2011 §V): :func:`pq_search_ivf_adc` shortlists
+    ``shortlist`` candidates per query from the probed lists by
+    approximate distance, then ONLY those candidates fetch their raw
+    vectors for exact cosine re-ranking.  PQ distortion decides the
+    shortlist, never the final order — the standard fix for ADC's
+    within-cluster tie scrambling.
+
+    Scale shape: the shortlist is bounded by n_queries x ``shortlist``
+    (parameter-sized), so the raw-vector fetch is a BROADCAST-hash
+    probe into one narrow corpus scan — no corpus shuffle, no exact
+    scoring outside the shortlist.  Output: (query_id, id, rank,
+    cosine) with the deterministic (cosine desc, id asc) total order.
+    Fully oracle-replayable: both stages are exact arithmetic."""
+    short = pq_search_ivf_adc(
+        encoded,
+        codebooks,
+        centroids,
+        queries,
+        k=shortlist,
+        m=m,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        scale_bits=scale_bits,
+    ).select(query_id_col, id_col)
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    )
+    scored = (
+        c.join(F.broadcast(short), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(F.col("_qv"), F.col("_cv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
 PQ_INDEX_FORMAT_VERSION = 1
 
 
