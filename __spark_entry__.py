@@ -1682,6 +1682,38 @@ def q_pq_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_search_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVFADC (round 11, Jégou et al. 2011 §IV-A): PQ codebooks
+    train on coarse-quantizer RESIDUALS — r = (q(x) - c_list) / 2^20,
+    exact integer arithmetic scaled by a power of two, so every
+    residual component is an exactly-representable double — and search
+    builds the ADC lookup table per (query, probed list) from the
+    query's residual against THAT list's centroid.  Residual encoding
+    spends the codebook's resolution on within-list structure instead
+    of re-describing the centroid (the accuracy-critical half of the
+    FAISS recipe).  The oracle replays the full composition: coarse
+    integer build, residual computation, md5-gated sampled-fit subspace
+    chains over residual slices, full-corpus residual encode, probe
+    selection, and the per-pair LUT fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, cents = similarity.ivf_build_index_exact(
+        emb, n_lists=16, lloyd_iters=2
+    )
+    res = similarity.pq_residuals(assigned, cents)
+    cb = similarity.pq_train(
+        res, m=4, k=8, n_assign=2, emb_col="_rv", fit_fraction=0.5
+    )
+    enc = similarity.pq_encode(
+        res, cb, m=4, emb_col="_rv", extra_cols=["_list"]
+    )
+    return similarity.pq_search_ivf_residual(
+        enc, cb, cents, queries_df, k=10, m=4, n_probe=4
+    )
+
+
 def q_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC + exact re-rank (round 11 — the complete FAISS two-stage
     recipe): the composed IVF-PQ search shortlists 50 candidates per
@@ -4555,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search_ivf": q_pq_search_ivf,
         "pq_search_ivf_persisted": q_pq_search_ivf_persisted,
         "pq_search_rerank": q_pq_search_rerank,
+        "pq_search_ivf_residual": q_pq_search_ivf_residual,
         "curate_scored_persisted": q_curate_scored_persisted,
     # ---- (1b) never CLEANLY driver-checked, rows-only ----
         "video_pipeline": q_video_pipeline,
@@ -4605,8 +4638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_sketch": q_percentile_sketch,
         "profile_table": q_profile_table,
         "promo_revenue_share": q_promo_revenue_share,
-        "quantize_recall": q_quantize_recall,
     # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "quantize_recall": q_quantize_recall,
         "range_windows": q_range_windows,
         "export_mixture": q_export_mixture,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -5657,6 +5690,147 @@ def oracle_pq_search_ivf_sql(
             ) WHERE rank <= {topk}
         """
         )
+    return "".join(parts)
+
+
+def oracle_pq_ivf_residual_sql(
+    ivf_base: str,
+    ivf_lloyd: str,
+    ivf_d2: str,
+    m: int = 4,
+    k: int = 8,
+    n_assign: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    n_queries: int = 5,
+    n_probe: int = 4,
+    fit_micro: int = 500_000,
+) -> str:
+    """DuckDB oracle for TRUE IVFADC (q_pq_search_ivf_residual): the
+    coarse integer build, exact residuals (qv - c)/2^20 per assigned
+    point, md5-gated sampled-fit subspace Lloyd chains over RESIDUAL
+    slices, full-corpus residual encode, probe selection, and the
+    per-(query, list) residual LUT fold in Spark's left-to-right
+    order."""
+    sub = dim // m
+    gate = (
+        "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) "
+        f"% 1000000 < {fit_micro}"
+    )
+    parts = [f"""
+            WITH {ivf_base},
+            {ivf_lloyd},
+            rv AS (
+                SELECT a.vec_id, a.l,
+                       list_transform(range(1, {dim + 1}),
+                           i -> (a.qv[i] - c.c[i]) / 1048576.0) AS r
+                FROM a2 a JOIN c2 c USING (l)
+            )"""]
+    lastc = n_assign - 1
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f""", s{s}p AS (
+                SELECT vec_id, r[{lo}:{hi}] AS sx FROM rv
+            ), s{s}pf AS (
+                SELECT vec_id, sx FROM s{s}p WHERE {gate}
+            ), s{s}c0 AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                           AS cid,
+                       sx AS c
+                FROM (SELECT vec_id, sx FROM s{s}pf ORDER BY vec_id LIMIT {k})
+            )"""
+        )
+        for i in range(1, n_assign):
+            parts.append(
+                f""", s{s}a{i} AS (
+                SELECT vec_id, sx, cid FROM (
+                    SELECT p.vec_id, p.sx, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.sx, c.c) ASC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM s{s}pf p CROSS JOIN s{s}c{i - 1} c
+                ) WHERE rn = 1
+            ), s{s}u{i} AS (
+                SELECT cid, dim,
+                       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
+                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS val
+                FROM (
+                    SELECT cid, CAST(generate_subscripts(sx, 1) - 1 AS INT)
+                               AS dim,
+                           unnest(sx) AS v
+                    FROM s{s}a{i}
+                )
+                GROUP BY cid, dim
+            ), s{s}c{i} AS (
+                SELECT cid, list(val ORDER BY dim) AS c
+                FROM s{s}u{i} GROUP BY cid
+            )"""
+            )
+        parts.append(
+            f""", s{s}e AS (
+                SELECT vec_id, cid FROM (
+                    SELECT p.vec_id, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.sx, c.c) ASC,
+                                        c.cid ASC
+                           ) AS rn
+                    FROM s{s}p p CROSS JOIN s{s}c{lastc} c
+                ) WHERE rn = 1
+            )"""
+        )
+    dist_terms = " + ".join(
+        f"list_distance(q.r[{s * sub + 1}:{(s + 1) * sub}], c{s}.c)"
+        for s in range(m)
+    )
+    pq_joins = " ".join(
+        f"JOIN s{s}e e{s} ON e{s}.vec_id = p.vec_id "
+        f"JOIN s{s}c{lastc} c{s} ON c{s}.cid = e{s}.cid"
+        for s in range(m)
+    )
+    probe_d2 = ivf_d2.format(a="q.qqv", c="c.c")
+    parts.append(
+        f""", qs AS (
+                SELECT vec_id AS query_id, qv AS qqv
+                FROM base WHERE vec_id < {n_queries}
+            ), pd AS (
+                SELECT q.query_id, c.l, {probe_d2} AS d2
+                FROM qs q CROSS JOIN c2 c
+            ), pr AS (
+                SELECT query_id, l FROM (
+                    SELECT query_id, l,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY d2 ASC, l ASC) AS rn
+                    FROM pd
+                ) WHERE rn <= {n_probe}
+            ), qr AS (
+                SELECT p.query_id, p.l,
+                       list_transform(range(1, {dim + 1}),
+                           i -> (q.qqv[i] - c.c[i]) / 1048576.0) AS r
+                FROM pr p
+                JOIN c2 c USING (l)
+                JOIN qs q USING (query_id)
+            ), adc AS (
+                SELECT q.query_id, p.vec_id,
+                       ROUND({dist_terms}, 6) AS approx_dist
+                FROM rv p
+                JOIN qr q ON q.l = p.l
+                {pq_joins}
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank, approx_dist
+            FROM (
+                SELECT query_id, vec_id, approx_dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY approx_dist ASC, vec_id ASC
+                       ) AS rank
+                FROM adc
+            ) WHERE rank <= {topk}
+        """
+    )
     return "".join(parts)
 
 
@@ -9070,6 +9244,11 @@ def oracle_sql() -> dict[str, str]:
         _ivf_base, _ivf_lloyd_ctes("base"), _ivf_d2,
         m=4, k=8, n_assign=2, dim=64, topk=10, n_probe=4,
         fit_micro=500_000, rerank_shortlist=50,
+    )
+    sqls["pq_search_ivf_residual"] = oracle_pq_ivf_residual_sql(
+        _ivf_base, _ivf_lloyd_ctes("base"), _ivf_d2,
+        m=4, k=8, n_assign=2, dim=64, topk=10, n_probe=4,
+        fit_micro=500_000,
     )
     # SemDeDup (round 9): the kmeans chain re-unrolled on the unit
     # sphere + canonical-neighbor prune; auto-k replayed as a scalar CTE.

@@ -397,3 +397,61 @@ def test_pq_search_rerank_exact_order_on_covered_blobs(spark):
     )
     exact = _rows(similarity.brute_force_topk(corpus, queries, k=5))
     assert got == exact and got
+
+
+# ---------------------------------------------------------------------------
+# true IVFADC (r11): PQ over coarse-quantizer residuals — exact
+# reconstruction law, and blob-level retrieval through the per-(query,
+# list) residual LUT path.
+# ---------------------------------------------------------------------------
+
+
+def test_pq_residuals_exact_reconstruction(spark):
+    """r = (qv - c)/2^20 must reconstruct qv EXACTLY (r*2^20 + c == qv
+    component-wise) — the law that makes residual PQ oracle-replayable."""
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=20, n_clusters=2, dim=8)
+    assigned, cents = similarity.ivf_build_index_exact(
+        corpus, n_lists=4, lloyd_iters=2
+    )
+    res = similarity.pq_residuals(assigned, cents)
+    qv = {r["vec_id"]: list(r["_qv"]) for r in assigned.collect()}
+    cent = {l: list(c) for l, c in cents}
+    for row in res.collect():
+        want = [
+            (a - b) / float(1 << 20)
+            for a, b in zip(qv[row["vec_id"]], cent[row["_list"]])
+        ]
+        got = list(row["_rv"])
+        assert got == want, row["vec_id"]
+        recon = [g * float(1 << 20) + b for g, b in zip(got, cent[row["_list"]])]
+        assert recon == [float(x) for x in qv[row["vec_id"]]]
+
+
+def test_pq_search_ivf_residual_blob_retrieval(spark):
+    """Residual IVFADC retrieves from the query's own blob (the same
+    planted contract as the raw-vector composition) and returns a full
+    deterministic k per query."""
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=30, n_clusters=4, dim=8, seed=11)
+    assigned, cents = similarity.ivf_build_index_exact(
+        corpus, n_lists=8, lloyd_iters=2
+    )
+    res = similarity.pq_residuals(assigned, cents)
+    cb = similarity.pq_train(res, m=2, k=4, n_assign=2, emb_col="_rv")
+    enc = similarity.pq_encode(res, cb, m=2, emb_col="_rv", extra_cols=["_list"])
+    queries = corpus.filter(F.col("vec_id").isin(0, 35, 65, 95)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.pq_search_ivf_residual(
+        enc, cb, cents, queries, k=10, m=2, n_probe=4
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(by_q) == {0, 35, 65, 95}
+    for qid, ids in by_q.items():
+        assert len(ids) == 10
+        assert all(v // 30 == qid // 30 for v in ids), (qid, ids)

@@ -815,6 +815,194 @@ def pq_search_ivf_adc(
     )
 
 
+def _ivf_centroid_rel(centroids, spark) -> DataFrame:
+    """Exact-IVF centroids as a k-row relation (_list, _c int-array) —
+    the per-row join form for residual computation (the one-row cs
+    relation of :func:`_cs_rel` is the argmin form)."""
+    if isinstance(centroids, DataFrame):
+        # one-row cs relation -> explode to k rows
+        return centroids.select(
+            F.explode("cs").alias("_e")
+        ).select(F.col("_e.l").alias("_list"), F.col("_e.c").alias("_c"))
+    return spark.createDataFrame(
+        [(int(l), [int(x) for x in c]) for l, c in centroids],
+        "_list int, _c array<bigint>",
+    )
+
+
+def pq_residuals(
+    assigned: DataFrame,
+    centroids: "list[tuple[int, list[int]]] | DataFrame",
+    id_col: str = "vec_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Coarse-quantizer RESIDUALS for true IVFADC (Jégou et al. 2011
+    §IV-A): r = (q(x) - c_list) / 2^scale_bits, where q(x) is the
+    exact-integer quantization the coarse index already stores (``_qv``)
+    and c_list its assigned centroid.  Integer subtraction scaled by a
+    power of two — every residual component is an exactly-representable
+    double, so residual PQ training/encoding/search stays
+    oracle-replayable, which float residuals would not be.
+
+    Residual encoding is the accuracy-critical half of IVFADC: raw
+    vectors within a list share their centroid's offset, so encoding
+    the OFFSET-FREE residual spends the codebook's resolution on the
+    within-list structure instead of re-describing the centroid.
+
+    Input: the (id, _cv, _qv, _list) relation of
+    :func:`ivf_build_index_exact` / :func:`ivf_assign_exact`.
+    Output: (id, _list, _rv array<double>) — one broadcast join, narrow."""
+    cent = _ivf_centroid_rel(centroids, assigned.sparkSession)
+    scale = float(1 << scale_bits)
+    return assigned.join(F.broadcast(cent), "_list").select(
+        F.col(id_col),
+        F.col("_list"),
+        F.zip_with(
+            "_qv", "_c", lambda a, b: (a - b) / F.lit(scale)
+        ).alias("_rv"),
+    )
+
+
+def pq_search_ivf_residual(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    centroids: "list[tuple[int, list[int]]] | DataFrame",
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """True-IVFADC search over RESIDUAL codes: the lookup table is built
+    per (query, probed list) from the query's residual AGAINST THAT
+    LIST's centroid — n_q x n_probe LUTs of m*k entries each, still
+    parameter-sized — then candidates in the list sum their code's m
+    lookups exactly as in :func:`pq_search_ivf_adc`.
+
+    ``encoded``: (id, _list, codes) over residuals — from
+    ``pq_encode(pq_residuals(assigned, cents), books, m,
+    emb_col="_rv", extra_cols=["_list"])``.
+
+    Plan shape identical to the raw-vector composition (broadcast
+    probes/LUTs, pruned narrow scan, one top-k window); only the LUT
+    construction gains the per-list centroid join — against the k-row
+    centroid relation, broadcast."""
+    spark = queries.sparkSession
+    q = queries.select(
+        F.col(query_id_col),
+        _quantize_ints(as_double_array(F.col(vec_col)), scale_bits).alias(
+            "_qv_i"
+        ),
+    ).crossJoin(F.broadcast(_cs_rel(centroids, spark)))
+    probed = q.withColumn(
+        "_list",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        _cs_struct_dists(F.col("_qv_i"), F.col("cs"))
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s.getField("l"),
+            )
+        ),
+    ).select(query_id_col, "_qv_i", "_list")
+    # per-(query, list) residual of the query against the probed list's
+    # centroid — the defining IVFADC step
+    scale = float(1 << scale_bits)
+    cent = _ivf_centroid_rel(centroids, spark)
+    qres = probed.join(F.broadcast(cent), "_list").select(
+        query_id_col,
+        "_list",
+        F.zip_with(
+            "_qv_i", "_c", lambda a, b: (a - b) / F.lit(scale)
+        ).alias("_qr"),
+    )
+    # m*k LUT per (query, list) row — same collapsed-codebook + dense
+    # guard as _pq_query_lut, keyed by the pair instead of the query
+    cb = (
+        codebooks.select(
+            F.struct(
+                F.col("subspace").alias("s"),
+                F.col("cluster_id").alias("c"),
+                F.col("centroid").alias("v"),
+            ).alias("_e")
+        ).agg(F.sort_array(F.collect_list("_e")).alias("_cb"))
+    )
+    first = queries.select(F.size(as_double_array(F.col(vec_col)))).first()
+    dim = int(first[0]) if first else 0
+    if m < 1 or (first is not None and dim % m != 0):
+        raise ValueError(
+            f"pq_search_ivf_residual: dim {dim} not divisible by m={m}"
+        )
+    sub = dim // m if m else 0
+    kk = F.size(F.filter(F.col("_cb"), lambda e: e["s"] == 0))
+    lut = F.transform(
+        F.col("_cb"),
+        lambda e: euclidean_distance(
+            F.slice(F.col("_qr"), e["s"] * F.lit(sub) + 1, sub), e["v"]
+        ),
+    )
+    dense = F.aggregate(
+        F.zip_with(
+            F.col("_cb"),
+            F.sequence(F.lit(0), F.size(F.col("_cb")) - 1),
+            lambda e, i: (e["s"] == (i / kk).cast("int"))
+            & (e["c"] == F.pmod(i, kk)),
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    ) & (F.size(F.col("_cb")) == F.lit(m) * kk)
+    qlut = qres.crossJoin(F.broadcast(cb)).select(
+        query_id_col,
+        "_list",
+        kk.alias("_k"),
+        F.when(dense, lut)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "pq_search_ivf_residual: codebook (subspace, cluster_id)"
+                    " ids are not dense — a cluster emptied during training"
+                )
+            )
+        )
+        .alias("_lut"),
+    )
+    scored = encoded.join(
+        F.broadcast(qlut), ["_list"]
+    ).select(
+        query_id_col,
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, s: F.element_at(
+                        F.col("_lut"), (s * F.col("_k") + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("approx_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "approx_dist")
+    )
+
+
 def pq_search_rerank(
     encoded: DataFrame,
     codebooks: DataFrame,
