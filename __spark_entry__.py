@@ -3056,6 +3056,62 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-DAY SemDeDup lifecycle through the versioned ARTIFACT (round
+    11 — the daily loop closed end to end): exact build on 80% of the
+    embeddings -> save_semantic_state -> day-1 batch (the %10==0 half
+    of the holdout + collinear x2 copies of corpus members) judged and
+    its keepers FOLDED back in (semantic_dedup_daily = load -> judge ->
+    append, version 1->2) -> day-2 batch (the %10==5 half + collinear
+    x3 copies of day-1 members) judged against the GROWN kept-set
+    (version 2->3).  Output: the day-2 audit.  Day-2 copies of day-1
+    keepers prune ONLY if the day-1 fold actually landed, so the oracle
+    — which replays build, both frozen-centroid assignments, both prune
+    rules, and the kept-set union between days — differentially checks
+    the fold itself, not just each judge."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    audit, cents = similarity.semantic_dedup_build(corpus, threshold=0.9, k="auto")
+    kept = (
+        audit.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    path = tempfile.mkdtemp(prefix="yellowrush_semstate_")
+    atexit.register(shutil.rmtree, path, True)
+    similarity.save_semantic_state(kept, cents, path)
+    day1 = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(
+            corpus.filter(F.col("vec_id") < 10).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+                ).alias("embedding"),
+            )
+        )
+    )
+    similarity.semantic_dedup_daily(day1, path, threshold=0.9)
+    day2 = (
+        emb.filter(F.col("vec_id") % 10 == 5)
+        .select("vec_id", "embedding")
+        .unionByName(
+            emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 40)).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x * F.lit(3.0)).cast("float")
+                ).alias("embedding"),
+            )
+        )
+    )
+    return similarity.semantic_dedup_daily(day2, path, threshold=0.9)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 PageRank over the bidirectional customer--supplier trade
     graph (3 fixed iterations, damping 0.85) — INTEGER fixed-point mass,
@@ -4588,6 +4644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search_ivf_persisted": q_pq_search_ivf_persisted,
         "pq_search_rerank": q_pq_search_rerank,
         "pq_search_ivf_residual": q_pq_search_ivf_residual,
+        "semantic_dedup_daily": q_semantic_dedup_daily,
         "curate_scored_persisted": q_curate_scored_persisted,
     # ---- (1b) never CLEANLY driver-checked, rows-only ----
         "video_pipeline": q_video_pipeline,
@@ -4637,8 +4694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_fit": q_ols_fit,
         "percentile_sketch": q_percentile_sketch,
         "profile_table": q_profile_table,
-        "promo_revenue_share": q_promo_revenue_share,
     # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "promo_revenue_share": q_promo_revenue_share,
         "quantize_recall": q_quantize_recall,
         "range_windows": q_range_windows,
         "export_mixture": q_export_mixture,
@@ -6041,6 +6098,159 @@ def oracle_semantic_dedup_incremental_sql(
                              THEN 1 ELSE 0 END AS INT) AS keep
             FROM ab b LEFT JOIN stats s ON b.vec_id = s.pid
         """.format(last=n_assign, lastc=n_assign - 1, thr=threshold, norm=norm)
+    )
+    return "".join(parts)
+
+
+def oracle_semantic_dedup_daily_sql(
+    n_assign: int = 3,
+    threshold: float = 0.9,
+    target_cluster_size: int = 64,
+) -> str:
+    """DuckDB oracle for q_semantic_dedup_daily — the TWO-DAY artifact
+    lifecycle: the corpus build chain of
+    :func:`oracle_semantic_dedup_incremental_sql` (normalization,
+    auto-k, Lloyd rounds, corpus prune -> keptc), then day 1 judged
+    against keptc under the frozen final centroids, the kept-set GROWN
+    by day-1 keepers (the append_semantic_state fold, replayed as a
+    plain UNION), and day 2 judged against the grown set.  Emits the
+    day-2 audit."""
+    norm = (
+        "list_transform(embedding::DOUBLE[], "
+        "x -> x / sqrt(list_dot_product(embedding::DOUBLE[], "
+        "embedding::DOUBLE[])))"
+    )
+    parts = [
+        """
+            WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+            ), pts AS (
+                SELECT vec_id, {norm} AS x FROM corpus
+            ), kk AS (
+                SELECT GREATEST(8, LEAST(COUNT(*),
+                           CAST(CEIL(COUNT(*) / {target}.0) AS BIGINT))) AS k
+                FROM pts
+            ), c0 AS (
+                SELECT CAST(rn - 1 AS INT) AS cid, x AS c
+                FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                      FROM pts) CROSS JOIN kk
+                WHERE rn <= kk.k
+            )""".format(norm=norm, target=target_cluster_size)
+    ]
+    for i in range(1, n_assign + 1):
+        parts.append(
+            """, a{i} AS (
+                SELECT vec_id, x, cid, d FROM (
+                    SELECT p.vec_id, p.x, c.cid, list_distance(p.x, c.c) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.x, c.c) ASC, c.cid ASC
+                           ) AS rn
+                    FROM pts p CROSS JOIN c{j} c
+                ) WHERE rn = 1
+            )""".format(i=i, j=i - 1)
+        )
+        if i < n_assign:
+            parts.append(
+                """, u{i} AS (
+                SELECT cid, dim,
+                       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
+                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE) AS val
+                FROM (
+                    SELECT cid, CAST(generate_subscripts(x, 1) - 1 AS INT) AS dim,
+                           unnest(x) AS v
+                    FROM a{i}
+                )
+                GROUP BY cid, dim
+            ), c{i} AS (
+                SELECT cid, list(val ORDER BY dim) AS c FROM u{i} GROUP BY cid
+            )""".format(i=i)
+            )
+    parts.append(
+        """, fin AS (
+                SELECT vec_id, x, cid, ROUND(d, 6) AS dist FROM a{last}
+            ), nbrc AS (
+                SELECT pp.vec_id AS pid,
+                       MAX(CASE WHEN q.dist < pp.dist
+                                  OR (q.dist = pp.dist AND q.vec_id < pp.vec_id)
+                                THEN 1 ELSE 0 END) AS pruned
+                FROM fin pp JOIN fin q
+                  ON pp.cid = q.cid AND pp.vec_id <> q.vec_id
+                WHERE ROUND(list_dot_product(pp.x, q.x), 6) >= {thr}
+                GROUP BY pp.vec_id
+            ), keptc AS (
+                SELECT f.vec_id, f.cid, f.x
+                FROM fin f LEFT JOIN nbrc n ON f.vec_id = n.pid
+                WHERE COALESCE(n.pruned, 0) = 0
+            )""".format(last=n_assign, thr=threshold)
+    )
+
+    def _day(tag: str, batch_sql: str, kept_rel: str) -> str:
+        return """, {tag}all AS ({batch}
+            ), {tag}pts AS (
+                SELECT vec_id, {norm} AS x FROM {tag}all
+            ), {tag}a AS (
+                SELECT vec_id, x, cid, ROUND(d, 6) AS dist FROM (
+                    SELECT p.vec_id, p.x, c.cid, list_distance(p.x, c.c) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.x, c.c) ASC, c.cid ASC
+                           ) AS rn
+                    FROM {tag}pts p CROSS JOIN c{lastc} c
+                ) WHERE rn = 1
+            ), {tag}nbr AS (
+                SELECT b.vec_id AS pid, 1 AS flag
+                FROM {tag}a b JOIN {kept} k2 ON b.cid = k2.cid
+                WHERE ROUND(list_dot_product(b.x, k2.x), 6) >= {thr}
+                UNION ALL
+                SELECT p.vec_id AS pid,
+                       CASE WHEN q.dist < p.dist
+                              OR (q.dist = p.dist AND q.vec_id < p.vec_id)
+                            THEN 1 ELSE 0 END AS flag
+                FROM {tag}a p JOIN {tag}a q
+                  ON p.cid = q.cid AND p.vec_id <> q.vec_id
+                WHERE ROUND(list_dot_product(p.x, q.x), 6) >= {thr}
+            ), {tag}stats AS (
+                SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_close,
+                       MAX(flag) AS pruned
+                FROM {tag}nbr GROUP BY pid
+            )""".format(
+            tag=tag, batch=batch_sql, norm=norm, lastc=n_assign - 1,
+            kept=kept_rel, thr=threshold,
+        )
+
+    d1_batch = """
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+                FROM embeddings WHERE vec_id < 10 AND vec_id % 5 <> 0"""
+    d2_batch = """
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 5
+                UNION ALL
+                SELECT vec_id + 200000,
+                       list_transform(embedding, x -> CAST(x * 3 AS FLOAT))
+                FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 40"""
+    parts.append(_day("d1", d1_batch, "keptc"))
+    # the append_semantic_state fold: kept-set grown by day-1 keepers
+    parts.append(
+        """, kept2 AS (
+                SELECT vec_id, cid, x FROM keptc
+                UNION ALL
+                SELECT a.vec_id, a.cid, a.x
+                FROM d1a a LEFT JOIN d1stats s ON a.vec_id = s.pid
+                WHERE COALESCE(s.pruned, 0) = 0
+            )"""
+    )
+    parts.append(_day("d2", d2_batch, "kept2"))
+    parts.append(
+        """
+            SELECT b.vec_id, CAST(b.cid AS INT) AS cluster_id, b.dist,
+                   CAST(COALESCE(s.n_close, 0) AS BIGINT) AS n_close,
+                   CAST(CASE WHEN COALESCE(s.pruned, 0) = 0
+                             THEN 1 ELSE 0 END AS INT) AS keep
+            FROM d2a b LEFT JOIN d2stats s ON b.vec_id = s.pid
+        """
     )
     return "".join(parts)
 
@@ -9260,6 +9470,12 @@ def oracle_sql() -> dict[str, str]:
     # deliberately absent here (rows-only): MLlib k-means|| is
     # engine-internal.
     sqls["semantic_dedup_incremental"] = oracle_semantic_dedup_incremental_sql(
+        n_assign=3, threshold=0.9, target_cluster_size=64
+    )
+    # round 11: the two-day artifact lifecycle — the kept-set fold
+    # between days replayed as a plain UNION, so the append itself is
+    # differentially checked, not just each day's judge
+    sqls["semantic_dedup_daily"] = oracle_semantic_dedup_daily_sql(
         n_assign=3, threshold=0.9, target_cluster_size=64
     )
 
