@@ -455,3 +455,38 @@ def test_pq_search_ivf_residual_blob_retrieval(spark):
     for qid, ids in by_q.items():
         assert len(ids) == 10
         assert all(v // 30 == qid // 30 for v in ids), (qid, ids)
+
+
+def test_pq_index_encoding_dispatch(spark, tmp_path):
+    """The artifact records what its codes quantize (raw vs residual);
+    pq_search_index dispatches on that marker and must equal the direct
+    call — the wrong LUT on a code set is silently wrong distances."""
+    import json
+
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=30, n_clusters=4, dim=8, seed=11)
+    assigned, cents = similarity.ivf_build_index_exact(
+        corpus, n_lists=8, lloyd_iters=2
+    )
+    res = similarity.pq_residuals(assigned, cents)
+    cb = similarity.pq_train(res, m=2, k=4, n_assign=2, emb_col="_rv")
+    enc = similarity.pq_encode(res, cb, m=2, emb_col="_rv", extra_cols=["_list"])
+    queries = corpus.filter(F.col("vec_id").isin(0, 65)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pq_res")
+    similarity.save_pq_index(enc, cb, cents, path, encoding="residual")
+    meta = json.loads((tmp_path / "pq_res" / "meta.json").read_text())
+    assert meta["encoding"] == "residual" and meta["m"] == 2
+    via_index = _rows(
+        similarity.pq_search_index(spark, path, queries, k=5, n_probe=4)
+    )
+    direct = _rows(
+        similarity.pq_search_ivf_residual(
+            enc, cb, cents, queries, k=5, m=2, n_probe=4
+        )
+    )
+    assert via_index == direct and via_index
+    with pytest.raises(ValueError, match="encoding"):
+        similarity.save_pq_index(enc, cb, cents, path, encoding="opq")

@@ -1076,7 +1076,11 @@ PQ_INDEX_FORMAT_VERSION = 1
 
 
 def save_pq_index(
-    encoded: DataFrame, codebooks: DataFrame, centroids, path: str
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    centroids,
+    path: str,
+    encoding: str = "raw",
 ) -> None:
     """Persist a composed IVF-PQ index as a versioned artifact — the
     compressed sibling of :func:`save_ivf_index`: the (id, _list,
@@ -1084,7 +1088,15 @@ def save_pq_index(
     search probing ``n_probe`` lists prunes to those partitions at the
     scan), the PQ codebooks to their own parameter-sized parquet, the
     coarse centroids to JSON, and ``meta.json`` pins the format version
-    plus m/k so a loader refuses incompatible layouts."""
+    plus m/k so a loader refuses incompatible layouts.
+
+    ``encoding`` records WHAT the codes quantize — ``"raw"`` vectors
+    (:func:`pq_search_ivf_adc`) or coarse-quantizer ``"residual"``s
+    (:func:`pq_search_ivf_residual`).  Searching residual codes with
+    the raw-vector LUT (or vice versa) returns silently wrong distances,
+    so the marker lets a loader dispatch — and refuse — correctly."""
+    if encoding not in ("raw", "residual"):
+        raise ValueError(f"encoding must be 'raw' or 'residual', got {encoding!r}")
     import json as _json
     import os as _os
 
@@ -1114,6 +1126,7 @@ def save_pq_index(
             {
                 "format_version": PQ_INDEX_FORMAT_VERSION,
                 "kind": "exact" if exact else "float",
+                "encoding": encoding,
                 "n_lists": len(payload),
                 "m": int(mk["_m"]) if mk and mk["_m"] is not None else 0,
                 "k": int(mk["_k"]) if mk and mk["_k"] is not None else 0,
@@ -1156,6 +1169,40 @@ def load_pq_index(spark, path: str):
     encoded = spark.read.parquet(_os.path.join(path, "codes.parquet"))
     codebooks = spark.read.parquet(_os.path.join(path, "codebooks.parquet"))
     return encoded, codebooks, centroids, meta
+
+
+def pq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    **search_kwargs,
+):
+    """Search a persisted IVF-PQ artifact — loads it and DISPATCHES on
+    the recorded ``encoding``: raw codes go through
+    :func:`pq_search_ivf_adc`, residual codes through
+    :func:`pq_search_ivf_residual` (whose LUTs are built from per-list
+    query residuals).  Running the wrong LUT against a code set returns
+    silently wrong distances, which is exactly why the artifact records
+    what its codes quantize; ``m`` comes from the artifact too, so a
+    caller cannot mis-slice."""
+    encoded, codebooks, centroids, meta = load_pq_index(spark, path)
+    fn = (
+        pq_search_ivf_residual
+        if meta.get("encoding") == "residual"
+        else pq_search_ivf_adc
+    )
+    return fn(
+        encoded,
+        codebooks,
+        centroids,
+        queries,
+        k=k,
+        m=int(meta["m"]),
+        n_probe=n_probe,
+        **search_kwargs,
+    )
 
 
 def embedding_cosine_dedup(
