@@ -622,3 +622,69 @@ def test_streaming_quantile_state_maintenance_matches_batch(spark, sf_small, tmp
         key=lambda r: (r["event_type"], r["p"]),
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_semantic_dedup_across_batches(spark, sf_small, tmp_path):
+    """Round 11: the embedding-tier stateful member — cluster-keyed
+    state must prune a collinear copy arriving in a LATER micro-batch
+    against its batch-1 original (cross-batch incumbent-wins), keep
+    fresh docs, and report the claiming incumbent."""
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+    from yellowrush_spark_ml_pipeline_spark.streaming.stateful import (
+        streaming_semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 200)
+    _, cents = similarity.semantic_dedup_build(base, threshold=0.9999, k="auto")
+    copies = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    fresh = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 210)
+    )
+    src = str(tmp_path / "emb_two_batches")
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    copies.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+
+    stream_df = streaming_semantic_dedup(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        cents,
+        threshold=0.9999,
+        max_files_per_trigger=1,
+    )
+    assert stream_df.isStreaming
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("sem_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(180)
+    finally:
+        query.stop()
+
+    rows = {
+        r.vec_id: r
+        for r in spark.sql("SELECT * FROM sem_dedup_stream").collect()
+    }
+    assert len(rows) == 220
+    # batch-1 originals: all kept (no collinear twins among real rows at
+    # threshold 0.9999)
+    assert all(rows[i].keep == 1 for i in range(200))
+    # batch-2 collinear copies pruned by their batch-1 incumbents —
+    # cross-batch state, with the claiming incumbent reported
+    for d in range(10):
+        r = rows[900000 + d]
+        assert r.keep == 0 and r.matched_id == d, (d, r)
+    # fresh batch-2 docs survive
+    assert all(rows[i].keep == 1 for i in range(200, 210))

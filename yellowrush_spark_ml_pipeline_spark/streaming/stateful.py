@@ -412,3 +412,154 @@ def streaming_near_dup_candidates(
     # batch dedup is the consumer's verify join's job (state cannot span
     # buckets without a second shuffle)
     return cands
+
+
+def streaming_semantic_dedup(
+    spark,
+    source_path: str,
+    schema: StructType,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_members: int = 512,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming SemDeDup — the embedding-tier member of the stateful
+    family (the semantic sibling of :func:`streaming_near_dup_candidates`):
+    judge a continuous stream of embeddings against everything already
+    KEPT, under FROZEN cluster geometry from a prior
+    ``semantic_dedup_build``.
+
+    Per row, JVM-side and narrow: normalize + argmin against the frozen
+    centroid literals (the ``ivf_assign`` expression — no shuffle, no
+    Python).  The ONE stateful hop keys the state store by cluster_id;
+    state is the cluster's kept members — (ids, normalized vectors),
+    capped at ``max_cluster_members``.  An arriving doc is judged
+    against the stored members (cosine >= ``threshold`` -> pruned,
+    emitting the incumbent that claimed it); survivors are appended to
+    state and emitted with ``keep = 1``.
+
+    Semantics contract, stated honestly: a stream cannot retroactively
+    prune an earlier keeper, so ARRIVAL order (micro-batch order, then
+    id order within a batch) is canonicality — first-seen wins.  The
+    batch judge (:func:`...similarity.semantic_dedup_incremental`)
+    instead uses centroid-distance canonicality within a batch; on
+    planted collinear duplicates the two agree (the original precedes
+    its copies), and the cross-batch incumbent rule is identical.
+
+    State memory: O(kept x dim) doubles per cluster, bounded by the
+    cap.  A cluster at cap keeps judging arrivals against its stored
+    members but stops STORING new keepers (they are emitted keep=1 and
+    forgotten — a documented recall bound, the same guard shape as the
+    MinHash tier's ``max_bucket_size``); production pairs the cap with
+    the IVF sizing n_lists ~ sqrt(n) so expected membership stays far
+    below it.
+
+    Output: (vec_id, cluster_id, keep INT, matched_id — the claiming
+    incumbent, NULL for keepers)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from ..functions.vector import as_double_array, normalize
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    v = normalize(as_double_array(F.col(emb_col)))
+    dists = F.array(
+        *[
+            F.struct(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            F.array(*[F.lit(float(x)) for x in ctr]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d"),
+                F.lit(i).alias("l"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    assigned = stream.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.array_sort(dists)[0].getField("l").alias("cluster_id"),
+        v.alias("_v"),
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster_id", IntegerType()),
+            StructField("keep", IntegerType()),
+            StructField("matched_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def judge(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, vecs = list(state.get[0]), [list(x) for x in state.get[1]]
+        else:
+            ids, vecs = [], []
+        kept_mat = np.array(vecs, dtype=np.float64) if vecs else None
+        out_id, out_keep, out_match = [], [], []
+        rows = []
+        for pdf in pdfs:
+            for r_id, r_v in zip(pdf[id_col], pdf["_v"]):
+                rows.append((int(r_id), np.asarray(r_v, dtype=np.float64)))
+        rows.sort(key=lambda t: t[0])  # id order within the micro-batch
+        for doc_id, vec in rows:
+            match = None
+            if kept_mat is not None and len(kept_mat):
+                cos = np.round(kept_mat @ vec, 6)
+                hits = np.nonzero(cos >= threshold)[0]
+                if hits.size:
+                    match = ids[int(hits[0])]  # first (oldest) incumbent
+            if match is not None:
+                out_id.append(doc_id)
+                out_keep.append(0)
+                out_match.append(match)
+            else:
+                out_id.append(doc_id)
+                out_keep.append(1)
+                out_match.append(None)
+                if len(ids) < max_cluster_members:
+                    ids.append(doc_id)
+                    vecs.append([float(x) for x in vec])
+                    kept_mat = np.array(vecs, dtype=np.float64)
+        state.update((ids, vecs))
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "cluster_id": [int(key[0])] * len(out_id),
+                    "keep": out_keep,
+                    "matched_id": pd.array(out_match, dtype="Int64"),
+                }
+            )
+
+    return assigned.groupBy("cluster_id").applyInPandasWithState(
+        judge,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
