@@ -4627,15 +4627,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r10 verdict's video_pipeline crack); (2) entries whose
     # implementation or oracle CHANGED this round re-enter the window;
     # (3) remaining slots rotate through the stalest last-green entries.
-    # Round 11: the three new queries lead, video_pipeline re-enters as
-    # never-cleanly-checked (its only r5 row errored in the driver
-    # canonicalizer; the output fix has been in the tree since), the
-    # eight round-11-touched entries re-verify, the ENTIRE stale
+    # Round 11: the six new oracle-backed queries lead (the IVF-PQ tier:
+    # composed/persisted/re-rank/residual; the two-day semantic
+    # lifecycle; the persisted-score classifier gate), video_pipeline
+    # re-enters as never-cleanly-checked (its only r5 row errored in the
+    # driver canonicalizer; the output fix has been in the tree since),
+    # the eight round-11-touched entries re-verify, the ENTIRE stale
     # rows-only tail drains (sketch_stats r2 ... multimodal_features r7
     # — after this window no rows-only entry's last clean presentation
-    # is older than r10), and the remaining 32 slots take the 3 r5-stale
+    # is older than r10), and the remaining slots take the 3 r5-stale
     # then alphabetically-first r6-stale oracle entries (the r6 tail
-    # continues in r12: readability, salted_agg, skew_join, ...).  Every
+    # continues in r12: promo_revenue_share, quantize_recall,
+    # range_windows, readability, salted_agg, skew_join, ...).  Every
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
