@@ -1483,6 +1483,28 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing WITH repetition (round 11 — the
+    data-constrained UP-sampling half): target = 3x the corpus
+    (target_factor_milli=3000, derived from the data in exact integers
+    so the oracle needs no driver-side count), uncapped sqrt-flattened
+    rates expressed as epochs — each doc yields rate div 1e6 guaranteed
+    copies plus a Lehmer-hash partial-epoch draw, ceilinged at 4 epochs
+    (the published diminishing-returns bound).  The per-(source, epoch)
+    audit pins the EXACT replication set: id_sum per epoch can't match
+    unless both engines replicated identical documents identical
+    numbers of times."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.temperature_mixture_upsample(
+        docs, "source", "doc_id", target_factor_milli=3000, max_epochs=4
+    )
+    return out.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.max("rate_micro").cast("bigint").alias("rate_micro"),
+    )
+
+
 def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decimal moments for corr(quantity, extendedprice): sums are
     exact rationals so the hash can't drift with partition order."""
@@ -4648,6 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search_rerank": q_pq_search_rerank,
         "pq_search_ivf_residual": q_pq_search_ivf_residual,
         "semantic_dedup_daily": q_semantic_dedup_daily,
+        "mixture_upsample": q_mixture_upsample,
         "curate_scored_persisted": q_curate_scored_persisted,
     # ---- (1b) never CLEANLY driver-checked, rows-only ----
         "video_pipeline": q_video_pipeline,
@@ -4696,8 +4719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "ols_fit": q_ols_fit,
         "percentile_sketch": q_percentile_sketch,
-        "profile_table": q_profile_table,
     # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "profile_table": q_profile_table,
         "promo_revenue_share": q_promo_revenue_share,
         "quantize_recall": q_quantize_recall,
         "range_windows": q_range_windows,
@@ -6840,6 +6863,46 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source, COUNT(*) AS cnt, SUM(doc_id) AS idsum
                 FROM k GROUP BY source
             ) g USING (source)
+        """,
+        "mixture_upsample": """
+            WITH per AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source
+            ), s AS (
+                SELECT source, n_docs,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                            AS BIGINT) AS s_micro
+                FROM per
+            ), tot AS (
+                SELECT CAST(SUM(s_micro) AS HUGEINT) AS big_s,
+                       CAST(SUM(n_docs) AS HUGEINT) AS big_n
+                FROM s
+            ), r AS (
+                SELECT source,
+                       least(CAST(4000000 AS BIGINT),
+                             CAST((((big_n * 3000) // 1000)
+                                   * s_micro * 1000000)
+                                  // (big_s * n_docs) AS BIGINT))
+                           AS rate_micro
+                FROM s, tot
+            ), k AS (
+                SELECT d.source, d.doc_id, r.rate_micro,
+                       (r.rate_micro // 1000000)
+                       + CASE WHEN ((d.doc_id % 2147483647) * 48271)
+                                   % 2147483647 % 1000000
+                                   < (r.rate_micro % 1000000)
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM documents d JOIN r USING (source)
+            ), e AS (
+                SELECT source, doc_id, rate_micro,
+                       unnest(generate_series(0, n_copies - 1)) AS epoch
+                FROM k WHERE n_copies > 0
+            )
+            SELECT source, CAST(epoch AS INT) AS epoch,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(MAX(rate_micro) AS BIGINT) AS rate_micro
+            FROM e GROUP BY source, epoch
         """,
         "embedding_quantize": """
             WITH v AS (

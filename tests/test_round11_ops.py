@@ -490,3 +490,87 @@ def test_pq_index_encoding_dispatch(spark, tmp_path):
     assert via_index == direct and via_index
     with pytest.raises(ValueError, match="encoding"):
         similarity.save_pq_index(enc, cb, cents, path, encoding="opq")
+
+
+# ---------------------------------------------------------------------------
+# temperature up-sampling (r11): repetition epochs for tail sources —
+# exact integer rates, Lehmer partial-epoch draw, 4-epoch ceiling;
+# degenerates to the down-sampler's exact selection when rates <= 1.
+# ---------------------------------------------------------------------------
+
+
+def _lehmer_mod(doc_id: int, modulus: int = 1_000_000) -> int:
+    return ((doc_id % 2147483647) * 48271) % 2147483647 % modulus
+
+
+def test_mixture_upsample_matches_exact_integer_model(spark):
+    import math
+
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        temperature_mixture_upsample,
+    )
+
+    sizes = {"big": 400, "mid": 100, "tiny": 4}
+    rows, nid = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((nid, src))
+            nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_upsample(
+        df, "source", "doc_id", target_factor_milli=3000, max_epochs=4
+    ).collect()
+
+    # exact Python model of the rate arithmetic
+    s_micro = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in sizes.items()}
+    big_s, big_n = sum(s_micro.values()), sum(sizes.values())
+    t = (big_n * 3000) // 1000
+    rate = {
+        s: min(4_000_000, t * s_micro[s] * 1_000_000 // (big_s * sizes[s]))
+        for s in sizes
+    }
+    # mid and tiny hit the 4-epoch ceiling; big gets a partial epoch
+    assert rate["mid"] == 4_000_000 and rate["tiny"] == 4_000_000
+    assert 2_000_000 < rate["big"] < 4_000_000
+
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+        assert r["rate_micro"] == rate[r["source"]]
+    for doc_id, src in rows:
+        want_n = rate[src] // 1_000_000 + (
+            1 if _lehmer_mod(doc_id) < rate[src] % 1_000_000 else 0
+        )
+        assert sorted(got.get(doc_id, [])) == list(range(want_n)), doc_id
+
+
+def test_mixture_upsample_degenerates_to_downsample(spark):
+    """With the default target (N/2) every rate is <= 1e6, so the
+    up-sampler's row set at epoch 0 must EQUAL the down-sampler's
+    selection."""
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        temperature_mixture_sample,
+        temperature_mixture_upsample,
+    )
+
+    rows = [(i, f"s{i % 5}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    up = temperature_mixture_upsample(df, "source", "doc_id")
+    assert {r["epoch"] for r in up.select("epoch").distinct().collect()} == {0}
+    up_ids = {r["doc_id"] for r in up.collect()}
+    down_ids = {
+        r["doc_id"] for r in temperature_mixture_sample(df, "source", "doc_id").collect()
+    }
+    assert up_ids == down_ids and up_ids
+
+
+def test_mixture_rates_rejects_conflicting_targets(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        temperature_mixture_rates,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="not both"):
+        temperature_mixture_rates(
+            df, "source", target_total=10, target_factor_milli=2000
+        )

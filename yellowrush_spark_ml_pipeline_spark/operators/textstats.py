@@ -592,6 +592,8 @@ def temperature_mixture_rates(
     source_col: str = "source",
     target_total: int | None = None,
     modulus: int = 1_000_000,
+    cap: bool = True,
+    target_factor_milli: int | None = None,
 ) -> DataFrame:
     """The per-source keep-rate relation of
     :func:`temperature_mixture_sample` — (source, rate_micro), one row
@@ -600,7 +602,18 @@ def temperature_mixture_rates(
     suite) assert against the full per-source relation instead of
     inferring rates from surviving rows — a source whose every doc id
     hashes above a small positive rate is absent from the sample but
-    must still carry its exact rate here."""
+    must still carry its exact rate here.
+
+    ``cap=False`` removes the ``least(modulus, ...)`` ceiling so
+    rate_micro > modulus expresses REPETITION (rate 2.5e6 = 2 full
+    epochs + a 50% partial) — the up-sampling half consumed by
+    :func:`temperature_mixture_upsample`.  ``target_factor_milli``
+    derives the target total from the corpus itself in exact integer
+    arithmetic, ``T = (N * factor) div 1000`` (3000 -> 3x the corpus),
+    so a static oracle replays T without a driver-side count; mutually
+    exclusive with ``target_total``."""
+    if target_total is not None and target_factor_milli is not None:
+        raise ValueError("pass target_total OR target_factor_milli, not both")
     per = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_docs"))
     per = per.withColumn(
         "_s_micro",
@@ -617,26 +630,96 @@ def temperature_mixture_rates(
     # only ~7e4 single-source docs.  Integer-halve the BIGINT count
     # first (always safe), THEN cast, so T * _s_micro * modulus stays
     # DECIMAL(38,0) end to end.
-    t_expr = (
-        f"CAST({int(target_total)} AS DECIMAL(38,0))"
-        if target_total is not None
-        else "CAST((_N div 2) AS DECIMAL(38,0))"
-    )
+    if target_total is not None:
+        t_expr = f"CAST({int(target_total)} AS DECIMAL(38,0))"
+    elif target_factor_milli is not None:
+        # exact integer scaling of the corpus count; the mul precedes
+        # the div deliberately (N * 2500 div 1000 = 2.5N exactly) and
+        # stays in BIGINT until the final cast like the default path
+        t_expr = (
+            f"CAST(((_N * {int(target_factor_milli)}) div 1000) "
+            "AS DECIMAL(38,0))"
+        )
+    else:
+        t_expr = "CAST((_N div 2) AS DECIMAL(38,0))"
+    raw_rate = F.expr(
+        f"(({t_expr}) * _s_micro * {modulus}) div "
+        "(CAST(_S AS DECIMAL(38,0)) * _n_docs)"
+    ).cast("bigint")
     rates = (
         per.crossJoin(F.broadcast(tot))
         .withColumn(
             "rate_micro",
-            F.least(
-                F.lit(modulus).cast("bigint"),
-                F.expr(
-                    f"(({t_expr}) * _s_micro * {modulus}) div "
-                    "(CAST(_S AS DECIMAL(38,0)) * _n_docs)"
-                ).cast("bigint"),
-            ),
+            F.least(F.lit(modulus).cast("bigint"), raw_rate)
+            if cap
+            else raw_rate,
         )
         .select(source_col, "rate_micro")
     )
     return rates
+
+
+def temperature_mixture_upsample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int | None = None,
+    target_factor_milli: int | None = None,
+    max_epochs: int = 4,
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Temperature rebalancing WITH repetition — the data-constrained
+    UP-SAMPLING half that :func:`temperature_mixture_sample` (keep-rates
+    capped at 1.0) cannot express: tail sources whose temperature share
+    exceeds their size are repeated across epochs (Muennighoff et al.
+    2023's data-constrained scaling recipe — repeating up to ~4 epochs
+    is near-free, beyond that returns decay, hence the ``max_epochs``
+    ceiling applied to the rate in exact integer units).
+
+    A doc with uncapped rate r (micro-units) yields ``r div modulus``
+    guaranteed copies (epoch 0, 1, ...) plus ONE more iff its Lehmer
+    hash clears the fractional remainder ``r mod modulus`` — the same
+    pure-function-of-the-data draw as the down-sampler, so for r <=
+    modulus this degenerates to EXACTLY temperature_mixture_sample's
+    selection (at epoch 0), and the whole expansion is deterministic,
+    partition-invariant, and oracle-replayable.
+
+    Scale shape: one combinable per-source count, a broadcast rate
+    join, one narrow explode — output rows = sum of rates, never a
+    shuffle of the corpus.  Output: input columns + (rate_micro,
+    epoch INT); downstream packing/shuffling treats (id, epoch) as the
+    training-example key."""
+    rates = temperature_mixture_rates(
+        df,
+        source_col=source_col,
+        target_total=target_total,
+        modulus=modulus,
+        cap=False,
+        target_factor_milli=target_factor_milli,
+    ).withColumn(
+        "rate_micro",
+        F.least(
+            F.lit(int(max_epochs) * modulus).cast("bigint"),
+            F.col("rate_micro"),
+        ),
+    )
+    from .cleaning import _lehmer_hash
+
+    h = F.pmod(_lehmer_hash(df, id_col), F.lit(modulus))
+    n_copies = (
+        F.expr(f"rate_micro div {modulus}")
+        + (h < F.pmod(F.col("rate_micro"), F.lit(modulus))).cast("bigint")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), (F.col("_n") - 1).cast("int"))),
+        )
+        .drop("_n")
+    )
 
 
 def pack_sequences(
