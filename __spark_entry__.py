@@ -1736,6 +1736,43 @@ def q_pq_search_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_search_ivf_residual_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual-index PERSISTENCE lifecycle (round 11): build the true-
+    IVFADC residual index, SAVE it with encoding="residual" recorded in
+    the artifact meta, reload-and-search through pq_search_index —
+    which must DISPATCH to the residual LUT path off that marker (the
+    raw-vector LUT on residual codes is silently wrong distances).
+    Values must equal the in-session residual search, so the oracle is
+    exactly q_pq_search_ivf_residual's full replay: artifact fidelity
+    AND the encoding dispatch are driver-checked differentially."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, cents = similarity.ivf_build_index_exact(
+        emb, n_lists=16, lloyd_iters=2
+    )
+    res = similarity.pq_residuals(assigned, cents)
+    cb = similarity.pq_train(
+        res, m=4, k=8, n_assign=2, emb_col="_rv", fit_fraction=0.5
+    )
+    enc = similarity.pq_encode(
+        res, cb, m=4, emb_col="_rv", extra_cols=["_list"]
+    )
+    path = tempfile.mkdtemp(prefix="yellowrush_pqres_")
+    atexit.register(shutil.rmtree, path, True)
+    similarity.save_pq_index(enc, cb, cents, path, encoding="residual")
+    return similarity.pq_search_index(
+        spark, path, queries_df, k=10, n_probe=4
+    )
+
+
 def q_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC + exact re-rank (round 11 — the complete FAISS two-stage
     recipe): the composed IVF-PQ search shortlists 50 candidates per
@@ -4669,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search_ivf_persisted": q_pq_search_ivf_persisted,
         "pq_search_rerank": q_pq_search_rerank,
         "pq_search_ivf_residual": q_pq_search_ivf_residual,
+        "pq_search_ivf_residual_persisted": q_pq_search_ivf_residual_persisted,
         "semantic_dedup_daily": q_semantic_dedup_daily,
         "mixture_upsample": q_mixture_upsample,
         "curate_scored_persisted": q_curate_scored_persisted,
@@ -4718,8 +4756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "ndcg_eval": q_ndcg_eval,
         "ols_fit": q_ols_fit,
-        "percentile_sketch": q_percentile_sketch,
     # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "percentile_sketch": q_percentile_sketch,
         "profile_table": q_profile_table,
         "promo_revenue_share": q_promo_revenue_share,
         "quantize_recall": q_quantize_recall,
@@ -9526,6 +9564,9 @@ def oracle_sql() -> dict[str, str]:
         m=4, k=8, n_assign=2, dim=64, topk=10, n_probe=4,
         fit_micro=500_000,
     )
+    # persisted twin: save(encoding="residual") -> pq_search_index
+    # dispatch -> search must equal the in-session residual lifecycle
+    sqls["pq_search_ivf_residual_persisted"] = sqls["pq_search_ivf_residual"]
     # SemDeDup (round 9): the kmeans chain re-unrolled on the unit
     # sphere + canonical-neighbor prune; auto-k replayed as a scalar CTE.
     sqls["semantic_dedup"] = oracle_semantic_dedup_sql(
