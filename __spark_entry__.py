@@ -68,8 +68,24 @@ def _prep(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Replica-half probe hook (bench.py halves decomposition / tools/
+# split_probe.py): when set to a (lo, hi) stride range, every keyed table
+# load filters on its primary stride key — the predicate lands in the
+# parquet scan, exactly the shard an executor of a partition-scaled
+# cluster would read.  None (the default) is a no-op on every query path.
+_SPLIT_RANGE: tuple[int, int] | None = None
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(_prep(spark), sf_dir, name)
+    df = load_table(_prep(spark), sf_dir, name)
+    if _SPLIT_RANGE is not None:
+        from tools.gen_sf import KEY_COLS
+
+        if name in KEY_COLS:
+            lo, hi = _SPLIT_RANGE
+            key = KEY_COLS[name][0]
+            df = df.filter((F.col(key) >= lo) & (F.col(key) < hi))
+    return df
 
 
 # --------------------------------------------------------------------------
