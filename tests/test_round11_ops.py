@@ -97,9 +97,12 @@ def test_pq_encode_rejects_codebook_m_mismatch(spark):
 
     df = _blob_corpus(spark, n_per=4, n_clusters=2, dim=8)
     books = similarity.pq_train(df, m=4, k=2, n_assign=1)
-    # m=2 divides dim=8 cleanly but the codebook was trained with m=4
-    with pytest.raises(ValueError, match="subspaces"):
-        similarity.pq_encode(df, books, m=2)
+    # m=2 divides dim=8 cleanly but the codebook was trained with m=4.
+    # The guard rides inside the broadcast relation as raise_error (no
+    # eager pre-job over the training DAG, r11 ADVICE), so it fires at
+    # materialization, not at call time.
+    with pytest.raises(Exception, match="subspaces"):
+        similarity.pq_encode(df, books, m=2).collect()
 
 
 def test_pq_search_adc_rejects_indivisible_dim(spark):

@@ -1,0 +1,193 @@
+"""Round-12 operator tests — the r11 ADVICE hardening items:
+
+* save_pq_index records scale_bits in meta.json and pq_search_index
+  searches the artifact AT THAT SCALE (an index built with a
+  non-default quantizer scale was previously searched at the default —
+  silently wrong probe distances and residual LUTs); an artifact whose
+  meta omits scale_bits is refused, not guessed at.
+* save_pq_index accepts the lazy one-row ``cs`` centroid relation the
+  sibling search functions take, and refuses any other DataFrame with
+  a clear error instead of dying later inside payload serialization.
+* append_semantic_state is retry-safe: a ``batch_tag`` already in
+  meta's applied_tags skips the fold (no duplicated keepers), the
+  version is returned unchanged, and the meta write is atomic
+  (temp-file + os.replace — no torn meta.json).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_round10_ops import _blob_corpus
+from tests.test_round11_ops import _pq_ivf_setup, _rows
+
+
+def test_pq_index_scale_bits_round_trip(spark, tmp_path):
+    """An index built at scale_bits=16 must be searched at 16 through
+    the persisted path — identical rows to the direct in-memory search
+    at 16 (and meta must record the scale)."""
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=40, n_clusters=4, dim=8)
+    queries = corpus.filter(F.col("vec_id") % 40 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = similarity.pq_train(corpus, m=4, k=4, n_assign=2)
+    assigned, cents = similarity.ivf_build_index_exact(
+        corpus, n_lists=8, lloyd_iters=2, scale_bits=16
+    )
+    enc = similarity.pq_encode(
+        assigned.select("vec_id", "_list", F.col("_cv").alias("embedding")),
+        cb,
+        m=4,
+        extra_cols=["_list"],
+    )
+    direct = _rows(
+        similarity.pq_search_ivf_adc(
+            enc, cb, cents, queries, k=5, m=4, n_probe=3, scale_bits=16
+        )
+    )
+    path = str(tmp_path / "pq16")
+    similarity.save_pq_index(enc, cb, cents, path, scale_bits=16)
+    meta = json.loads((tmp_path / "pq16" / "meta.json").read_text())
+    assert meta["scale_bits"] == 16
+    persisted = _rows(
+        similarity.pq_search_index(spark, path, queries, k=5, n_probe=3)
+    )
+    assert persisted == direct and persisted
+
+
+def test_pq_search_index_refuses_missing_scale_bits(spark, tmp_path):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus, queries, cb, cents, enc = _pq_ivf_setup(spark, n_lists=8)
+    path = str(tmp_path / "pq_noscale")
+    similarity.save_pq_index(enc, cb, cents, path)
+    meta_path = tmp_path / "pq_noscale" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    del meta["scale_bits"]
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="scale_bits"):
+        similarity.pq_search_index(spark, path, queries, k=5, n_probe=3)
+
+
+def test_save_pq_index_accepts_cs_relation(spark, tmp_path):
+    """The lazy one-row cs relation (what the search functions take) is
+    collected into the exact list form at save time — the reloaded
+    centroids match the collected build's."""
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus, queries, cb, cents, enc = _pq_ivf_setup(spark, n_lists=8)
+    cs_rel = similarity.ivf_exact_cs(corpus, n_lists=8, lloyd_iters=2)
+    path = str(tmp_path / "pq_csrel")
+    similarity.save_pq_index(enc, cb, cs_rel, path)
+    _enc2, _cb2, cents2, meta = similarity.load_pq_index(spark, path)
+    assert meta["kind"] == "exact"
+    assert cents2 == cents
+
+
+def test_save_pq_index_refuses_foreign_dataframe(spark, tmp_path):
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus, queries, cb, cents, enc = _pq_ivf_setup(spark, n_lists=8)
+    with pytest.raises(ValueError, match="cs"):
+        similarity.save_pq_index(
+            enc, cb, corpus, str(tmp_path / "pq_bad")
+        )
+
+
+def test_append_semantic_state_batch_tag_idempotent(spark, tmp_path):
+    """Folding the same tagged batch twice lands exactly once: the
+    second call returns the unchanged version, the kept-set row count
+    does not grow, and meta records the tag."""
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark)
+    audit0, cents = similarity.semantic_dedup_build(
+        corpus, threshold=0.9999, k=4
+    )
+    kept0 = (
+        audit0.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    path = str(tmp_path / "sem_tagged")
+    similarity.save_semantic_state(kept0, cents, path)
+
+    batch = _blob_corpus(
+        spark, n_per=10, n_clusters=1, dim=8, seed=99, base_id=300_000
+    )
+    audit = similarity.semantic_dedup_incremental(
+        batch, kept0, cents, threshold=0.9999
+    ).localCheckpoint(eager=True)
+
+    v1 = similarity.append_semantic_state(
+        batch, audit, path, batch_tag="2026-08-16"
+    )
+    kept_after, _ = similarity.load_semantic_state(spark, path)
+    n_after_first = kept_after.count()
+    assert v1 == 2
+
+    v2 = similarity.append_semantic_state(
+        batch, audit, path, batch_tag="2026-08-16"
+    )
+    kept_retry, _ = similarity.load_semantic_state(spark, path)
+    assert v2 == 2  # version unchanged — fold skipped
+    assert kept_retry.count() == n_after_first  # no duplicated keepers
+
+    meta = json.loads((tmp_path / "sem_tagged" / "meta.json").read_text())
+    assert meta["applied_tags"] == ["2026-08-16"]
+    assert meta["state_version"] == 2
+
+    # a NEW tag folds normally
+    batch2 = _blob_corpus(
+        spark, n_per=8, n_clusters=1, dim=8, seed=77, base_id=500_000
+    )
+    audit2 = similarity.semantic_dedup_incremental(
+        batch2, kept_retry, cents, threshold=0.9999
+    ).localCheckpoint(eager=True)
+    v3 = similarity.append_semantic_state(
+        batch2, audit2, path, batch_tag="2026-08-17"
+    )
+    assert v3 == 3
+
+
+def test_semantic_dedup_daily_retry_with_tag_is_noop_fold(spark, tmp_path):
+    """The one-call daily tick under a scheduler retry: second call
+    with the same batch_tag re-judges but must NOT re-fold."""
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark)
+    audit0, cents = similarity.semantic_dedup_build(
+        corpus, threshold=0.9999, k=4
+    )
+    kept0 = (
+        audit0.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    path = str(tmp_path / "sem_daily_tag")
+    similarity.save_semantic_state(kept0, cents, path)
+
+    batch = _blob_corpus(
+        spark, n_per=10, n_clusters=1, dim=8, seed=99, base_id=300_000
+    )
+    similarity.semantic_dedup_daily(
+        batch, path, threshold=0.9999, batch_tag="day1"
+    ).collect()
+    n1 = similarity.load_semantic_state(spark, path)[0].count()
+    ver1 = json.loads(
+        (tmp_path / "sem_daily_tag" / "meta.json").read_text()
+    )["state_version"]
+
+    similarity.semantic_dedup_daily(
+        batch, path, threshold=0.9999, batch_tag="day1"
+    ).collect()
+    n2 = similarity.load_semantic_state(spark, path)[0].count()
+    ver2 = json.loads(
+        (tmp_path / "sem_daily_tag" / "meta.json").read_text()
+    )["state_version"]
+    assert (n2, ver2) == (n1, ver1)

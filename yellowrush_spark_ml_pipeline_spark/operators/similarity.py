@@ -544,31 +544,47 @@ def pq_encode(
     ``extra_cols`` are carried through unchanged — e.g. the IVF list id
     when building a composed IVF-PQ index (codes stored IN the inverted
     lists, the FAISS layout), so no corpus-sized re-join afterwards."""
+    # The m-vs-codebook cross-check rides INSIDE the broadcast relation
+    # as a raise_error guard (the _pq_query_lut dense-guard pattern):
+    # _cb is sorted by (s, c), so the last element's subspace + 1 is the
+    # codebook's m.  An eager .first() here would re-execute the full PQ
+    # Lloyd training DAG once per encode call before the broadcast
+    # collect executes it again (r11 ADVICE).
+    raw_cb = codebooks.select(
+        F.struct(
+            F.col("subspace").alias("s"),
+            F.col("cluster_id").alias("c"),
+            F.col("centroid").alias("v"),
+        ).alias("_e")
+    ).agg(F.sort_array(F.collect_list("_e")).alias("_cb"))
     cb = F.broadcast(
-        codebooks.select(
-            F.struct(
-                F.col("subspace").alias("s"),
-                F.col("cluster_id").alias("c"),
-                F.col("centroid").alias("v"),
-            ).alias("_e")
-        ).agg(F.sort_array(F.collect_list("_e")).alias("_cb"))
+        raw_cb.select(
+            F.when(
+                F.element_at(F.col("_cb"), -1)["s"] + 1 == F.lit(m),
+                F.col("_cb"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"pq_encode: m={m} but codebook has "),
+                        (
+                            F.element_at(F.col("_cb"), -1)["s"] + 1
+                        ).cast("string"),
+                        F.lit(" subspaces"),
+                    )
+                )
+            )
+            .alias("_cb")
+        )
     )
     v = as_double_array(F.col(emb_col))
     first = df.select(F.size(v)).first()
     dim = int(first[0]) if first else 0
     # Mirror pq_train's refusal: with dim % m != 0 the trailing
     # dim - m*(dim//m) components would silently drop from every
-    # subspace slice — wrong codes with no error. Also cross-check m
-    # against the codebook itself (max subspace + 1, parameter-sized).
+    # subspace slice — wrong codes with no error.
     if m < 1 or (first is not None and dim % m != 0):
         raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
-    cb_row = codebooks.agg(
-        (F.max("subspace") + 1).alias("_m")
-    ).first()
-    if cb_row is not None and cb_row["_m"] is not None and int(cb_row["_m"]) != m:
-        raise ValueError(
-            f"pq_encode: m={m} but codebook has {int(cb_row['_m'])} subspaces"
-        )
     sub = dim // m if m else 0
     # per-subspace argmin on the SQRT euclidean — the proven
     # cross-engine-exact kernel (euclidean_distance == DuckDB
@@ -1081,6 +1097,7 @@ def save_pq_index(
     centroids,
     path: str,
     encoding: str = "raw",
+    scale_bits: int = 20,
 ) -> None:
     """Persist a composed IVF-PQ index as a versioned artifact — the
     compressed sibling of :func:`save_ivf_index`: the (id, _list,
@@ -1094,12 +1111,38 @@ def save_pq_index(
     (:func:`pq_search_ivf_adc`) or coarse-quantizer ``"residual"``s
     (:func:`pq_search_ivf_residual`).  Searching residual codes with
     the raw-vector LUT (or vice versa) returns silently wrong distances,
-    so the marker lets a loader dispatch — and refuse — correctly."""
+    so the marker lets a loader dispatch — and refuse — correctly.
+
+    ``scale_bits`` records the integer-quantizer scale the exact-kind
+    centroids (and residual codes) were built with; a search reading
+    the artifact MUST probe and build residual LUTs at the SAME scale
+    or its distances are silently wrong, so the value rides in
+    meta.json and :func:`pq_search_index` takes it from there
+    (r11 ADVICE).
+
+    ``centroids`` accepts the collected [(list_id, int_vector)] /
+    [float_vector] list forms, or the lazy one-row ``cs`` relation the
+    sibling search functions take (collected here — it is
+    parameter-sized); anything else is refused up front instead of
+    dying later inside payload serialization (r11 ADVICE)."""
     if encoding not in ("raw", "residual"):
         raise ValueError(f"encoding must be 'raw' or 'residual', got {encoding!r}")
     import json as _json
     import os as _os
 
+    if isinstance(centroids, DataFrame):
+        if "cs" not in centroids.columns:
+            raise ValueError(
+                "save_pq_index: centroids must be a [(list_id, int_vector)]"
+                " list, a [float_vector] list, or the one-row 'cs' relation"
+                f" from ivf_exact_cs; got a DataFrame with columns"
+                f" {centroids.columns}"
+            )
+        row = centroids.select("cs").first()
+        centroids = [
+            (int(s["l"]), [int(x) for x in s["c"]])
+            for s in (row["cs"] if row else [])
+        ]
     encoded.write.mode("overwrite").partitionBy("_list").parquet(
         _os.path.join(path, "codes.parquet")
     )
@@ -1130,6 +1173,7 @@ def save_pq_index(
                 "n_lists": len(payload),
                 "m": int(mk["_m"]) if mk and mk["_m"] is not None else 0,
                 "k": int(mk["_k"]) if mk and mk["_k"] is not None else 0,
+                "scale_bits": int(scale_bits),
             },
             fh,
             indent=1,
@@ -1185,9 +1229,18 @@ def pq_search_index(
     :func:`pq_search_ivf_residual` (whose LUTs are built from per-list
     query residuals).  Running the wrong LUT against a code set returns
     silently wrong distances, which is exactly why the artifact records
-    what its codes quantize; ``m`` comes from the artifact too, so a
-    caller cannot mis-slice."""
+    what its codes quantize; ``m`` AND ``scale_bits`` come from the
+    artifact too, so a caller cannot mis-slice or probe/build residual
+    LUTs at a different quantizer scale than the index was built with —
+    an artifact whose meta omits scale_bits is refused rather than
+    silently searched at the default (r11 ADVICE)."""
     encoded, codebooks, centroids, meta = load_pq_index(spark, path)
+    if "scale_bits" not in meta:
+        raise ValueError(
+            f"PQ index artifact {path} meta.json omits scale_bits; "
+            "rebuild it with save_pq_index (searching at a guessed scale "
+            "returns silently wrong distances)"
+        )
     fn = (
         pq_search_ivf_residual
         if meta.get("encoding") == "residual"
@@ -1201,6 +1254,7 @@ def pq_search_index(
         k=k,
         m=int(meta["m"]),
         n_probe=n_probe,
+        scale_bits=int(meta["scale_bits"]),
         **search_kwargs,
     )
 
@@ -1638,6 +1692,7 @@ def append_semantic_state(
     audit: DataFrame,
     path: str,
     id_col: str = "vec_id",
+    batch_tag: "str | None" = None,
 ) -> int:
     """The WRITE half of the daily SemDeDup loop (round 11): fold a
     judged batch's KEEPERS — ``audit`` rows with ``keep = 1`` from
@@ -1650,9 +1705,19 @@ def append_semantic_state(
     kept-set), the frozen centroids are untouched (geometry never
     drifts between days; a re-cluster is a scheduled REBUILD, not an
     append), and ``meta.json``'s ``state_version`` is bumped and
-    returned so jobs can assert the fold landed.  Appending the same
-    judged batch twice duplicates its keepers — idempotence is the
-    scheduler's contract (exactly-once fold per day), as with any
+    returned so jobs can assert the fold landed.
+
+    Crash seam (r11 ADVICE): the parquet append and the meta bump are
+    two non-atomic steps — a failure BETWEEN them leaves keepers folded
+    with the version unbumped.  The meta write itself is atomic
+    (temp-file + ``os.replace``, never a torn meta.json), and a
+    ``batch_tag`` (e.g. the day id) makes the fold idempotent: a tag
+    already recorded in meta's ``applied_tags`` is skipped with the
+    current version returned, so a scheduler retrying a COMPLETED fold
+    cannot duplicate keepers.  A crash inside the seam still needs the
+    scheduler to treat "tag absent" as "re-fold from the pre-append
+    snapshot" (or accept at-least-once keepers); without a tag,
+    exactly-once is entirely the scheduler's contract, as with any
     append-mode sink.
 
     ``batch`` must carry the same non-audit columns as the persisted
@@ -1664,6 +1729,12 @@ def append_semantic_state(
 
     spark = batch.sparkSession
     kept, _cents = load_semantic_state(spark, path)  # validates version
+    meta_path = _os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    tags = list(meta.get("applied_tags", []))
+    if batch_tag is not None and batch_tag in tags:
+        return int(meta.get("state_version", 1))  # already folded — skip
     keepers = (
         audit.filter(F.col("keep") == 1)
         .select(id_col, "cluster_id", "dist")
@@ -1672,13 +1743,14 @@ def append_semantic_state(
     keepers.select(*kept.columns).write.mode("append").partitionBy(
         "cluster_id"
     ).parquet(_os.path.join(path, "kept.parquet"))
-    meta_path = _os.path.join(path, "meta.json")
-    with open(meta_path) as fh:
-        meta = _json.load(fh)
     meta["state_version"] = int(meta.get("state_version", 1)) + 1
-    with open(meta_path, "w") as fh:
+    if batch_tag is not None:
+        meta["applied_tags"] = tags + [str(batch_tag)]
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
         _json.dump(meta, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    _os.replace(tmp, meta_path)
     return meta["state_version"]
 
 
@@ -1688,6 +1760,7 @@ def semantic_dedup_daily(
     threshold: float = 0.9,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    batch_tag: "str | None" = None,
     **judge_kwargs,
 ) -> DataFrame:
     """One daily SemDeDup tick against a persisted state artifact:
@@ -1696,7 +1769,9 @@ def semantic_dedup_daily(
     :func:`append_semantic_state` → return the batch audit.  The loop
     the r10 judge composed by hand, as one call; the audit is
     localCheckpointed before the fold so judge and fold see the same
-    rows exactly once."""
+    rows exactly once.  ``batch_tag`` (e.g. the day id) makes the fold
+    idempotent under scheduler retries — see
+    :func:`append_semantic_state`."""
     spark = batch.sparkSession
     kept, centroids = load_semantic_state(spark, path)
     audit = semantic_dedup_incremental(
@@ -1708,7 +1783,7 @@ def semantic_dedup_daily(
         id_col=id_col,
         **judge_kwargs,
     ).localCheckpoint(eager=True)
-    append_semantic_state(batch, audit, path, id_col=id_col)
+    append_semantic_state(batch, audit, path, id_col=id_col, batch_tag=batch_tag)
     return audit
 
 
