@@ -1110,48 +1110,61 @@ def winnow_fingerprints(
     Output: (id, pos, fp_hash), one row per SELECTED fingerprint —
     distinct (gram position, hash) pairs per document.
 
-    Scale shape: a narrow per-document expansion (n_grams x w rows — w
-    is a small constant) followed by ONE combinable per-(doc, window)
-    argmin and a distinct; everything keys on the document id, no
-    cross-document shuffle at all. The fingerprint relation this emits
-    is the bounded artifact downstream overlap joins consume."""
-    from pyspark.sql import Window
-
+    Scale shape (round 12 — r11 verdict #5): the whole selection is a
+    NARROW per-document, integer-only computation — hash the gram array
+    in place, then one TRANSFORM over ``sequence(0, n-w)`` whose
+    element is the window's argmin POSITION via an integer ``aggregate``
+    (``hs[p] <= hs[acc]`` with ascending p implements the paper's
+    rightmost-tie rule), then ``array_distinct`` over the int array and
+    one explode.  Zero shuffles and no row expansion; the previous form
+    exploded every gram into its w member windows (x``w`` rows) and
+    took a per-(doc, window) ``row_number`` over a shuffle.  Positions
+    (not (hash, pos) structs) are what's deduplicated because
+    ``array_distinct`` is hash-based for primitives but quadratic-
+    with-ordering for structs — measured 2.2x of the whole operator's
+    time on struct picks.  The fingerprint relation this emits is the
+    bounded artifact downstream overlap joins consume."""
     from ..functions.hashing import md5_hash60
     from ..functions.text import char_ngrams
 
-    grams = docs.select(
-        F.col(id_col).alias("_id"), char_ngrams(F.col(text_col), k).alias("_gs")
-    ).select(
-        "_id",
-        F.size("_gs").alias("_n"),
-        F.posexplode("_gs").alias("pos", "_g"),
+    hashed = docs.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            char_ngrams(F.col(text_col), k), lambda g: md5_hash60(g)
+        ).alias("_hs"),
+    ).filter(F.size("_hs") >= 1)
+    n = F.size("_hs")
+    hs = F.col("_hs")
+    # Window starts 0 .. max(n-w, 0); each window's pick is the argmin
+    # position over [s, min(s+w-1, n-1)] — min hash, ties to the
+    # RIGHTMOST position (<= with ascending p), identical to the old
+    # row_number(orderBy(fp_hash asc, pos desc)) == 1 selection.  The
+    # n == 1 guard keeps the inner sequence ascending (sequence(1, 0)
+    # would DESCEND and index past the array).
+    pick_pos = F.when(
+        n == 1, F.array(F.lit(0))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - F.lit(w), F.lit(0))),
+            lambda s: F.aggregate(
+                F.sequence(s + 1, F.least(s + F.lit(w - 1), n - F.lit(1))),
+                s,
+                lambda acc, p: F.when(
+                    F.element_at(hs, p + 1) <= F.element_at(hs, acc + 1), p
+                ).otherwise(acc),
+            ),
+        )
     )
-    hashed = grams.select(
-        "_id", "_n", "pos", md5_hash60(F.col("_g")).alias("fp_hash")
+    return (
+        hashed.select(
+            "_id", "_hs", F.explode(F.array_distinct(pick_pos)).alias("_p")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_p").cast("int").alias("pos"),
+            F.element_at(hs, F.col("_p") + 1).alias("fp_hash"),
+        )
     )
-    # each gram participates in the w windows starting at pos-w+1 .. pos,
-    # clipped to valid starts [0, max(n-w, 0)]
-    windowed = hashed.select(
-        "_id",
-        "pos",
-        "fp_hash",
-        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("_off"),
-        F.greatest(F.col("_n") - F.lit(w), F.lit(0)).alias("_maxstart"),
-    ).withColumn("_wstart", F.col("pos") - F.col("_off"))
-    valid = windowed.filter(
-        (F.col("_wstart") >= 0) & (F.col("_wstart") <= F.col("_maxstart"))
-    )
-    win = Window.partitionBy("_id", "_wstart").orderBy(
-        F.col("fp_hash").asc(), F.col("pos").desc()
-    )
-    selected = (
-        valid.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("_id").alias(id_col), "pos", "fp_hash")
-        .distinct()
-    )
-    return selected
 
 
 def winnow_overlap_pairs(
