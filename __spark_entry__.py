@@ -4576,6 +4576,40 @@ def q_export_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_upsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EPOCH-KEYED final mile (round 12): the unified temperature
+    stage down- OR up-samples each source from one uncapped rate
+    relation (target 2.5x the skewed sub-corpus, epochs ceilinged at
+    4), the tokenizer trains/encodes each unique surviving doc ONCE,
+    and (doc_id, epoch) is the training-example key through split
+    (doc-hash only — repetitions never straddle train/val), packing
+    (windows ordered by (doc_id, epoch) within (split, lang)) and the
+    deterministic epoch order (tie-break extends to the epoch). The
+    oracle replays the whole chain — rate arithmetic, copy counts, the
+    BPE chain over the epoch-0 support, the composite-keyed packing
+    window and the exact total order — so a single misplaced
+    repetition flips the hash."""
+    from yellowrush_spark_ml_pipeline_spark.flows import export_tokenized_set
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1") | (F.col("doc_id") % 3 == 0)
+    )
+    return export_tokenized_set(
+        docs, mixture_factor_milli=2500, max_epochs=4
+    ).select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        "split",
+        "lang",
+        "source",
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
+        "rate_micro",
+        "shuffle_key",
+        "epoch_rank",
+    )
+
+
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of deterministically-nulled event values
     (event_id % 7) per event-type series — the trend-preserving gap
@@ -4702,49 +4736,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r10 verdict's video_pipeline crack); (2) entries whose
     # implementation or oracle CHANGED this round re-enter the window;
     # (3) remaining slots rotate through the stalest last-green entries.
-    # Round 11: the six new oracle-backed queries lead (the IVF-PQ tier:
-    # composed/persisted/re-rank/residual; the two-day semantic
-    # lifecycle; the persisted-score classifier gate), video_pipeline
-    # re-enters as never-cleanly-checked (its only r5 row errored in the
-    # driver canonicalizer; the output fix has been in the tree since),
-    # the eight round-11-touched entries re-verify, the ENTIRE stale
-    # rows-only tail drains (sketch_stats r2 ... multimodal_features r7
-    # — after this window no rows-only entry's last clean presentation
-    # is older than r10), and the remaining slots take the 3 r5-stale
-    # then alphabetically-first r6-stale oracle entries (the r6 tail
-    # continues in r12: promo_revenue_share, quantize_recall,
-    # range_windows, readability, salted_agg, skew_join, ...).  Every
+    # Round 12: export_upsampled leads (new — the epoch-keyed final
+    # mile), then the round-12-changed surface re-verifies (winnow
+    # selection rewrite; pack_sequences/epoch_shuffle composite-key
+    # extension -> the pack/export family; PQ-index artifact hardening
+    # -> the persisted search twins; append_semantic_state atomicity ->
+    # the semantic lifecycle pair), then the ENTIRE r6-stale oracle
+    # tail drains (percentile_sketch ... zone_prune — after this window
+    # no entry's last clean presentation is older than r7), and the
+    # remaining slots take the alphabetically-first r7-stale oracle
+    # entries (anti_join ... nelson_aalen; the r7 tail continues in
+    # r13: null_safe_join, pii_redaction, pivot_revenue, ...).  Every
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
-    # ---- (1) NEW round 11, never driver-checked (oracle-backed first) ----
-        "pq_search_ivf": q_pq_search_ivf,
+    # ---- (1) NEW round 12, never driver-checked ----
+        "export_upsampled": q_export_upsampled,
+    # ---- (2) round-12 implementation changes - re-verify ----
+        "winnow_pairs": q_winnow_pairs,
+        "pack_sequences": q_pack_sequences,
+        "pack_efficiency": q_pack_efficiency,
+        "export_shuffled": q_export_shuffled,
+        "export_tokenized": q_export_tokenized,
+        "export_mixture": q_export_mixture,
+        "pq_search": q_pq_search,
         "pq_search_ivf_persisted": q_pq_search_ivf_persisted,
-        "pq_search_rerank": q_pq_search_rerank,
-        "pq_search_ivf_residual": q_pq_search_ivf_residual,
         "pq_search_ivf_residual_persisted": q_pq_search_ivf_residual_persisted,
         "semantic_dedup_daily": q_semantic_dedup_daily,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+    # ---- (3) rotation fill: the full r6-stale oracle tail ----
+        "percentile_sketch": q_percentile_sketch,
+        "profile_table": q_profile_table,
+        "promo_revenue_share": q_promo_revenue_share,
+        "quantize_recall": q_quantize_recall,
+        "range_windows": q_range_windows,
+        "readability": q_readability,
+        "salted_agg": q_salted_agg,
+        "seasonal_decompose": q_seasonal_decompose,
+        "skew_join": q_skew_join,
+        "small_order_revenue": q_small_order_revenue,
+        "snapshot_diff": q_snapshot_diff,
+        "target_encoding": q_target_encoding,
+        "time_weighted_avg": q_time_weighted_avg,
+        "ttr_stats": q_ttr_stats,
+        "unigram_nll": q_unigram_nll,
+        "waiting_suppliers": q_waiting_suppliers,
+        "weighted_median": q_weighted_median,
+        "window_ranks": q_window_ranks,
+        "zone_maps": q_zone_maps,
+        "zone_prune": q_zone_prune,
+    # ---- (3) rotation fill: r7-stale oracle entries (alpha) ----
+        "anti_join": q_anti_join,
+        "asof_join": q_asof_join,
+        "cohens_kappa": q_cohens_kappa,
+        "corpus_stats": q_corpus_stats,
+        "dedup_exact": q_dedup_exact,
+        "dim_join_null_fill": q_dim_join_null_fill,
+        "embedding_norms": q_embedding_norms,
+        "hist_avg_global_fill": q_hist_avg_global_fill,
+        "histogram": q_histogram,
+        "hypertable_rollup": q_hypertable_rollup,
+        "json_extract": q_json_extract,
+        "json_struct_agg": q_json_struct_agg,
+        "label_flags": q_label_flags,
+        "lang_scores": q_lang_scores,
+        "language_id": q_language_id,
+        "minhash_dedup_autocap": q_minhash_dedup_autocap,
+        "moving_average": q_moving_average,
+        "nelson_aalen": q_nelson_aalen,
+    # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "pq_search_ivf": q_pq_search_ivf,
+        "pq_search_rerank": q_pq_search_rerank,
+        "pq_search_ivf_residual": q_pq_search_ivf_residual,
         "mixture_upsample": q_mixture_upsample,
         "curate_scored_persisted": q_curate_scored_persisted,
-    # ---- (1b) never CLEANLY driver-checked, rows-only ----
         "video_pipeline": q_video_pipeline,
-    # ---- (2) round-11 implementation/oracle changes - re-verify ----
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "pq_search": q_pq_search,
         "temperature_mixture": q_temperature_mixture,
         "curate_corpus": q_curate_corpus,
         "export_manifest": q_export_manifest,
-        "export_shuffled": q_export_shuffled,
         "bpe_persisted_encode": q_bpe_persisted_encode,
         "similarity_ivf_persisted": q_similarity_ivf_persisted,
-    # ---- (3) rotation fill: the full stale rows-only tail ----
         "sketch_stats": q_sketch_stats,
         "compression_ratio": q_compression_ratio,
         "language_id_model": q_language_id_model,
         "media_probe": q_media_probe,
         "minhash_dedup_fast": q_minhash_dedup_fast,
         "multimodal_features": q_multimodal_features,
-    # ---- (3) rotation fill: stalest oracle-backed (r5, then r6 alpha) ----
         "shipmode_priority": q_shipmode_priority,
         "theil_sen": q_theil_sen,
         "top_supplier": q_top_supplier,
@@ -4772,19 +4849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "ndcg_eval": q_ndcg_eval,
         "ols_fit": q_ols_fit,
-    # ---- beyond the 50-entry window (still mirror-proven every round) ----
-        "percentile_sketch": q_percentile_sketch,
-        "profile_table": q_profile_table,
-        "promo_revenue_share": q_promo_revenue_share,
-        "quantize_recall": q_quantize_recall,
-        "range_windows": q_range_windows,
-        "export_mixture": q_export_mixture,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
         "curate_scored": q_curate_scored,
         "semantic_dedup": q_semantic_dedup,
         "bpe_encode": q_bpe_encode,
         "bpe_roundtrip": q_bpe_roundtrip,
-        "export_tokenized": q_export_tokenized,
         "returned_customers": q_returned_customers,
         "rolling_zscore": q_rolling_zscore,
         "rollup_merge": q_rollup_merge,
@@ -4826,7 +4895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "ml_classifier_metrics": q_ml_classifier_metrics,
         "text_classifier_metrics": q_text_classifier_metrics,
-        "pack_sequences": q_pack_sequences,
         "skew_profile": q_skew_profile,
         "stratified_sample": q_stratified_sample,
         "strip_html": q_strip_html,
@@ -4860,7 +4928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "ngram_novelty": q_ngram_novelty,
         "order_skyline": q_order_skyline,
-        "pack_efficiency": q_pack_efficiency,
         "pagerank_personalized": q_pagerank_personalized,
         "quantile_normalize": q_quantile_normalize,
         "similarity_ivf": q_similarity_ivf,
@@ -4909,61 +4976,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         "quality_buckets": q_quality_buckets,
         "tfidf_pairs": q_tfidf_pairs,
-        "nelson_aalen": q_nelson_aalen,
-        "cohens_kappa": q_cohens_kappa,
         "woe_iv": q_woe_iv,
-        "minhash_dedup_autocap": q_minhash_dedup_autocap,
         "top_per_group": q_top_per_group,
-        "moving_average": q_moving_average,
         "null_safe_join": q_null_safe_join,
-        "asof_join": q_asof_join,
         "range_join": q_range_join,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "pivot_revenue": q_pivot_revenue,
         "rollup_revenue": q_rollup_revenue,
         "set_ops": q_set_ops,
-        "hypertable_rollup": q_hypertable_rollup,
         "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
-        "json_struct_agg": q_json_struct_agg,
-        "histogram": q_histogram,
         "pii_redaction": q_pii_redaction,
-        "corpus_stats": q_corpus_stats,
-        "hist_avg_global_fill": q_hist_avg_global_fill,
         "star_join": q_star_join,
-        "dim_join_null_fill": q_dim_join_null_fill,
         "top_orders": q_top_orders,
-        "label_flags": q_label_flags,
         "validate_lineitem": q_validate_lineitem,
         "summary_stats": q_summary_stats,
         "window_enrich": q_window_enrich,
         "tumbling_windows": q_tumbling_windows,
         "sessionize": q_sessionize,
-        "json_extract": q_json_extract,
-        "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
-        "lang_scores": q_lang_scores,
-        "language_id": q_language_id,
-        "embedding_norms": q_embedding_norms,
         "pricing_summary": q_pricing_summary,
-        "seasonal_decompose": q_seasonal_decompose,
-        "unigram_nll": q_unigram_nll,
-        "window_ranks": q_window_ranks,
-        "salted_agg": q_salted_agg,
-        "zone_maps": q_zone_maps,
-        "zone_prune": q_zone_prune,
-        "target_encoding": q_target_encoding,
-        "weighted_median": q_weighted_median,
-        "winnow_pairs": q_winnow_pairs,
-        "skew_join": q_skew_join,
-        "small_order_revenue": q_small_order_revenue,
-        "waiting_suppliers": q_waiting_suppliers,
-        "readability": q_readability,
-        "ttr_stats": q_ttr_stats,
-        "time_weighted_avg": q_time_weighted_avg,
-        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -5370,6 +5403,108 @@ def oracle_export_mixture_sql(
                                 k.doc_id
                    ) AS BIGINT) AS epoch_rank
             FROM keyed k JOIN rr USING (source)"""
+
+
+def oracle_export_upsampled_sql(
+    rounds: int = 3,
+    tokclass: str = r"'[^\p{L}\p{N}]+'",
+    capacity: int = 2048,
+    val_mod: int = 10,
+    seed: int = 42,
+    factor_milli: int = 2500,
+    max_epochs: int = 4,
+) -> str:
+    """DuckDB replay of flows.export_tokenized_set(mixture_factor_milli=...)
+    over the skewed sub-corpus: uncapped temperature rates (ceilinged at
+    max_epochs whole epochs) decide per-doc copy counts, the BPE chain
+    trains on the epoch-0 support (each unique surviving doc once), and
+    the split/pack/epoch tail runs over the (doc_id, epoch)-keyed
+    expansion — packing window ordered by the composite key, total
+    order tie-broken on the epoch."""
+    h60 = lambda x: f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"  # noqa: E731
+    prefix = f"""base AS (
+                SELECT * FROM documents
+                WHERE source IN ('src0', 'src1') OR doc_id % 3 = 0
+            ), per AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM base GROUP BY source
+            ), sm AS (
+                SELECT source, n_docs,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                            AS BIGINT) AS s_micro
+                FROM per
+            ), tot AS (
+                SELECT CAST(SUM(s_micro) AS HUGEINT) AS big_s,
+                       CAST(SUM(n_docs) AS HUGEINT) AS big_n
+                FROM sm
+            ), rr AS (
+                SELECT source,
+                       least(CAST({max_epochs * 1000000} AS BIGINT),
+                             CAST((((big_n * {factor_milli}) // 1000)
+                                   * s_micro * 1000000)
+                                  // (big_s * n_docs) AS BIGINT))
+                           AS rate_micro
+                FROM sm, tot
+            ), kcopies AS (
+                SELECT d.doc_id, rr.rate_micro,
+                       (rr.rate_micro // 1000000)
+                       + CASE WHEN ((d.doc_id % 2147483647) * 48271)
+                                   % 2147483647 % 1000000
+                                   < (rr.rate_micro % 1000000)
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM base d JOIN rr USING (source)
+            ), mixdocs AS (
+                SELECT d.* FROM base d JOIN kcopies k USING (doc_id)
+                WHERE k.n_copies > 0
+            ), """
+    return _oracle_bpe_chain(
+        rounds, tokclass, doc_rel="mixdocs", prefix=prefix
+    ) + f"""
+            , nt AS (
+                SELECT d.doc_id, d.lang, d.source,
+                       CAST(COALESCE(SUM(len(x.ids)), 0) AS BIGINT)
+                           AS n_tokens
+                FROM mixdocs d
+                LEFT JOIN (
+                    SELECT dw.doc_id, w.ids
+                    FROM dw JOIN wids w USING (word)
+                ) x ON d.doc_id = x.doc_id
+                GROUP BY d.doc_id, d.lang, d.source
+            ), ex AS (
+                SELECT n.doc_id, n.lang, n.source, n.n_tokens,
+                       k.rate_micro,
+                       unnest(generate_series(0, k.n_copies - 1)) AS epoch
+                FROM nt n JOIN kcopies k USING (doc_id)
+            ), tagged AS (
+                SELECT doc_id, epoch, lang, source, n_tokens, rate_micro,
+                       CASE WHEN {h60(f"(doc_id::VARCHAR || ':{seed}')")}
+                                 % {val_mod} = 0
+                            THEN 'val' ELSE 'train' END AS split
+                FROM ex
+            ), packed AS (
+                SELECT doc_id, epoch, split, lang, source, rate_micro,
+                       CAST(n_tokens AS BIGINT) AS pack_tokens,
+                       (SUM(n_tokens) OVER (PARTITION BY split, lang
+                                            ORDER BY doc_id, epoch
+                                            ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) // {capacity} AS bin_id
+                FROM tagged
+            ), keyed AS (
+                SELECT *,
+                       CAST((48271::HUGEINT * {h60(
+                           "(split || '/' || lang || '/' || "
+                           f"bin_id::VARCHAR || ':{seed}')"
+                       )}) % 2305843009213693951 AS BIGINT) AS shuffle_key
+                FROM packed
+            )
+            SELECT doc_id, CAST(epoch AS INT) AS epoch, split, lang,
+                   source, CAST(bin_id AS BIGINT) AS bin_id, pack_tokens,
+                   rate_micro, shuffle_key,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY shuffle_key, split, lang, bin_id,
+                                doc_id, epoch
+                   ) AS BIGINT) AS epoch_rank
+            FROM keyed"""
 
 
 def oracle_pagerank_sql(
@@ -11406,6 +11541,9 @@ def oracle_sql() -> dict[str, str]:
     # round 10: the mixture-composed final mile (rebalance -> tokenize
     # -> split -> pack -> epoch order) replayed end-to-end
     sqls["export_mixture"] = oracle_export_mixture_sql(
+        rounds=3, tokclass=tokclass
+    )
+    sqls["export_upsampled"] = oracle_export_upsampled_sql(
         rounds=3, tokclass=tokclass
     )
     sqls["interpolate_linear"] = """

@@ -351,7 +351,9 @@ def export_training_set(
     return dataset, manifest
 
 
-def epoch_shuffle(dataset: DataFrame, seed: int = 42) -> DataFrame:
+def epoch_shuffle(
+    dataset: DataFrame, seed: int = 42, epoch_col: str | None = None
+) -> DataFrame:
     """Deterministic seeded GLOBAL shuffle of a packed training set
     (round 9) — training-order reproducibility as a first-class output:
     the same (corpus, seed) always yields the byte-identical epoch
@@ -375,7 +377,12 @@ def epoch_shuffle(dataset: DataFrame, seed: int = 42) -> DataFrame:
     instead ``repartitionByRange(shuffle_key, ...)`` +
     ``sortWithinPartitions`` and let file order carry the rank
     implicitly; the KEY, not the rank column, is the scalable
-    contract."""
+    contract.
+
+    ``epoch_col`` (round 12): for an up-sampled dataset keyed by
+    (doc_id, epoch), the total-order tie-break extends to the epoch so
+    a doc's repetitions have a deterministic relative order inside
+    their bin."""
     from pyspark.sql import Window
 
     from .functions.hashing import md5_hash60
@@ -401,7 +408,10 @@ def epoch_shuffle(dataset: DataFrame, seed: int = 42) -> DataFrame:
         )
         .drop("_h61")
     )
-    w = Window.orderBy("shuffle_key", "split", "lang", "bin_id", "doc_id")
+    order_cols = ["shuffle_key", "split", "lang", "bin_id", "doc_id"] + (
+        [epoch_col] if epoch_col else []
+    )
+    w = Window.orderBy(*order_cols)
     return keyed.withColumn(
         "epoch_rank", F.row_number().over(w).cast("bigint")
     )
@@ -416,6 +426,8 @@ def export_tokenized_set(
     mixture: bool = False,
     source_col: str = "source",
     mixture_target: int | None = None,
+    mixture_factor_milli: int | None = None,
+    max_epochs: int = 4,
 ) -> DataFrame:
     """The tokenizer-complete final mile (round 9): train BPE merges on
     the corpus, ENCODE it (real token counts, not the whitespace proxy),
@@ -441,7 +453,24 @@ def export_tokenized_set(
     audit column rides through to the final epoch-ordered output so a
     manifest can reconcile row counts against the planned rates. The
     stage is one combinable per-source count + a broadcast rate join +
-    a narrow filter — nothing data-sized beyond the scan."""
+    a narrow filter — nothing data-sized beyond the scan.
+
+    ``mixture_factor_milli`` (round 12) selects the UNIFIED rebalancing
+    stage (textstats.temperature_mixture_upsample): per-source uncapped
+    rates mean each source is down- OR up-sampled as its temperature
+    share demands — heads are probabilistically thinned (rate < 1.0,
+    exactly the capped sampler's draw at epoch 0) while tails REPEAT
+    across epochs (Muennighoff-style data-constrained scaling, capped
+    at ``max_epochs``). Downstream, (doc_id, epoch) is the training-
+    example key end to end: the split hashes doc_id ONLY (a doc's
+    repetitions never straddle train/val — epoch-level splitting leaks
+    the val set verbatim into training), packing orders by (doc_id,
+    epoch) within (split, lang), and the epoch-order tie-break extends
+    to the epoch. The tokenizer trains and encodes each UNIQUE
+    surviving document once (merges over the epoch-0 relation — the
+    deduplicated mixture support); real token counts then join back
+    onto every repetition, so tokenizer cost stays corpus-sized while
+    the training set expands. Mutually exclusive with ``mixture``."""
     from .functions.hashing import md5_hash60
     from .operators.textstats import (
         bpe_encode,
@@ -449,7 +478,28 @@ def export_tokenized_set(
         pack_sequences,
     )
 
-    if mixture:
+    if mixture and mixture_factor_milli is not None:
+        raise ValueError(
+            "pass mixture=True (capped down-sampling) OR "
+            "mixture_factor_milli (epoch-keyed up-sampling), not both"
+        )
+    upsample = mixture_factor_milli is not None
+    epoch_keys: list[str] = []
+    if upsample:
+        from .operators.textstats import temperature_mixture_upsample
+
+        expanded = temperature_mixture_upsample(
+            docs,
+            source_col,
+            "doc_id",
+            target_factor_milli=mixture_factor_milli,
+            max_epochs=max_epochs,
+        )
+        # every surviving doc has an epoch-0 row (n_copies >= 1), so the
+        # epoch-0 slice IS the distinct surviving corpus: train/encode once
+        docs = expanded.filter(F.col("epoch") == 0).drop("epoch")
+        epoch_keys = ["epoch"]
+    elif mixture:
         from .operators.textstats import temperature_mixture_sample
 
         docs = temperature_mixture_sample(
@@ -458,11 +508,17 @@ def export_tokenized_set(
     merges = bpe_merge_rounds(docs, rounds=rounds)
     enc = bpe_encode(docs, merges, rounds=rounds)
     keep_cols = ["doc_id", "lang"] + (
-        [source_col, "rate_micro"] if mixture else []
+        [source_col, "rate_micro"] if (mixture or upsample) else []
     )
-    base = docs.select(*keep_cols).join(
-        enc.select("doc_id", "n_tokens"), "doc_id"
-    )
+    if upsample:
+        keep_cols.append("epoch")
+        base = expanded.select(*keep_cols).join(
+            enc.select("doc_id", "n_tokens"), "doc_id"
+        )
+    else:
+        base = docs.select(*keep_cols).join(
+            enc.select("doc_id", "n_tokens"), "doc_id"
+        )
     split_hash = md5_hash60(
         F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}"))
     )
@@ -473,15 +529,24 @@ def export_tokenized_set(
     )
     grouped = tagged.withColumn("_grp", F.concat_ws("/", "split", "lang"))
     packed = pack_sequences(
-        grouped, group_col="_grp", capacity=capacity, n_tokens_col="n_tokens"
+        grouped,
+        group_col="_grp",
+        capacity=capacity,
+        n_tokens_col="n_tokens",
+        epoch_col="epoch" if upsample else None,
     )
     dataset = tagged.drop("n_tokens").join(
         packed.select(
-            "doc_id", F.col("n_tokens").alias("pack_tokens"), "bin_id"
+            "doc_id",
+            *epoch_keys,
+            F.col("n_tokens").alias("pack_tokens"),
+            "bin_id",
         ),
-        "doc_id",
+        ["doc_id"] + epoch_keys,
     )
-    return epoch_shuffle(dataset, seed=seed)
+    return epoch_shuffle(
+        dataset, seed=seed, epoch_col="epoch" if upsample else None
+    )
 
 
 def train_and_evaluate(

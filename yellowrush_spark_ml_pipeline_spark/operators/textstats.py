@@ -729,6 +729,7 @@ def pack_sequences(
     group_col: str = "lang",
     capacity: int = 2048,
     n_tokens_col: str | None = None,
+    epoch_col: str | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing: assign documents to fixed-capacity
     context-window bins (the batch-construction step between curation and
@@ -748,7 +749,15 @@ def pack_sequences(
     ``n_tokens_col`` (round 9): pass a precomputed token-count column —
     e.g. real tokenizer counts from :func:`bpe_encode` — to pack by it
     instead of the default regex proxy, completing the
-    train->encode->pack lifecycle."""
+    train->encode->pack lifecycle.
+
+    ``epoch_col`` (round 12): when the input is an UP-SAMPLED mixture
+    (:func:`temperature_mixture_upsample` — rows keyed by (id, epoch),
+    one row per repetition), pack on the composite key: the window
+    orders by (id, epoch) so a doc's repetitions land in consecutive
+    context windows deterministically, and the epoch column rides
+    through the output so the caller joins the assignment back on the
+    full training-example key."""
     from pyspark.sql import Window
 
     from ..functions.text import bpe_ish_token_count
@@ -758,19 +767,20 @@ def pack_sequences(
         if n_tokens_col
         else bpe_ish_token_count(F.col(text_col))
     )
+    key_cols = [id_col] + ([epoch_col] if epoch_col else [])
     with_n = df.select(
-        F.col(id_col),
+        *[F.col(c) for c in key_cols],
         F.col(group_col),
         n_expr.alias("n_tokens"),
     )
     w = (
         Window.partitionBy(group_col)
-        .orderBy(F.col(id_col).asc())
+        .orderBy(*[F.col(c).asc() for c in key_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = with_n.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return cum.select(
-        id_col,
+        *key_cols,
         group_col,
         "n_tokens",
         (F.col("cum_tokens") - F.col("n_tokens")).alias("start_offset"),
