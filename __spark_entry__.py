@@ -3187,6 +3187,67 @@ def q_semantic_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_daily(day2, path, threshold=0.9)
 
 
+def q_semantic_dedup_daily_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION two-day SemDeDup lifecycle (round 12 — the daily
+    loop with the build term amortized): identical plant and fold
+    schedule to q_semantic_dedup_daily, but the corpus state is built
+    by the sampled-fit MLlib quantizer (semantic_dedup_build
+    quantizer='ivf' — one KMeans fit over a seed-pinned sample instead
+    of the full n_assign-round exact Lloyd chain), recorded as such in
+    the artifact meta.  Day-1/day-2 judging and folding are the same
+    frozen-centroid narrow maps either way — the quantizer choice is
+    build-time only, which is exactly why the daily path's cost should
+    not carry the exact chain.  rows-only: k-means|| init and MLlib
+    Vector float paths are engine-internal, so no cross-engine oracle
+    exists by design — keep/prune equality of the full two-day
+    lifecycle across exact and ivf builds is pinned by pytest
+    (tests/test_round12_ops.py) instead."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    audit, cents = similarity.semantic_dedup_build(
+        corpus, threshold=0.9, quantizer="ivf", n_lists="auto",
+        fit_fraction=0.25,
+    )
+    kept = (
+        audit.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    path = tempfile.mkdtemp(prefix="yellowrush_semstate_ivf_")
+    atexit.register(shutil.rmtree, path, True)
+    similarity.save_semantic_state(kept, cents, path, quantizer="ivf")
+    day1 = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(
+            corpus.filter(F.col("vec_id") < 10).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+                ).alias("embedding"),
+            )
+        )
+    )
+    similarity.semantic_dedup_daily(day1, path, threshold=0.9)
+    day2 = (
+        emb.filter(F.col("vec_id") % 10 == 5)
+        .select("vec_id", "embedding")
+        .unionByName(
+            emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 40)).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x * F.lit(3.0)).cast("float")
+                ).alias("embedding"),
+            )
+        )
+    )
+    return similarity.semantic_dedup_daily(day2, path, threshold=0.9)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 PageRank over the bidirectional customer--supplier trade
     graph (3 fixed iterations, damping 0.85) — INTEGER fixed-point mass,
@@ -4750,8 +4811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
-    # ---- (1) NEW round 12, never driver-checked ----
+    # ---- (1) NEW round 12, never driver-checked (oracle-backed first) ----
         "export_upsampled": q_export_upsampled,
+    # ---- (1b) NEW round 12, rows-only (MLlib build — pytest-pinned) ----
+        "semantic_dedup_daily_ivf": q_semantic_dedup_daily_ivf,
     # ---- (2) round-12 implementation changes - re-verify ----
         "winnow_pairs": q_winnow_pairs,
         "pack_sequences": q_pack_sequences,
@@ -4803,8 +4866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "minhash_dedup_autocap": q_minhash_dedup_autocap,
         "moving_average": q_moving_average,
-        "nelson_aalen": q_nelson_aalen,
     # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "nelson_aalen": q_nelson_aalen,
         "pq_search_ivf": q_pq_search_ivf,
         "pq_search_rerank": q_pq_search_rerank,
         "pq_search_ivf_residual": q_pq_search_ivf_residual,

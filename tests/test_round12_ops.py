@@ -275,3 +275,98 @@ def test_export_mixture_modes_mutually_exclusive(spark, sf_small):
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     with _pytest.raises(ValueError, match="not both"):
         export_tokenized_set(docs, mixture=True, mixture_factor_milli=2500)
+
+
+# ---------------------------------------------------------------------------
+# amortized daily SemDeDup (r11 verdict #7): the two-day lifecycle run
+# from an ivf-built (sampled MLlib fit) state must make the same keep
+# decisions as the exact-Lloyd-built one — the quantizer choice is
+# build-time only, the daily loop is frozen-geometry either way.
+# ---------------------------------------------------------------------------
+
+
+def _daily_two_day_keeps(spark, tmp_path, quantizer):
+    import json
+
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark)
+    audit0, cents = similarity.semantic_dedup_build(
+        corpus, threshold=0.9999, k=4, quantizer=quantizer, n_lists=4,
+        fit_fraction=1.0,
+    )
+    kept0 = (
+        audit0.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    path = str(tmp_path / f"sem_state_{quantizer}")
+    similarity.save_semantic_state(kept0, cents, path, quantizer=quantizer)
+    meta = json.loads((tmp_path / f"sem_state_{quantizer}" / "meta.json").read_text())
+    assert meta["quantizer"] == quantizer
+
+    copies1 = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 200_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    fresh1 = _blob_corpus(
+        spark, n_per=10, n_clusters=1, dim=8, seed=99, base_id=300_000
+    )
+    a1 = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup_daily(
+            copies1.unionByName(fresh1), path, threshold=0.9999
+        ).collect()
+    }
+    copies2 = fresh1.filter(F.col("vec_id") < 300_005).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    fresh2 = _blob_corpus(
+        spark, n_per=8, n_clusters=1, dim=8, seed=77, base_id=500_000
+    )
+    a2 = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup_daily(
+            copies2.unionByName(fresh2), path, threshold=0.9999
+        ).collect()
+    }
+    return a1, a2
+
+
+def test_semantic_daily_keep_equality_exact_vs_ivf(spark, tmp_path):
+    """On the planted blob construction (tight threshold: only exact
+    collinear copies exceed it, and a copy always co-clusters with its
+    original because assignment reads the normalized vector), BOTH
+    days' full keep maps must be identical across the exact-Lloyd and
+    sampled-MLlib builds — the production daily path changes cost, not
+    decisions."""
+    e1, e2 = _daily_two_day_keeps(spark, tmp_path, "exact")
+    i1, i2 = _daily_two_day_keeps(spark, tmp_path, "ivf")
+    assert e1 == i1
+    assert e2 == i2
+    # non-vacuous: day-1 prunes the collinear corpus copies, keeps the
+    # fresh blob; day-2 prunes copies of day-1 keepers (the fold landed)
+    assert all(e1[200_000 + i] == 0 for i in range(10))
+    assert all(e1[300_000 + i] == 1 for i in range(10))
+    assert all(e2[400_000 + i] == 0 for i in range(5))
+
+
+def test_save_semantic_state_rejects_unknown_quantizer(spark, tmp_path):
+    import pytest as _pytest
+
+    from yellowrush_spark_ml_pipeline_spark.operators import similarity
+
+    corpus = _blob_corpus(spark, n_per=4, n_clusters=2)
+    audit0, cents = similarity.semantic_dedup_build(
+        corpus, threshold=0.9999, k=2
+    )
+    kept0 = (
+        audit0.filter(F.col("keep") == 1)
+        .select("vec_id", "cluster_id", "dist")
+        .join(corpus, "vec_id")
+    )
+    with _pytest.raises(ValueError, match="quantizer"):
+        similarity.save_semantic_state(
+            kept0, cents, str(tmp_path / "x"), quantizer="pq"
+        )

@@ -1653,7 +1653,10 @@ SEMANTIC_STATE_FORMAT_VERSION = 1
 
 
 def save_semantic_state(
-    kept: DataFrame, centroids: list[list[float]], path: str
+    kept: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    quantizer: str = "exact",
 ) -> None:
     """Persist a :func:`semantic_dedup_build` result as the versioned
     artifact the daily :func:`semantic_dedup_incremental` job loads:
@@ -1661,9 +1664,20 @@ def save_semantic_state(
     cluster_id — so a batch touching few clusters prunes the corpus
     read at the scan — plus the frozen centroids as JSON and a
     format-version meta guard.  Same artifact discipline as
-    save_tokenizer / save_ivf_index."""
+    save_tokenizer / save_ivf_index.
+
+    ``quantizer`` (round 12) records WHICH build produced the frozen
+    centroids ("exact" Lloyd chain vs sampled-fit MLlib "ivf") — the
+    daily loop is identical either way (frozen geometry, no refit),
+    but an audit reading the artifact should know whether its
+    centroids are oracle-replayable."""
     import json as _json
     import os as _os
+
+    if quantizer not in ("exact", "ivf"):
+        raise ValueError(
+            f"quantizer must be 'exact' or 'ivf', got {quantizer!r}"
+        )
 
     kept.write.mode("overwrite").partitionBy("cluster_id").parquet(
         _os.path.join(path, "kept.parquet")
@@ -1676,6 +1690,7 @@ def save_semantic_state(
             {
                 "format_version": SEMANTIC_STATE_FORMAT_VERSION,
                 "n_clusters": len(centroids),
+                "quantizer": quantizer,
                 # bumped by every append_semantic_state fold — daily jobs
                 # can assert they consumed the state they expected
                 "state_version": 1,
