@@ -67,6 +67,18 @@ ALLOWED: dict[str, str] = {
     # oracle text and gets swept under the file name.
     "export_mixture": "oracle: same HUGEINT rate CTEs as "
     "temperature_mixture (big_s HUGEINT in tot)",
+    # the UNCAPPED-rate twins (r11 upsampler, r12 epoch-keyed export)
+    # share the identical rate CTE shape: big_s and big_n are both
+    # CAST(... AS HUGEINT) in their tot CTE, so the divisor product
+    # big_s * n_docs AND the numerator (big_n * factor) // 1000 *
+    # s_micro * 1e6 (~1e24 at 100 TB row counts) evaluate in HUGEINT
+    # end to end; the Spark side routes the same arithmetic through
+    # DECIMAL(38,0) (temperature_mixture_rates' t_expr), pinned by
+    # test_mixture_upsample_matches_exact_integer_model's large-N case.
+    "mixture_upsample": "oracle: big_s/big_n HUGEINT-cast in tot; "
+    "same bound as temperature_mixture",
+    "export_upsampled": "oracle: same HUGEINT rate CTEs "
+    "(oracle_export_upsampled_sql prefix)",
     "__spark_entry__.py:// (big_s * n_docs)": "generator part literal of "
     "the export_mixture oracle; big_s is HUGEINT-cast in its tot CTE",
     # docstring formula text only.  The r10 fix made the claim true:
