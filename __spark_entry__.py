@@ -4647,6 +4647,35 @@ def q_export_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (round 12 — Xie et al. 2023): score every
+    out-of-domain document by its hashed-n-gram (unigram + bigram,
+    md5 % 4096 buckets) importance log-weight under add-1-smoothed
+    target/raw bucket models — target = the src0 slice — and keep the
+    top 100 deterministically (weight desc, id asc; the published
+    Gumbel-sampling step is a documented seam).  Every ln is rounded
+    once to integer nanonats (the unigram_nll kernel), so the oracle
+    replays feature hashing, both fits, every weight and the exact
+    selection order — a single miscounted bigram flips the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return textstats.dsir_select(
+        target,
+        raw,
+        k=100,
+        n_buckets=4096,
+        passthrough=["source", "lang"],
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_feats",
+        "weight_nanonats",
+        "sel_rank",
+    )
+
+
 def q_export_upsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EPOCH-KEYED final mile (round 12): the unified temperature
     stage down- OR up-samples each source from one uncapped rate
@@ -4823,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # MIRROR_LOCAL.json) regardless of window position.
     # ---- (1) NEW round 12, never driver-checked (oracle-backed first) ----
         "export_upsampled": q_export_upsampled,
+        "dsir_select": q_dsir_select,
     # ---- (1b) NEW round 12, rows-only (MLlib build — pytest-pinned) ----
         "semantic_dedup_daily_ivf": q_semantic_dedup_daily_ivf,
     # ---- (2) round-12 implementation changes - re-verify ----
@@ -4875,8 +4905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_scores": q_lang_scores,
         "language_id": q_language_id,
         "minhash_dedup_autocap": q_minhash_dedup_autocap,
-        "moving_average": q_moving_average,
     # ---- beyond the 50-entry window (still mirror-proven every round) ----
+        "moving_average": q_moving_average,
         "nelson_aalen": q_nelson_aalen,
         "pq_search_ivf": q_pq_search_ivf,
         "pq_search_rerank": q_pq_search_rerank,
@@ -11619,6 +11649,73 @@ def oracle_sql() -> dict[str, str]:
     sqls["export_upsampled"] = oracle_export_upsampled_sql(
         rounds=3, tokclass=tokclass
     )
+    # DSIR (r12): hashed unigram+bigram bucket fits, nanonat log ratios,
+    # per-doc BIGINT weights, deterministic top-k — full replay.
+    _h60f = "(('0x' || substr(md5(f), 1, 15))::BIGINT)"
+    sqls["dsir_select"] = f"""
+            WITH tgt AS (
+                SELECT * FROM documents WHERE source = 'src0'
+            ), rawd AS (
+                SELECT * FROM documents WHERE source <> 'src0'
+            ), tws AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), {tokclass}),
+                    x -> x <> '') AS ws
+                FROM tgt
+            ), rws AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), {tokclass}),
+                    x -> x <> '') AS ws
+                FROM rawd
+            ), tf AS (
+                SELECT doc_id, unnest(ws) AS f FROM tws
+                UNION ALL
+                SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                      FROM tws)
+            ), rf AS (
+                SELECT doc_id, unnest(ws) AS f FROM rws
+                UNION ALL
+                SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                      FROM rws)
+            ), ctb AS (
+                SELECT {_h60f} % 4096 AS bucket, COUNT(*) AS ct
+                FROM tf GROUP BY 1
+            ), crb AS (
+                SELECT {_h60f} % 4096 AS bucket, COUNT(*) AS cr
+                FROM rf GROUP BY 1
+            ), nt AS (SELECT SUM(ct) AS n FROM ctb),
+            nr AS (SELECT SUM(cr) AS n FROM crb),
+            ratio AS (
+                SELECT r.bucket,
+                       CAST(ROUND(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                                     / CAST(nt.n + 4096 AS DOUBLE))
+                                  * 1e9, 0) AS BIGINT)
+                       - CAST(ROUND(ln(CAST(r.cr + 1 AS DOUBLE)
+                                       / CAST(nr.n + 4096 AS DOUBLE))
+                                    * 1e9, 0) AS BIGINT) AS ratio_nanonats
+                FROM crb r LEFT JOIN ctb t USING (bucket)
+                CROSS JOIN nt CROSS JOIN nr
+            ), db AS (
+                SELECT doc_id, {_h60f} % 4096 AS bucket, COUNT(*) AS n_db
+                FROM rf GROUP BY 1, 2
+            ), wts AS (
+                SELECT doc_id,
+                       CAST(SUM(n_db) AS BIGINT) AS n_feats,
+                       CAST(SUM(n_db * ratio_nanonats) AS BIGINT)
+                           AS weight_nanonats
+                FROM db JOIN ratio USING (bucket) GROUP BY doc_id
+            ), ranked AS (
+                SELECT w.doc_id, d.source, d.lang, w.n_feats,
+                       w.weight_nanonats,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY w.weight_nanonats DESC, w.doc_id ASC
+                       ) AS INT) AS sel_rank
+                FROM wts w JOIN rawd d USING (doc_id)
+            )
+            SELECT * FROM ranked WHERE sel_rank <= 100
+        """
     sqls["interpolate_linear"] = """
             WITH s AS (
                 SELECT event_type, event_id,

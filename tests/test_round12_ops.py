@@ -370,3 +370,109 @@ def test_save_semantic_state_rejects_unknown_quantizer(spark, tmp_path):
         similarity.save_semantic_state(
             kept0, cents, str(tmp_path / "x"), quantizer="pq"
         )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (r12): hashed unigram+bigram importance weights
+# under add-1-smoothed target/raw bucket models, deterministic top-k.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_hand_model(target_texts, raw_texts, n_buckets):
+    """Pure-Python replica of dsir_select's integer weight model."""
+    import hashlib
+    import math
+    import re
+
+    def feats(text):
+        ws = [w for w in re.split(r"[^0-9a-zÀ-ɏ一-鿿]+",
+                                  text.lower()) if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % n_buckets
+
+    def counts(texts):
+        c = {}
+        for t in texts:
+            for f in feats(t):
+                b = bucket(f)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    ct, cr = counts(target_texts), counts(raw_texts)
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    def nanolog(c, n):
+        # Spark/DuckDB ROUND is half-away-from-zero; ln is negative here
+        x = math.log((c + 1) / (n + n_buckets)) * 1e9
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    ratio = {
+        b: nanolog(ct.get(b, 0), nt) - nanolog(cr[b], nr) for b in cr
+    }
+    weights = []
+    for i, t in enumerate(raw_texts):
+        w = sum(ratio[bucket(f)] for f in feats(t))
+        weights.append((i, w))
+    return weights
+
+
+def test_dsir_select_matches_hand_model_and_ranks_in_domain_first(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        dsir_select,
+    )
+
+    # target vocabulary is distinctive; raw = 5 in-domain docs sharing it
+    # + 15 off-domain docs on a disjoint vocabulary
+    target_texts = [
+        "protein folding dynamics entropy landscape",
+        "folding pathway entropy barrier protein",
+        "entropy landscape of protein folding",
+    ]
+    in_domain = [
+        f"protein folding entropy study number {i}" for i in range(5)
+    ]
+    off_domain = [
+        f"banana smoothie recipe blender tips volume {i}" for i in range(15)
+    ]
+    raw_texts = in_domain + off_domain
+    target = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(target_texts)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(raw_texts)],
+        "doc_id long, text string",
+    )
+    out = dsir_select(target, raw, k=20, n_buckets=256).collect()
+    got = {r["doc_id"]: r["weight_nanonats"] for r in out}
+
+    hand = _dsir_hand_model(target_texts, raw_texts, 256)
+    expected = {100 + i: w for i, w in hand}
+    assert got == expected
+
+    # the 5 in-domain docs outrank every off-domain doc
+    ranks = {r["doc_id"]: r["sel_rank"] for r in out}
+    in_ranks = [ranks[100 + i] for i in range(5)]
+    assert max(in_ranks) <= 5, ranks
+
+    # determinism: rank is total (ties broken by id) and k bounds output
+    assert sorted(r["sel_rank"] for r in out) == list(range(1, 21))
+
+
+def test_dsir_single_token_docs_yield_no_bigrams(spark):
+    from yellowrush_spark_ml_pipeline_spark.operators.textstats import (
+        _dsir_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "two words"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = _dsir_features(df, "text", "doc_id").collect()
+    feats = {}
+    for r in rows:
+        feats.setdefault(r["doc_id"], []).append(r["_f"])
+    assert feats[1] == ["hello"]               # no fabricated reversed pair
+    assert sorted(feats[2]) == ["two", "two words", "words"]
+    assert 3 not in feats                      # empty doc -> no features

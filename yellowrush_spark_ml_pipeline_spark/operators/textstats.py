@@ -2141,3 +2141,165 @@ def ndcg_at_k(
         "idcg_micro",
         F.round(F.col("dcg_micro") / F.col("idcg_micro"), 6).alias("ndcg"),
     )
+
+
+def _dsir_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The hashed-n-gram feature stream DSIR fits and scores on: word
+    unigrams + bigrams per document, exploded to one row per occurrence.
+    Kept as a helper so the fit corpora and the scored corpus tokenize
+    identically by construction (a tokenizer mismatch between fit and
+    score silently corrupts every weight)."""
+    ws = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_ws")
+    )
+    feats = ws.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.col("_ws"),
+                # element_at is 1-based like the DuckDB replay; a
+                # single-token doc must yield NO bigrams (sequence(1, 0)
+                # would DESCEND, fabricating a reversed pair)
+                F.when(
+                    F.size("_ws") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(_ws) - 1), i -> "
+                        "concat(element_at(_ws, i), ' ', "
+                        "element_at(_ws, i + 1)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("_f"),
+    )
+    return feats
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR's importance model (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-n-gram bag
+    distributions for a small in-domain TARGET corpus and the large RAW
+    corpus, returned as the per-bucket log-likelihood-ratio relation
+    ``(bucket, ratio_nanonats)`` with add-1 smoothing over the fixed
+    bucket space.
+
+    Cross-engine exactness (the :func:`unigram_nll` kernel): each
+    side's ``ln((c + 1) / (N + B))`` is rounded ONCE to integer
+    nanonats, the ratio is a BIGINT difference — no float accumulation
+    anywhere downstream.  Buckets are ``md5 % B`` (the engine's
+    cross-engine hash contract), so the oracle replays the feature
+    hashing bit-for-bit.
+
+    Scale shape: both fits are one combinable (bucket) count each —
+    map-side combined, shuffling at most ``n_buckets`` rows per corpus
+    — and the totals enter as 1-row broadcasts.  The output relation
+    is parameter-sized (≤ B rows): broadcast it into the scorer.
+    Buckets absent from the raw fit are irrelevant by construction
+    (the scored corpus IS the raw corpus, so every scored feature's
+    bucket appears in the raw counts); absent target buckets take the
+    smoothed floor ``ln(1 / (N_t + B))``."""
+    from ..functions.hashing import md5_hash60
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        f = _dsir_features(df, text_col, id_col)
+        return (
+            f.select(F.pmod(md5_hash60(F.col("_f")), F.lit(n_buckets)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ct = bucket_counts(target, "_ct")
+    cr = bucket_counts(raw, "_cr")
+    nt = ct.agg(F.sum("_ct").alias("_nt"))
+    nr = cr.agg(F.sum("_cr").alias("_nr"))
+
+    def nanolog(count_col: str, total_col: str) -> Column:
+        return F.round(
+            F.log(
+                (F.coalesce(F.col(count_col), F.lit(0)) + 1).cast("double")
+                / (F.col(total_col) + n_buckets).cast("double")
+            )
+            * F.lit(1e9),
+            0,
+        ).cast("long")
+
+    return (
+        cr.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (nanolog("_ct", "_nt") - nanolog("_cr", "_nr")).alias(
+                "ratio_nanonats"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    target: DataFrame,
+    raw: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """DSIR data selection: score every RAW document by its hashed-
+    n-gram importance log-weight ``sum_f count_f * (ln p_target(f) -
+    ln p_raw(f))`` under the add-1-smoothed bucket models of
+    :func:`dsir_log_ratios`, and keep the top ``k`` (weight desc,
+    id asc).  The published recipe perturbs weights with Gumbel noise
+    to SAMPLE instead of top-k; the deterministic argmax variant is
+    the engine's replayable contract (the Gumbel seam composes as one
+    extra column if sampling is ever needed — determinism here is what
+    lets the oracle differentially check every weight).
+
+    Output: (id, *passthrough, n_feats, weight_nanonats, sel_rank).
+
+    Scale shape: the scorer is one (doc, bucket) combinable count, a
+    broadcast join against the ≤ B-row ratio relation, one combinable
+    per-doc BIGINT sum, and a TakeOrdered top-k — no corpus-sized
+    shuffle beyond the per-doc aggregation, no driver materialization
+    beyond k rows.  Per-doc products are bounded by ``n_tokens_doc *
+    ~5e10`` nanonats, far inside BIGINT for any real document."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_hash60
+
+    ratios = dsir_log_ratios(
+        target, raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    doc_buckets = (
+        _dsir_features(raw, text_col, id_col)
+        .select(
+            F.col(id_col),
+            F.pmod(md5_hash60(F.col("_f")), F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_n_db"))
+    )
+    weights = (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_db").cast("bigint").alias("n_feats"),
+            F.sum(F.col("_n_db") * F.col("ratio_nanonats"))
+            .cast("bigint")
+            .alias("weight_nanonats"),
+        )
+    )
+    cols = [id_col] + list(passthrough or [])
+    out = weights.join(raw.select(*cols), id_col)
+    order = [F.col("weight_nanonats").desc(), F.col(id_col).asc()]
+    # top-k FIRST (TakeOrdered — no global sort, no corpus-wide window);
+    # the rank window then runs over only the k surviving rows
+    topk = out.orderBy(*order).limit(k)
+    return topk.withColumn(
+        "sel_rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+    )
