@@ -79,6 +79,15 @@ ALLOWED: dict[str, str] = {
     "same bound as temperature_mixture",
     "export_upsampled": "oracle: same HUGEINT rate CTEs "
     "(oracle_export_upsampled_sql prefix)",
+    # DSIR per-doc weight (r12): |ratio_nanonats| <= ~5.5e10 even at
+    # 100 TB feature totals (|ln(1/(N+B))| ~ 55 nats), and the sum is
+    # PER DOCUMENT — n_feats_doc * 5.5e10 ~ 1.1e18 for a pathological
+    # 100 MB doc, inside BIGINT; the DuckDB side SUMs in HUGEINT before
+    # its final BIGINT cast (per-doc bound, like readability)
+    "dsir_select": "oracle: per-doc bounded sum; DuckDB SUM is HUGEINT "
+    "before the cast",
+    "__spark_entry__.py:SUM(n_db*ratio_nanonats)": "same per-doc bound "
+    "(the dsir_select oracle literal seen on the source surface)",
     "__spark_entry__.py:// (big_s * n_docs)": "generator part literal of "
     "the export_mixture oracle; big_s is HUGEINT-cast in its tot CTE",
     # docstring formula text only.  The r10 fix made the claim true:
