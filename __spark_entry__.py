@@ -4845,8 +4845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail drains (percentile_sketch ... zone_prune — after this window
     # no entry's last clean presentation is older than r7), and the
     # remaining slots take the alphabetically-first r7-stale oracle
-    # entries (anti_join ... nelson_aalen; the r7 tail continues in
-    # r13: null_safe_join, pii_redaction, pivot_revenue, ...).  Every
+    # entries (anti_join ... minhash_dedup_autocap; the late additions
+    # dsir_select and semantic_dedup_daily_ivf displaced moving_average
+    # and nelson_aalen, so the r7 tail continues in r13: moving_average,
+    # nelson_aalen, null_safe_join, pii_redaction, ...).  Every
     # oracle-backed query is still re-proven on CURRENT testdata every
     # round by the local mirror (tools/driver_mirror.py ->
     # MIRROR_LOCAL.json) regardless of window position.
