@@ -1685,7 +1685,13 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cb = similarity.pq_train(emb, m=4, k=8, n_assign=2)
+    # cb is parameter-sized (m*k = 32 rows) but its DAG is 4 subspace
+    # Lloyd chains; it feeds TWO broadcast consumers (encode + query
+    # LUT), each of which would re-execute the training — checkpoint so
+    # the chains run once (guide §2.4: remove redundant passes).
+    cb = similarity.pq_train(emb, m=4, k=8, n_assign=2).localCheckpoint(
+        eager=True
+    )
     enc = similarity.pq_encode(emb, cb, m=4)
     return similarity.pq_search_adc(enc, cb, queries_df, k=10, m=4)
 
@@ -1700,7 +1706,13 @@ def _pq_ivf_parts(spark: SparkSession, sf_dir: str):
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cb = similarity.pq_train(emb, m=4, k=8, n_assign=2, fit_fraction=0.5)
+    # Checkpoint the parameter-sized codebooks: they feed the encode
+    # broadcast AND the per-query LUT broadcast (and the persisted
+    # variant's artifact write), each of which would otherwise re-run
+    # all four subspace Lloyd chains (guide §2.4).
+    cb = similarity.pq_train(
+        emb, m=4, k=8, n_assign=2, fit_fraction=0.5
+    ).localCheckpoint(eager=True)
     assigned, cents = similarity.ivf_build_index_exact(
         emb, n_lists=16, lloyd_iters=2
     )
@@ -1750,10 +1762,17 @@ def q_pq_search_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = similarity.ivf_build_index_exact(
         emb, n_lists=16, lloyd_iters=2
     )
-    res = similarity.pq_residuals(assigned, cents)
+    # res feeds the subspace training chains (each referencing it from
+    # several broadcast subtrees), the encode pass, and two eager dim
+    # guards — checkpoint so the coarse-assign + residual map runs once
+    # (guide §2.4); cb likewise feeds encode + the per-(query, list)
+    # LUT broadcast.
+    res = similarity.pq_residuals(assigned, cents).localCheckpoint(
+        eager=True
+    )
     cb = similarity.pq_train(
         res, m=4, k=8, n_assign=2, emb_col="_rv", fit_fraction=0.5
-    )
+    ).localCheckpoint(eager=True)
     enc = similarity.pq_encode(
         res, cb, m=4, emb_col="_rv", extra_cols=["_list"]
     )
@@ -1784,10 +1803,14 @@ def q_pq_search_ivf_residual_persisted(
     assigned, cents = similarity.ivf_build_index_exact(
         emb, n_lists=16, lloyd_iters=2
     )
-    res = similarity.pq_residuals(assigned, cents)
+    # same checkpoint discipline as q_pq_search_ivf_residual: res and cb
+    # each feed several consumers that would re-execute their DAGs
+    res = similarity.pq_residuals(assigned, cents).localCheckpoint(
+        eager=True
+    )
     cb = similarity.pq_train(
         res, m=4, k=8, n_assign=2, emb_col="_rv", fit_fraction=0.5
-    )
+    ).localCheckpoint(eager=True)
     enc = similarity.pq_encode(
         res, cb, m=4, emb_col="_rv", extra_cols=["_list"]
     )

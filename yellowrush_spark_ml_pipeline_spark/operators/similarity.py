@@ -1143,10 +1143,19 @@ def save_pq_index(
             (int(s["l"]), [int(x) for x in s["c"]])
             for s in (row["cs"] if row else [])
         ]
-    encoded.write.mode("overwrite").partitionBy("_list").parquet(
-        _os.path.join(path, "codes.parquet")
-    )
-    codebooks.write.mode("overwrite").parquet(
+    # Repartition by the partition column before the partitioned write:
+    # without it every one of the N input tasks opens a file in every
+    # list directory it holds rows for (up to tasks x n_lists tiny
+    # files; 32 x 16 measured at sf0.1), which slows the commit AND
+    # every later probe scan.  One exchange keyed on _list yields one
+    # file per list — the layout a probe reads with a single file open
+    # per probed partition (guide: compact on write, 128 MB-1 GB files;
+    # at scale lists far exceed task count so the exchange is the
+    # standard pre-write clustering, not a parallelism cap).
+    encoded.repartition(F.col("_list")).write.mode("overwrite").partitionBy(
+        "_list"
+    ).parquet(_os.path.join(path, "codes.parquet"))
+    codebooks.coalesce(1).write.mode("overwrite").parquet(
         _os.path.join(path, "codebooks.parquet")
     )
     exact = bool(centroids) and isinstance(centroids[0], tuple)
@@ -1158,11 +1167,19 @@ def save_pq_index(
     with open(_os.path.join(path, "centroids.json"), "w") as fh:
         _json.dump(payload, fh)
         fh.write("\n")
+    # m/k for the meta guard come from the parquet JUST WRITTEN, not the
+    # input DataFrame: an agg over `codebooks` would re-execute its full
+    # training DAG (4 subspace Lloyd chains for the PQ queries) one more
+    # time per save (r11 ADVICE class — the pq_encode eager-guard bug).
     mk = (
-        codebooks.agg(
+        encoded.sparkSession.read.parquet(
+            _os.path.join(path, "codebooks.parquet")
+        )
+        .agg(
             (F.max("subspace") + 1).alias("_m"),
             (F.max("cluster_id") + 1).alias("_k"),
-        ).first()
+        )
+        .first()
     )
     with open(_os.path.join(path, "meta.json"), "w") as fh:
         _json.dump(
@@ -1679,9 +1696,10 @@ def save_semantic_state(
             f"quantizer must be 'exact' or 'ivf', got {quantizer!r}"
         )
 
-    kept.write.mode("overwrite").partitionBy("cluster_id").parquet(
-        _os.path.join(path, "kept.parquet")
-    )
+    # one file per cluster, not one per (task, cluster) — see save_pq_index
+    kept.repartition(F.col("cluster_id")).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(_os.path.join(path, "kept.parquet"))
     with open(_os.path.join(path, "centroids.json"), "w") as fh:
         _json.dump([[float(x) for x in c] for c in centroids], fh)
         fh.write("\n")
@@ -1755,9 +1773,9 @@ def append_semantic_state(
         .select(id_col, "cluster_id", "dist")
         .join(batch, id_col)
     )
-    keepers.select(*kept.columns).write.mode("append").partitionBy(
-        "cluster_id"
-    ).parquet(_os.path.join(path, "kept.parquet"))
+    keepers.select(*kept.columns).repartition(F.col("cluster_id")).write.mode(
+        "append"
+    ).partitionBy("cluster_id").parquet(_os.path.join(path, "kept.parquet"))
     meta["state_version"] = int(meta.get("state_version", 1)) + 1
     if batch_tag is not None:
         meta["applied_tags"] = tags + [str(batch_tag)]
@@ -2471,9 +2489,10 @@ def save_ivf_index(assigned: DataFrame, centroids, path: str) -> None:
     import os as _os
 
     exact = bool(centroids) and isinstance(centroids[0], tuple)
-    assigned.write.mode("overwrite").partitionBy("_list").parquet(
-        _os.path.join(path, "assigned.parquet")
-    )
+    # one file per list, not one per (task, list) — see save_pq_index
+    assigned.repartition(F.col("_list")).write.mode("overwrite").partitionBy(
+        "_list"
+    ).parquet(_os.path.join(path, "assigned.parquet"))
     payload = (
         [[int(l), [int(x) for x in c]] for l, c in centroids]
         if exact
