@@ -208,7 +208,12 @@ def test_narrow_text_embedding_ops_have_zero_exchanges(spark, sf_small):
     at 100 TB a stray exchange here re-shuffles the whole corpus."""
     for name in ("chunk_documents", "embedding_quantize", "repetition_score"):
         rep = plan_report(entrymod.queries()[name](spark, sf_small))
-        assert rep["exchanges"] == 0, f"{name} should be a narrow map"
+        # Zero KEY exchanges: nothing may shuffle the corpus by a key.
+        # A single round-robin exchange is permitted — the unsplittable-
+        # input scan spread (functions/partitioning.py), which never
+        # fires at a scale where the input splits into enough tasks.
+        assert rep["key_exchanges"] == 0, f"{name} must not key-shuffle"
+        assert rep["exchanges"] <= 1, f"{name} should be a narrow map"
         assert not rep["python_udf"], f"{name} must stay JVM-side"
 
 
@@ -281,7 +286,10 @@ def test_compression_ratio_profile_has_no_join(spark, sf_small):
     assert "Join" not in plan
     assert "MapInPandas" in plan
     rep = plan_report(entrymod.q_compression_ratio(spark, sf_small))
-    assert rep["exchanges"] <= 2  # partial-agg exchange + result ordering
+    # partial-agg exchange + result ordering; +1 allows the round-robin
+    # scan spread (functions/partitioning.py), which is key-free
+    assert rep["key_exchanges"] <= 2
+    assert rep["exchanges"] <= 3
 
 
 def test_pack_efficiency_no_join_bounded_exchanges(spark, sf_small):

@@ -113,8 +113,14 @@ def minhash_signatures(
     document length. Measured ~1.7× faster than the no-shuffle
     K×array_min(transform(...)) formulation, which allocates K intermediate
     arrays per document inside one giant codegen expression."""
+    from ..functions.partitioning import ensure_scan_parallelism
+
     sh = _shingle_expr(text_col, shingle_n, basis)
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("_s"))
+    # single-row-group inputs scan as ONE task; the shingle+hash work is
+    # fused into that scan, so spread it first (no-op on split inputs)
+    exploded = ensure_scan_parallelism(df).select(
+        F.col(id_col), F.explode(sh).alias("_s")
+    )
     if hash_fn == "md5":
         base = md5_hash60(F.col("_s")) % F.lit(MINHASH_P)
         exploded = exploded.select(F.col(id_col), base.alias("_x"))
@@ -357,8 +363,12 @@ def ngram_jaccard_verify(
     Set ops run on arrays JVM-side; the docs table is joined twice by id —
     at scale these are shuffle-hash joins on the id, and `pairs` is tiny
     relative to the corpus because LSH already pruned."""
+    from ..functions.partitioning import ensure_scan_parallelism
+
     sh = _shingle_expr(text_col, shingle_n, basis)
-    d = docs.select(F.col(id_col), sh.alias("_sh"))
+    # the per-doc shingle arrays are computed in the docs scan stage —
+    # spread an unsplittable scan before it (no-op on split inputs)
+    d = ensure_scan_parallelism(docs).select(F.col(id_col), sh.alias("_sh"))
     out = (
         pairs.join(d.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
         .join(d.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
@@ -537,8 +547,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     re-assemble (bit i is set iff 2·Σbit_i > n, identical to the ±1 vote
     sign but without 64 when/otherwise branches per row — measured ~30%
     faster). One shuffle on doc_id — no Python, no O(64) joins."""
+    from ..functions.partitioning import ensure_scan_parallelism
+
     width = 60 if hash_fn == "md5" else 64
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    tok = ensure_scan_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
     h = md5_hash60(F.col("_t")) if hash_fn == "md5" else F.xxhash64("_t")
     hashed = tok.select(id_col, h.alias("_h"))
     bit_ones = [
@@ -787,8 +801,12 @@ def duplicate_ngram_spans(
     (integer positions + md5 hash), hence oracle-backed."""
     from pyspark.sql import Window
 
+    from ..functions.partitioning import ensure_scan_parallelism
+
     sh = shingles(tokens(F.col(text_col)), ngram_n)
-    pos = df.select(F.col(id_col), F.posexplode(sh).alias("pos", "_g"))
+    pos = ensure_scan_parallelism(df).select(
+        F.col(id_col), F.posexplode(sh).alias("pos", "_g")
+    )
     hashed = pos.select(F.col(id_col), "pos", md5_hash60(F.col("_g")).alias("_h"))
     ubiquitous = (
         hashed.groupBy("_h")
@@ -837,10 +855,13 @@ def containment_pairs(
     per-gram self-join emits candidate id pairs that are then verified
     ONCE per distinct pair with two id-keyed joins back to the shingle
     sets. Set intersection runs JVM-side on arrays."""
+    from ..functions.partitioning import ensure_scan_parallelism
+
     max_gram_df = _resolve_cap(max_gram_df, docs, id_col)
     sh = _shingle_expr(text_col, shingle_n, basis)
     sized = (
-        docs.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+        ensure_scan_parallelism(docs)
+        .select(F.col(id_col).alias("_id"), sh.alias("_sh"))
         .withColumn("_n", F.size("_sh"))
         .filter(F.col("_n") > 0)
     )
@@ -974,8 +995,10 @@ def segment_line_dedup(
         F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"),
         lambda t: t != F.lit(""),
     )
+    from ..functions.partitioning import ensure_scan_parallelism
+
     n_segs = F.expr(f"(size(_toks) + {seg_words - 1}) div {seg_words}")
-    segs = df.select(
+    segs = ensure_scan_parallelism(df).select(
         F.col(id_col), toks.alias("_toks")
     ).select(
         id_col,
@@ -1125,9 +1148,13 @@ def winnow_fingerprints(
     time on struct picks.  The fingerprint relation this emits is the
     bounded artifact downstream overlap joins consume."""
     from ..functions.hashing import md5_hash60
+    from ..functions.partitioning import ensure_scan_parallelism
     from ..functions.text import char_ngrams
 
-    hashed = docs.select(
+    # per-gram md5 is the dominant cost and fuses into the docs scan —
+    # spread an unsplittable scan first (measured 5.4 s -> 3.3 s at
+    # sf0.1, where the docs table is one parquet row group = one task)
+    hashed = ensure_scan_parallelism(docs).select(
         F.col(id_col).alias("_id"),
         F.transform(
             char_ngrams(F.col(text_col), k), lambda g: md5_hash60(g)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_scan_parallelism
 from ..functions.text import (
     bpe_ish_token_count,
     rolling_fingerprint,
@@ -95,6 +96,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality features + composite score:
     length, token stats, punctuation/digit/uppercase ratios, stopword ratio,
     mean word length. Mirrors the C4/Gopher-style rule families."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     text = F.col(text_col)
     tok = tokens(text)
     n_chars = F.length(text)
@@ -145,6 +147,7 @@ def repetition_score(
     collapsed by Catalyst into one expression PER OUTPUT COLUMN, which
     re-runs tokenize+shingle+sort 4-5× per row (measured 9.6 s → 1.3 s at
     sf0.1 for this exact query)."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     from ..functions.text import shingles, tokens
 
     sh = shingles(tokens(F.col(text_col)), ngram)
@@ -196,6 +199,7 @@ def repetition_score(
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counts per document."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     return df.withColumn(
         "ws_tokens", whitespace_token_count(F.col(text_col))
     ).withColumn("bpe_ish_tokens", bpe_ish_token_count(F.col(text_col)))
@@ -209,6 +213,7 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame
     its local top-k and only k rows travel — a 100 TB corpus' multi-GB
     vocabulary is never globally sorted, let alone the corpus. The rank
     column is a window over the k survivors only."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     from pyspark.sql import Window
 
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
@@ -229,6 +234,7 @@ def token_rarity(df: DataFrame, text_col: str = "text",
     shuffles: token-frequency agg, then doc re-agg of the exploded join.
     Kept integer-exact deliberately: log-prob floats differ across
     engines' libm at the last ulp, integers never do."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
     freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     return (
@@ -346,7 +352,7 @@ def redact_pii(
     trail) + a redacted text column. Pure regexp built-ins — one narrow
     map stage fused into the scan, no Python."""
     pats = patterns or PII_PATTERNS
-    out = df
+    out = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     redacted = F.col(text_col)
     for name, pat in pats.items():
         out = out.withColumn(
@@ -380,6 +386,8 @@ def benchmark_overlap(
     cross-engine float drift.
     """
     from ..functions.text import shingles
+
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
 
     def grams(frame: DataFrame, cols: list[str]) -> DataFrame:
         g = F.array_distinct(shingles(tokens(F.col(text_col)), n=n))
@@ -421,6 +429,7 @@ def boilerplate_spans(
     top-k (TakeOrderedAndProject — only k rows ever reach the driver
     side of the sort). One shuffle total, integer counts only.
     """
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     from pyspark.sql import Window
 
     from ..functions.text import shingles
@@ -453,6 +462,7 @@ def distinctive_terms(
     cross-engine float log. Two shuffles (doc-term agg, df agg) + one
     window; the df side aggregates to vocabulary size before the join, so
     corpus scale never re-shuffles twice."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     from pyspark.sql import Window
 
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
@@ -478,6 +488,7 @@ def bigram_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame
     truncated shingle is excluded by the contains-space filter, so only
     genuine adjacencies count. Same TakeOrderedAndProject shape as
     vocab_topk: per-partition top-k, only k rows travel."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     from pyspark.sql import Window
 
     from ..functions.text import shingles
@@ -846,6 +857,7 @@ def compression_ratio(
     group-bys (per-language profiles etc.) need NO re-join back to the
     source — the scorer stays a narrow map, zero shuffles.
     Output: (id, *passthrough, n_bytes, n_compressed, ratio to 4dp)."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     import zlib
 
     import pandas as pd
@@ -894,6 +906,7 @@ def strip_html(df: DataFrame, text_col: str = "text") -> DataFrame:
     C4-style extraction pass (a DOM-aware extractor slots in as a pandas
     UDF with the same output column). Pure regexp built-ins, RE2-safe
     patterns (no backrefs), fused into the scan."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     stripped = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
     for ent, ch in (
         ("&lt;", "<"),
@@ -960,6 +973,7 @@ def unigram_nll(
     key (AQE picks broadcast when it fits); the corpus total N enters as
     a 1-row broadcast cross join, not a literal collected to the driver.
     Zero Python anywhere."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
     doc_tok = tok.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_n_dt"))
     vocab = doc_tok.groupBy("_t").agg(F.sum("_n_dt").alias("_c"))
@@ -1015,6 +1029,7 @@ def bm25_topk(
     matching-tokens); df/avgdl are tiny broadcast relations; the head is
     TakeOrderedAndProject. This is the retrieval half of hybrid search —
     fuse with embedding top-k via ``similarity.rrf_fuse``."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     toks = tokens(F.col(text_col))
@@ -1095,6 +1110,7 @@ def source_ngram_overlap(
     |sources|^2 key space. Per-source totals are a broadcast. Nothing
     is quadratic in documents — only in SOURCES, which is the point of
     the rollup."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     from ..functions.text import shingles
 
     grams = df.select(
@@ -1155,6 +1171,7 @@ def ngram_novelty(
     on the gram key and a per-doc count — two shuffles total, nothing
     quadratic. The same pass at 100 TB prices a daily batch against the
     persisted first-seer table instead of recomputing it."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     from ..functions.hashing import md5_hash60
     from ..functions.text import shingles
 
@@ -1217,6 +1234,7 @@ def source_kl_drift(
     note in flows.py), this relation is structurally bounded at
     |sources| x |vocab| regardless of corpus size, so caching it cannot
     blow up with the data."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     tok = df.select(
         F.col(source_col).alias("source"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
@@ -1283,6 +1301,7 @@ def readability(
     15590. Both regexp counts are single codegen passes; everything
     downstream is BIGINT — order- and engine-independent.
     """
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     lower = F.lower(F.col(text_col))
     words = F.regexp_count(lower, F.lit(r"[a-z]+"))
     syll = F.regexp_count(lower, F.lit("[aeiouy]+"))
@@ -1324,6 +1343,7 @@ def quality_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
     predicates (regexp counts + an array filter against a 7-word
     literal list), so at 100 TB this is scan-bound with a 5-row output.
     """
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     lower = F.lower(F.col(text_col))
     words = F.regexp_count(lower, F.lit(r"[a-z]+")).cast("bigint")
     alpha = F.length(F.regexp_replace(lower, r"[^a-z]", "")).cast("bigint")
@@ -1363,6 +1383,7 @@ def ttr_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     partial aggregation; the (source, token) key space is vocabulary-
     not corpus-sized, so the second shuffle is tiny at any scale.
     """
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     tok = df.select(
         "source", F.explode(tokens(F.col(text_col))).alias("token")
     )
@@ -1414,6 +1435,7 @@ def bigram_nll(
     when small); the corpus total enters as a 1-row broadcast. Same
     three-shuffle skeleton as unigram_nll, zero Python.
     """
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_ts")
     ).filter(F.size("_ts") >= 2)
@@ -1578,7 +1600,8 @@ def _bpe_doc_words(
     from ..functions.text import tokens
 
     return (
-        docs.select(
+        ensure_scan_parallelism(docs)
+        .select(
             F.col(id_col),
             F.posexplode(tokens(F.col(text_col))).alias("_widx", "_w"),
         )
@@ -1991,6 +2014,8 @@ def tfidf_cosine_pairs(
 
     Output: (id_a, id_b, cosine) with cosine >= threshold, ordered by
     cosine desc then ids, limited to ``top_n``."""
+    # spread unsplittable scans (guide 2.5) — tokenize fuses into it
+    docs = ensure_scan_parallelism(docs)
     tf = (
         docs.select(
             F.col(id_col).alias("_id"),
@@ -2149,6 +2174,7 @@ def _dsir_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Kept as a helper so the fit corpora and the scored corpus tokenize
     identically by construction (a tokenizer mismatch between fit and
     score silently corrupts every weight)."""
+    df = ensure_scan_parallelism(df)  # spread unsplittable scans (guide 2.5)
     ws = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_ws")
     )

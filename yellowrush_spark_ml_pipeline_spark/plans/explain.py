@@ -31,5 +31,11 @@ def plan_report(df: DataFrame) -> dict[str, bool | int]:
         "sort_merge_join": "SortMergeJoin" in plan,
         "whole_stage_codegen": "WholeStageCodegen" in plan or "codegen id" in plan,
         "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        # Exchanges that move data BY KEY (hash/range partitioning) — the
+        # kind that re-shuffles a corpus at scale.  Round-robin exchanges
+        # from the unsplittable-input scan spread
+        # (functions/partitioning.py) are deliberately excluded: they are
+        # a no-op at any scale where the input splits.
+        "key_exchanges": len(re.findall(r"hashpartitioning|rangepartitioning", plan)),
         "python_udf": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
     }
