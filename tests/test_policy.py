@@ -56,6 +56,10 @@ def test_no_row_at_a_time_python_udfs():
 
 RDD_ALLOWED = {
     "sources/writers.py",  # .rdd.getNumPartitions() — metadata read, no job
+    # .rdd.getNumPartitions() gate in ensure_scan_parallelism — a
+    # planning-time metadata read deciding the unsplittable-scan spread
+    # (round-12 optimization); no data crosses the RDD API.
+    "functions/partitioning.py",
 }
 
 
