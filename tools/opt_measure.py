@@ -42,6 +42,8 @@ def main() -> int:
     ap.add_argument("--shots", type=int, default=2)
     ap.add_argument("--no-plan", action="store_true")
     ap.add_argument("--out", default="")
+    ap.add_argument("--plans-dir", default="r13",
+                    help="subdirectory of plans/ for the explain captures")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -65,7 +67,7 @@ def main() -> int:
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12")
+        "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     spark = get_spark("yellowrush-opt-measure")

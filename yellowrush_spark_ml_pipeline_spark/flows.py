@@ -176,6 +176,8 @@ def curate_corpus(
     hash_fn: str = "xxhash64",
     persist_intermediate: bool = False,
     quality_scorer=None,
+    max_broadcast_rows: int = 1_000_000,
+    decision_checkpoint: bool = True,
 ) -> DataFrame:
     """The LLM training-data curation flow end-to-end: quality scoring →
     threshold filter → language ID → MinHash near-dup pairs → connected
@@ -255,16 +257,57 @@ def curate_corpus(
     # broadcasting the corpus at 10x data), the checkpointed relation
     # carries no payload, so a planner broadcasting it is correct at any
     # scale where it fits and falls back to a shuffle join where not.
-    # The attach is an EXPLICIT broadcast: a checkpointed relation has no
-    # catalyst stats, so the planner would otherwise pick a sort-merge
-    # join and shuffle the TEXT column by doc_id once per consumer —
-    # exactly the "join sneaks the payload shuffle back in" trap of
-    # guide §8.4 (measured +2 s on curate_scored).  At a scale where the
-    # decision relation outgrows a broadcast, swap this attach for the
-    # guide's Bloom/semi-join slicing; the text side must never shuffle.
+    # The attach is a SIZE-GATED broadcast (r12 ADVICE: an explicit
+    # broadcast hint never falls back on size, so an unconditional
+    # F.broadcast(dec) would pin a corpus-proportional relation into
+    # every executor at 100 TB — the exact hazard the opt-in persist was
+    # disabled for).  A checkpointed relation has no catalyst stats, so
+    # without a hint the planner picks a sort-merge join and shuffles
+    # the TEXT column by doc_id once per consumer — the "join sneaks the
+    # payload shuffle back in" trap of guide §8.4 (measured +2 s on
+    # curate_scored).  Gate: one bounded count over the checkpointed
+    # decision blocks (same contract as semantic_dedup_incremental's
+    # max_broadcast_rows); over the gate, a shuffle-hash hint keeps the
+    # join memory-bounded — the corpus shuffles once by doc_id, which is
+    # the correct plan when the decision relation itself is beyond
+    # broadcast; slicing it further is the guide's Bloom/semi-join
+    # refinement, not the default.
+    #
+    # Contract notes (r12 ADVICE): a callable ``quality_scorer`` must be
+    # ADD-ONLY — it may append columns but never modify existing ones
+    # (the attach re-reads originals from ``docs``, so a scorer that
+    # e.g. normalized ``text`` would have its change silently dropped);
+    # enforced below by refusing a scorer output missing any original
+    # column.  ``docs`` must also be unique on doc_id (duplicate ids
+    # would multiply through this join) — guaranteed here by every
+    # caller's id construction, asserted cheaply via the dedup tier
+    # downstream which keys on doc_id.
+    missing = [c for c in docs.columns if c not in kept.columns]
+    if missing:
+        raise ValueError(
+            f"quality_scorer dropped original columns {missing}; the "
+            "scorer contract is add-only (df -> df plus derived columns)"
+        )
+    # ``decision_checkpoint=False`` (r12 ADVICE, multi-node durability):
+    # localCheckpoint stores the decision relation unreplicated and cuts
+    # lineage, so an executor loss on a real cluster kills every
+    # downstream consumer; persist() keeps it recomputable at the cost
+    # of re-running the regex stage after a loss.  Single-JVM runs keep
+    # the default (nothing to lose an executor to).
     derived = [c for c in kept.columns if c not in docs.columns]
-    dec = kept.select("doc_id", *derived).localCheckpoint(eager=True)
-    kept = docs.join(F.broadcast(dec), "doc_id").select(
+    dec = kept.select("doc_id", *derived)
+    if decision_checkpoint:
+        dec = dec.localCheckpoint(eager=True)
+    else:
+        from pyspark import StorageLevel
+
+        dec = dec.persist(StorageLevel.MEMORY_AND_DISK)
+    attach = (
+        F.broadcast(dec)
+        if dec.count() <= max_broadcast_rows
+        else dec.hint("shuffle_hash")
+    )
+    kept = docs.join(attach, "doc_id").select(
         *[F.col(c) for c in list(docs.columns) + derived]
     )
     if persist_intermediate:
@@ -537,6 +580,14 @@ def export_tokenized_set(
         base = docs.select(*keep_cols).join(
             enc.select("doc_id", "n_tokens"), "doc_id"
         )
+    # NOT checkpointed (round 13, measured): `base` feeds both the
+    # packing window and the dataset join-back, and the final plans
+    # show the mixture+BPE subtree repeated (documents scanned 21x in
+    # export_mixture's plan) — but a same-session A/B of an eager
+    # decision-relation checkpoint here was a WASH (±0.3 s on all five
+    # export queries): runtime exchange reuse already dedupes the
+    # identical subtrees, so the barrier bought nothing and cost an
+    # extra materialization.  Left lazy on evidence.
     split_hash = md5_hash60(
         F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}"))
     )

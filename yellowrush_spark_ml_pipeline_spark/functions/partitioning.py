@@ -20,6 +20,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Partition-count memo keyed on (SparkContext identity, analyzed-plan
+# semantic hash).  The ``df.rdd.getNumPartitions()`` probe converts the
+# full analyzed plan to an RDD — driver-side physical planning + file
+# listing, repeated verbatim when the same operator plan is rebuilt
+# (every bench shot, every oracle replay, every flow that composes the
+# same scan twice).  Semantically-equal plans yield the same partition
+# count within one context (same files, same session conf), so the probe
+# runs once per distinct plan instead of once per call (r12 ADVICE).
+# Bounded: cleared wholesale if it ever grows past _NPART_MEMO_MAX —
+# a memo, not a cache of data.
+_NPART_MEMO: dict[tuple[int, int], int] = {}
+_NPART_MEMO_MAX = 4096
+
 
 def ensure_scan_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's default
@@ -32,7 +45,16 @@ def ensure_scan_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFra
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
+        key = (
+            id(spark.sparkContext),
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+        )
+        n = _NPART_MEMO.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            if len(_NPART_MEMO) >= _NPART_MEMO_MAX:
+                _NPART_MEMO.clear()
+            _NPART_MEMO[key] = n
     except Exception:  # noqa: BLE001 — planning-only probe; never fail the op
         return df
     if n < max(2, int(target * min_fraction)):

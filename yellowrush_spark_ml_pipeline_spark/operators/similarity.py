@@ -33,6 +33,27 @@ from ..functions.vector import (
 )
 
 
+def _cluster_for_write(df: DataFrame, key: str, salt: int = 1) -> DataFrame:
+    """Pre-write clustering for a ``partitionBy(key)`` sink: one exchange
+    keyed on the partition column, so each key lands in ONE file instead
+    of up-to-(tasks x keys) tiny files (guide §6 — compact on write).
+
+    ``salt > 1`` (the production knob — r12 ADVICE): keying the exchange
+    on the partition column alone caps write parallelism at one task per
+    key, so a hot/skewed list becomes a single straggler writing one
+    multi-GB file.  A deterministic per-row salt (xxhash64 over the row,
+    never rand() — task retries must reproduce the assignment, guide
+    §2.5) splits each key across up to ``salt`` writer tasks / files.
+    Local-scale default stays 1: lists exceed tasks there, so salting
+    would only multiply small files."""
+    if salt <= 1:
+        return df.repartition(F.col(key))
+    return df.repartition(
+        F.col(key),
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -294,6 +315,7 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_dist: bool = False,
 ) -> DataFrame:
     """Assign vectors to their nearest IVF list given FROZEN centroids —
     the incremental-ingest half of the IVF lifecycle. A daily batch joins
@@ -302,7 +324,16 @@ def ivf_assign(
     no ML library at all — one narrow argmin map, zero shuffles.
 
     Output: (id, _cv double-array, _list) rows, union-compatible with the
-    index built by :func:`ivf_build_index`."""
+    index built by :func:`ivf_build_index`.
+
+    ``with_dist=True`` (round 13) additionally emits ``_dist`` — the
+    euclidean distance to the winning centroid, i.e. the argmin struct's
+    own ``d`` field.  Consumers that need the audit distance (the
+    SemDeDup build/incremental paths) previously re-derived it through a
+    k-row broadcast join against a centroid relation; the join recomputed
+    the IDENTICAL expression (same kernel, same literal doubles) one
+    extra exchange later, so reading it off the argmin is bit-identical
+    and one BroadcastHashJoin cheaper per call site."""
     c = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_cv"))
     dists = F.array(
         *[
@@ -315,9 +346,17 @@ def ivf_assign(
             for i, ctr in enumerate(centroids)
         ]
     )
-    return c.withColumn(
-        "_list", F.array_sort(dists)[0].getField("l")
-    ).select(id_col, "_cv", "_list")
+    best = F.array_sort(dists)[0]
+    if with_dist:
+        # codegen's subexpression elimination evaluates `best` once for
+        # both field extractions (deterministic expression, one project)
+        return c.select(
+            id_col,
+            "_cv",
+            best.getField("l").alias("_list"),
+            best.getField("d").alias("_dist"),
+        )
+    return c.select(id_col, "_cv", best.getField("l").alias("_list"))
 
 
 def ivf_build_index(
@@ -1098,6 +1137,7 @@ def save_pq_index(
     path: str,
     encoding: str = "raw",
     scale_bits: int = 20,
+    write_salt: int = 1,
 ) -> None:
     """Persist a composed IVF-PQ index as a versioned artifact — the
     compressed sibling of :func:`save_ivf_index`: the (id, _list,
@@ -1147,14 +1187,11 @@ def save_pq_index(
     # without it every one of the N input tasks opens a file in every
     # list directory it holds rows for (up to tasks x n_lists tiny
     # files; 32 x 16 measured at sf0.1), which slows the commit AND
-    # every later probe scan.  One exchange keyed on _list yields one
-    # file per list — the layout a probe reads with a single file open
-    # per probed partition (guide: compact on write, 128 MB-1 GB files;
-    # at scale lists far exceed task count so the exchange is the
-    # standard pre-write clustering, not a parallelism cap).
-    encoded.repartition(F.col("_list")).write.mode("overwrite").partitionBy(
-        "_list"
-    ).parquet(_os.path.join(path, "codes.parquet"))
+    # every later probe scan.  ``write_salt`` > 1 splits hot lists
+    # across writer tasks (see _cluster_for_write).
+    _cluster_for_write(encoded, "_list", write_salt).write.mode(
+        "overwrite"
+    ).partitionBy("_list").parquet(_os.path.join(path, "codes.parquet"))
     codebooks.coalesce(1).write.mode("overwrite").parquet(
         _os.path.join(path, "codebooks.parquet")
     )
@@ -1502,10 +1539,12 @@ def semantic_dedup(
         if k == "auto":
             n = v.count()  # one tiny count job — documented eager exception
             k = max(8, min(n, _math.ceil(n / max(target_cluster_size, 1))))
-        assigned = kmeans_lloyd(
-            v, k=k, n_assign=n_assign, emb_col="_v", id_col=id_col
+        # vec_out: the assignment carries its input vector out directly —
+        # no id-keyed join back onto v (round 13; bit-identical column)
+        pts = kmeans_lloyd(
+            v, k=k, n_assign=n_assign, emb_col="_v", id_col=id_col,
+            vec_out="_v",
         )
-        pts = assigned.join(v, id_col)
     if persist:
         pts = pts.localCheckpoint(eager=True)
     return _semantic_prune(pts, threshold, id_col)
@@ -1644,22 +1683,17 @@ def semantic_dedup_build(
     centroids = kmeans_lloyd_centroids(
         v, k=int(k), n_assign=n_assign, emb_col="_v", id_col=id_col
     )
-    cent_df = v.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "cluster_id int, _c array<double>",
-    )
-    pts = (
-        ivf_assign(v, centroids, id_col=id_col, vec_col="_v")
-        .withColumnRenamed("_list", "cluster_id")
-        .join(F.broadcast(cent_df), "cluster_id")
-        .select(
-            F.col(id_col),
-            F.col("cluster_id"),
-            F.round(euclidean_distance(F.col("_cv"), F.col("_c")), 6).alias(
-                "dist"
-            ),
-            F.col("_cv").alias("_v"),
-        )
+    # the audit distance comes straight off the frozen-centroid argmin
+    # (ivf_assign with_dist) — bit-identical to the old k-row broadcast
+    # join's re-derivation (same kernel, same literal doubles), one
+    # BroadcastHashJoin fewer in the build
+    pts = ivf_assign(
+        v, centroids, id_col=id_col, vec_col="_v", with_dist=True
+    ).select(
+        F.col(id_col),
+        F.col("_list").alias("cluster_id"),
+        F.round(F.col("_dist"), 6).alias("dist"),
+        F.col("_cv").alias("_v"),
     )
     if persist:
         pts = pts.localCheckpoint(eager=True)
@@ -1674,6 +1708,7 @@ def save_semantic_state(
     centroids: list[list[float]],
     path: str,
     quantizer: str = "exact",
+    write_salt: int = 1,
 ) -> None:
     """Persist a :func:`semantic_dedup_build` result as the versioned
     artifact the daily :func:`semantic_dedup_incremental` job loads:
@@ -1696,10 +1731,11 @@ def save_semantic_state(
             f"quantizer must be 'exact' or 'ivf', got {quantizer!r}"
         )
 
-    # one file per cluster, not one per (task, cluster) — see save_pq_index
-    kept.repartition(F.col("cluster_id")).write.mode("overwrite").partitionBy(
-        "cluster_id"
-    ).parquet(_os.path.join(path, "kept.parquet"))
+    # one file per cluster, not one per (task, cluster) — see save_pq_index;
+    # write_salt > 1 splits hot clusters across writer tasks
+    _cluster_for_write(kept, "cluster_id", write_salt).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(_os.path.join(path, "kept.parquet"))
     with open(_os.path.join(path, "centroids.json"), "w") as fh:
         _json.dump([[float(x) for x in c] for c in centroids], fh)
         fh.write("\n")
@@ -1757,11 +1793,27 @@ def append_semantic_state(
     kept-set (the embeddings column in particular); the fold selects
     the artifact's own column set, so schema drift fails loudly in the
     column resolver instead of silently writing a ragged table."""
+    spark = batch.sparkSession
+    kept, _cents = load_semantic_state(spark, path)  # validates version
+    return _fold_keepers(batch, audit, path, kept.columns, id_col, batch_tag)
+
+
+def _fold_keepers(
+    batch: DataFrame,
+    audit: DataFrame,
+    path: str,
+    kept_columns: list[str],
+    id_col: str,
+    batch_tag: "str | None",
+) -> int:
+    """The write half of :func:`append_semantic_state`, given the
+    artifact's column order — so a caller that already loaded the state
+    (``semantic_dedup_daily``) folds without a second artifact
+    load/validate per tick (round 13: one parquet-footer read + meta
+    parse fewer per daily tick; the public append still validates)."""
     import json as _json
     import os as _os
 
-    spark = batch.sparkSession
-    kept, _cents = load_semantic_state(spark, path)  # validates version
     meta_path = _os.path.join(path, "meta.json")
     with open(meta_path) as fh:
         meta = _json.load(fh)
@@ -1773,9 +1825,11 @@ def append_semantic_state(
         .select(id_col, "cluster_id", "dist")
         .join(batch, id_col)
     )
-    keepers.select(*kept.columns).repartition(F.col("cluster_id")).write.mode(
-        "append"
-    ).partitionBy("cluster_id").parquet(_os.path.join(path, "kept.parquet"))
+    _cluster_for_write(
+        keepers.select(*kept_columns), "cluster_id"
+    ).write.mode("append").partitionBy("cluster_id").parquet(
+        _os.path.join(path, "kept.parquet")
+    )
     meta["state_version"] = int(meta.get("state_version", 1)) + 1
     if batch_tag is not None:
         meta["applied_tags"] = tags + [str(batch_tag)]
@@ -1816,7 +1870,8 @@ def semantic_dedup_daily(
         id_col=id_col,
         **judge_kwargs,
     ).localCheckpoint(eager=True)
-    append_semantic_state(batch, audit, path, id_col=id_col, batch_tag=batch_tag)
+    # fold via the loaded state's own columns — no second load/validate
+    _fold_keepers(batch, audit, path, kept.columns, id_col, batch_tag)
     return audit
 
 
@@ -1914,29 +1969,24 @@ def semantic_dedup_incremental(
     Output: one audit row per BATCH doc — (id, cluster_id, dist,
     n_close BIGINT, keep INT) — union-compatible with the full build's
     audit table, so the daily merge is an append."""
-    spark = batch.sparkSession
     kept_emb_col = kept_emb_col or emb_col
+    # round 13: ONE checkpoint, not two — the normalized batch `v` had
+    # its own eager localCheckpoint, but its only consumer is the argmin
+    # below, whose output `bpts` is checkpointed anyway; the first
+    # materialization bought nothing (r12 "Not yet optimized" item).
+    # The audit distance reads off the argmin struct itself (ivf_assign
+    # with_dist) instead of a k-row broadcast join re-deriving the same
+    # expression — bit-identical, one BroadcastHashJoin fewer per judge.
     v = batch.select(
         F.col(id_col), normalize(as_double_array(F.col(emb_col))).alias("_v")
     )
-    if persist:
-        v = v.localCheckpoint(eager=True)
-    assigned = ivf_assign(v, centroids, id_col=id_col, vec_col="_v")
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "cluster_id int, _c array<double>",
-    )
-    bpts = (
-        assigned.withColumnRenamed("_list", "cluster_id")
-        .join(F.broadcast(cent_df), "cluster_id")
-        .select(
-            F.col(id_col),
-            F.col("cluster_id"),
-            F.round(euclidean_distance(F.col("_cv"), F.col("_c")), 6).alias(
-                "dist"
-            ),
-            F.col("_cv").alias("_v"),
-        )
+    bpts = ivf_assign(
+        v, centroids, id_col=id_col, vec_col="_v", with_dist=True
+    ).select(
+        F.col(id_col),
+        F.col("_list").alias("cluster_id"),
+        F.round(F.col("_dist"), 6).alias("dist"),
+        F.col("_cv").alias("_v"),
     )
     if persist:
         bpts = bpts.localCheckpoint(eager=True)
@@ -2052,6 +2102,7 @@ def kmeans_lloyd(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     return_centroids: bool = False,
+    vec_out: "str | None" = None,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's k-means as a fully declarative DataFrame
     program — ``n_assign`` assignment rounds with ``n_assign - 1``
@@ -2087,7 +2138,14 @@ def kmeans_lloyd(
     ``return_centroids=True`` returns the FINAL centroid relation
     (cluster_id, centroid array<double>) — the state the last
     assignment round used — instead of the assignment; see
-    :func:`kmeans_lloyd_centroids` for the collected form."""
+    :func:`kmeans_lloyd_centroids` for the collected form.
+
+    ``vec_out`` (round 13): also emit the input vector under this name —
+    the assignment always carried it internally, so a consumer that
+    needs (assignment + vector), like :func:`semantic_dedup`'s prune,
+    reads it here instead of re-joining the corpus on the id (one
+    id-keyed shuffle join fewer; values bit-identical — it IS the same
+    column)."""
     if k < 1 or n_assign < 1:
         raise ValueError("k and n_assign must be >= 1")
     pts = df.select(F.col(id_col), as_double_array(F.col(emb_col)).alias("_x"))
@@ -2152,11 +2210,14 @@ def kmeans_lloyd(
         return cents.select(
             F.col("_cid").alias("cluster_id"), F.col("_c").alias("centroid")
         )
-    return assigned.select(
+    out = [
         F.col(id_col),
         F.col("cluster_id"),
         F.round(F.col("_dist"), 6).alias("dist"),
-    )
+    ]
+    if vec_out:
+        out.append(F.col("_x").alias(vec_out))
+    return assigned.select(*out)
 
 
 def kmeans_lloyd_centroids(
@@ -2471,7 +2532,9 @@ def ivf_assign_exact(
 IVF_INDEX_FORMAT_VERSION = 1
 
 
-def save_ivf_index(assigned: DataFrame, centroids, path: str) -> None:
+def save_ivf_index(
+    assigned: DataFrame, centroids, path: str, write_salt: int = 1
+) -> None:
     """Persist an IVF index as a versioned artifact — the similarity-
     search analogue of the S7 model sink (and of save_tokenizer for the
     BPE lifecycle): the assigned corpus goes to parquet PARTITIONED BY
@@ -2489,10 +2552,11 @@ def save_ivf_index(assigned: DataFrame, centroids, path: str) -> None:
     import os as _os
 
     exact = bool(centroids) and isinstance(centroids[0], tuple)
-    # one file per list, not one per (task, list) — see save_pq_index
-    assigned.repartition(F.col("_list")).write.mode("overwrite").partitionBy(
-        "_list"
-    ).parquet(_os.path.join(path, "assigned.parquet"))
+    # one file per list, not one per (task, list) — see save_pq_index;
+    # write_salt > 1 splits hot lists across writer tasks
+    _cluster_for_write(assigned, "_list", write_salt).write.mode(
+        "overwrite"
+    ).partitionBy("_list").parquet(_os.path.join(path, "assigned.parquet"))
     payload = (
         [[int(l), [int(x) for x in c]] for l, c in centroids]
         if exact
